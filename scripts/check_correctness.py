@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify first
+(`sbt "runMain graft.Verify <sfDir> <outDir>"`), then this script reads each
+<outDir>/<name> parquet, runs the matching oracle SQL from oracle_sql.json in
+DuckDB over the same sf tables, sorts columns by name and rows by value, and
+compares cell-by-cell (exact; floats compared bitwise first, then with 1e-12
+rel tolerance reported separately).
+
+Usage: check_correctness.py <sfDir> <outDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(out, key=lambda t: tuple((v is None, str(v)) for v in t)), \
+        [cols[i] for i in order]
+
+
+def cells_equal(a, b):
+    if a is None or b is None:
+        return a is None and b is None, False
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return False, False
+        if fa == fb:
+            return True, False
+        if math.isclose(fa, fb, rel_tol=1e-12, abs_tol=1e-12):
+            return True, True  # equal only under tolerance
+        return False, False
+    # decimals/ints/strings/timestamps: string-normalized compare
+    return str(a) == str(b), False
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            grows, gcols = got.fetchall(), [d[0] for d in got.description]
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            failures += 1
+            continue
+        try:
+            exp = con.execute(sql)
+            erows, ecols = exp.fetchall(), [d[0] for d in exp.description]
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {str(e)[:300]}")
+            failures += 1
+            continue
+        grows, gcols = canon(grows, gcols)
+        erows, ecols = canon(erows, ecols)
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} vs oracle {ecols}")
+            failures += 1
+            continue
+        if len(grows) != len(erows):
+            print(f"FAIL {name}: rows {len(grows)} vs oracle {len(erows)}")
+            failures += 1
+            continue
+        bad = tol = 0
+        first_bad = None
+        for gr, er in zip(grows, erows):
+            for c, (gv, ev) in enumerate(zip(gr, er)):
+                ok, used_tol = cells_equal(gv, ev)
+                if not ok:
+                    bad += 1
+                    if first_bad is None:
+                        first_bad = (gcols[c], gv, ev)
+                elif used_tol:
+                    tol += 1
+        if bad:
+            print(f"FAIL {name}: {bad} cell mismatches; first: "
+                  f"col={first_bad[0]} got={first_bad[1]!r} exp={first_bad[2]!r}")
+            failures += 1
+        else:
+            note = f" ({tol} float cells matched only under tolerance)" if tol else ""
+            print(f"PASS {name}: {len(grows)} rows{note}")
+    print(f"\n{len(oracles) - failures}/{len(oracles)} queries pass")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()

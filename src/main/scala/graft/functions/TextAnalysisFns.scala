@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * token counting (whitespace + BPE-ish regex), language identification
+  * (stopword n-gram heuristic), quality scoring, and fingerprinting glue.
+  * All built-in expressions — at 100 TB these run inside whole-stage
+  * codegen over the scan, no shuffle.
+  */
+object TextAnalysisFns {
+
+  /** Whitespace tokenization; empty string → empty array. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish token count: GPT-2-style pretokenizer regex match count.
+    * Counts contractions, word runs, digit runs, punctuation runs.
+    */
+  val BpeishPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
+  def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+
+  /** Stopword marker lists for the n-gram/stopword language-ID heuristic.
+    * Scores are counts of distinct token hits per language; deterministic
+    * priority order breaks ties.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "un", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "du", "est", "que"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "eine", "nicht", "mit", "den"),
+    "zh" -> Seq("de", "shi", "le", "zai", "you", "wo", "ta", "zhe", "men", "bu"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(tokens(lower(text))),
+      array(markers.map(lit): _*)))
+
+  /** Language-ID: argmax of marker-hit score; ties resolved by list order;
+    * all-zero → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ms) => lang -> langScore(text, ms) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldLeft(when(best === 0, lit("und"))) { case (acc, (lang, s)) =>
+      acc.when(s === best, lit(lang))
+    }.otherwise(lit("und"))
+  }
+
+  /** Quality metrics: character length, word count, mean word length,
+    * punctuation ratio, stopword ratio, uppercase ratio.
+    */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[^a-zA-Z0-9\\s]")).cast("double") / n.cast("double"))
+  }
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = array(LangMarkers.head._2.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(filter(toks, t => array_contains(en, t))).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+        size(toks).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]: rewards reasonable length and
+    * stopword presence, penalizes punctuation soup. Deterministic rational
+    * arithmetic (all terms are exact ratios or clamps).
+    */
+  def qualityScore(text: Column): Column = {
+    val lenTerm  = least(length(text).cast("double") / 500.0, lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * 4.0, lit(1.0))
+    val punTerm  = greatest(lit(0.0), lit(1.0) - punctRatio(text) * 4.0)
+    (lenTerm + stopTerm + punTerm) / 3.0
+  }
+
+  /** Document fingerprint — rolling hash over tokens (HashFns). */
+  def fingerprint(text: Column): Column =
+    HashFns.rollingFingerprint(tokens(text))
+}

@@ -1,0 +1,41 @@
+package graft.llm
+
+/** X1 — the LLM structured-extraction operator's gateway boundary
+  * (SURVEY.md §2.7; reference `core/LLMGateway.py:53-136`).
+  *
+  * The gateway is trait-injected so the engine stays deterministic and
+  * testable: production would wire an HTTP client with the reference's
+  * fallback chain (primary → fallback model, temperature 0.8); tests and
+  * the correctness gate use the deterministic mock. The operator itself
+  * (`LlmExtract`) never embeds a client in a plan — external calls happen
+  * in `mapPartitions` with a per-partition bounded concurrency, mirroring
+  * the reference's Semaphore(10).
+  */
+trait LlmGateway extends Serializable {
+  /** Returns (fieldName → value) for the extraction schema, plus token
+    * count and the model that answered. Total failure → all-null fields,
+    * model = "fallback_error" (reference `ConvoDataExtract.py:163-187`).
+    */
+  def extract(conversation: String): LlmResult
+}
+
+final case class LlmResult(fields: Map[String, String], tokens: Long, model: String)
+
+/** Deterministic mock: "extracts" by scanning the conversation text with
+  * fixed rules — stable across runs, no I/O. Token count is the
+  * whitespace-token count (the tiktoken stand-in).
+  */
+final class MockLlmGateway extends LlmGateway {
+  override def extract(conversation: String): LlmResult = {
+    val toks = conversation.split("\\s+").filter(_.nonEmpty)
+    val fields = Map(
+      "summary"       -> toks.take(8).mkString(" "),
+      "intent"        -> (if (conversation.contains("purchase")) "purchase"
+                          else if (conversation.contains("error")) "complaint"
+                          else "inquiry"),
+      "location"      -> toks.find(_.length > 6).getOrElse(""),
+      "schedule_date" -> "",
+      "schedule_time" -> "")
+    LlmResult(fields, toks.length.toLong, "mock-model")
+  }
+}

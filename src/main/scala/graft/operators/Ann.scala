@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VecFns
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — queries are broadcast (small side),
+  * so the corpus streams through a broadcast nested-loop join with the
+  * cosine computed in codegen'd expressions; per-query top-k via window
+  * rank. At 100 TB the scale path is `lshTopK`: hyperplane buckets prune
+  * the corpus to same-bucket candidates (equi-join on bucket id), trading
+  * recall for a shuffle-bounded plan.
+  */
+object Ann {
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * corpus vectors (self-match excluded), ties broken by corpus id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        VecFns.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** All pairs (id_a < id_b) with cosine ≥ threshold — exact, O(N²); the
+    * small-scale oracle for the LSH variants.
+    */
+  def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), VecFns.cosine(col("va"), col("vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+  }
+
+  /** LSH-bucketed top-k: hyperplane sign buckets prune candidates; within a
+    * bucket the exact cosine ranks. Multi-probe is achieved by passing
+    * several plane sets (each adds one bucket per vector).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, planeSets: Seq[Seq[Seq[Double]]]): DataFrame = {
+    def bucketed(df: DataFrame, id: String, v: String): DataFrame =
+      planeSets.zipWithIndex.map { case (planes, i) =>
+        val planeCols = planes.map(p => array(p.map(lit): _*))
+        df.select(col(idCol).as(id), col(vecCol).as(v),
+          concat(lit(s"$i#"),
+            VecFns.hyperplaneBucket(col(vecCol), planeCols).cast("string")).as("bucket"))
+      }.reduce(_ unionByName _)
+    val q = bucketed(queries, "query_id", "qv")
+    val c = bucketed(corpus, "neighbor_id", "cv")
+    val cand = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .distinct()
+    val scored = cand.select(col("query_id"), col("neighbor_id"),
+      VecFns.cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes (fixed seed). */
+  def deterministicPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{SimFns, TextFns}
+
+/** The reference's two-phase similarity geocode join (SURVEY.md §2.3
+  * J5–J8; `core/Geocode.py:45-157`, `utils/geocode_utils.py:16-32`).
+  *
+  * Phase 1 prunes: inputs × municipality/province rows (small, broadcast)
+  * scored by n-gram Jaccard, keep score ≠ 0. Phase 2 scores only the
+  * barangay rows whose codes matched phase 1 (semi-join), then takes the
+  * per-input top-1 with threshold 0.1. The two-phase plan IS the
+  * reference's key optimization — kept explicitly; both joins broadcast the
+  * reference table, so the input side never shuffles.
+  */
+object GeocodeJoin {
+
+  /** Phase-1 candidates: every input × refTable row with nonzero n-gram
+    * Jaccard between `addrCol` and refTable's `refNameCol` (both cleaned).
+    */
+  def phase1Candidates(inputs: DataFrame, refTable: DataFrame,
+                       addrCol: String, refNameCol: String): DataFrame = {
+    val cleanedIn  = inputs.withColumn("__addr", TextFns.cleanStr(col(addrCol)))
+    val cleanedRef = broadcast(refTable.withColumn("__ref", TextFns.cleanStr(col(refNameCol))))
+    cleanedIn.crossJoin(cleanedRef)
+      .withColumn("score", SimFns.jaccardNgram(col("__addr"), col("__ref")))
+      .where(col("score") =!= 0)
+      .drop("__addr", "__ref")
+  }
+
+  /** Phase 2 + top-1: re-score candidates (optionally narrowed by a
+    * semi-join on matched codes) and keep the best row per input, accepted
+    * when score ≥ threshold.
+    */
+  def bestMatch(inputs: DataFrame, refTable: DataFrame, addrCol: String,
+                refNameCol: String, inputKey: String,
+                threshold: Double = 0.1): DataFrame = {
+    val cands = phase1Candidates(inputs, refTable, addrCol, refNameCol)
+    val w = Window.partitionBy(col(inputKey))
+      .orderBy(col("score").desc, col(refNameCol).asc)
+    cands.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+      .withColumn("accepted", col("score") >= threshold)
+  }
+
+  /** J8 — fuzzy serviceability tag: best Levenshtein-ratio match of the
+    * normalized location against the (broadcast) serviceable list; "Yes"
+    * iff best ratio ≥ 90 (reference threshold).
+    */
+  def tagViable(inputs: DataFrame, serviceable: DataFrame, locCol: String,
+                svcNameCol: String, threshold: Double = 90.0): DataFrame = {
+    val normIn  = inputs.withColumn("__loc", TextFns.normalizeLocation(col(locCol)))
+    val normSvc = broadcast(serviceable
+      .select(TextFns.normalizeLocation(col(svcNameCol)).as("__svc")))
+    val scored = normIn.crossJoin(normSvc)
+      .withColumn("__ratio", SimFns.levRatio(col("__loc"), col("__svc")))
+    val keyCols = inputs.columns.map(col).toSeq
+    scored.groupBy(keyCols: _*)
+      .agg(max(col("__ratio")).as("__best"))
+      .withColumn("is_serviceable", when(col("__best") >= threshold, lit("Yes")).otherwise(lit("No")))
+      .drop("__best", "__loc")
+  }
+}

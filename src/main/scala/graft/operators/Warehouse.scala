@@ -1,0 +1,56 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet-backed warehouse with snapshot-swap semantics (SURVEY.md §7.1.2,
+  * K1–K4). Plain Parquet has no row-level ops, so upserts write a NEW
+  * snapshot directory and atomically repoint `_current`; readers always see
+  * a complete snapshot. At cluster scale the same layout works on any
+  * object store (pointer file on a consistent store); per-table snapshot
+  * GC keeps the last N.
+  */
+class Warehouse(spark: SparkSession, root: String) {
+
+  private def tableDir(name: String) = Paths.get(root, name)
+  private def pointer(name: String)  = tableDir(name).resolve("_current")
+
+  def exists(name: String): Boolean = Files.exists(pointer(name))
+
+  private def currentSnapshot(name: String): Option[String] =
+    if (exists(name)) Some(Files.readString(pointer(name)).trim) else None
+
+  def read(name: String): DataFrame = {
+    val snap = currentSnapshot(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    spark.read.parquet(tableDir(name).resolve(snap).toString)
+  }
+
+  /** K2 — truncate-overwrite: write a fresh snapshot, swap the pointer. */
+  def overwrite(name: String, df: DataFrame): Unit = {
+    val snap = s"snap-${System.nanoTime()}"
+    Files.createDirectories(tableDir(name))
+    df.write.mode("overwrite").parquet(tableDir(name).resolve(snap).toString)
+    swapPointer(name, snap)
+  }
+
+  /** K1 — append: union with current snapshot into a new snapshot (keeps
+    * swap atomicity; no in-place mutation of a live snapshot).
+    */
+  def append(name: String, df: DataFrame): Unit =
+    if (!exists(name)) overwrite(name, df)
+    else overwrite(name, read(name).unionByName(df, allowMissingColumns = true))
+
+  /** K4 — staged merge upsert into the table (creates it when absent). */
+  def upsert(name: String, staging: DataFrame, key: String,
+             updateCols: Seq[String]): Unit =
+    if (!exists(name)) overwrite(name, staging)
+    else overwrite(name, Upsert.merge(read(name), staging, key, updateCols))
+
+  private def swapPointer(name: String, snap: String): Unit = {
+    val tmp = tableDir(name).resolve(s"_current.tmp.${System.nanoTime()}")
+    Files.writeString(tmp, snap)
+    Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

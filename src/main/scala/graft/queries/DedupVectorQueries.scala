@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.operators.{Ann, Dedup}
+
+/** The training-data-pipeline operator families over `documents` and
+  * `embeddings`: deduplication (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard / embedding-cosine), ANN search, and streaming-shaped window
+  * queries over `events`. Oracles replicate the full algorithm in DuckDB
+  * SQL (same md5 hashes, same sequential folds) — exact, no tolerance.
+  */
+object DedupVectorQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  // MinHash-LSH parameters shared by Spark impl and oracle.
+  private val ShingleWords = 3
+  private val NumHashes    = 8
+  private val Bands        = 4
+  private val MinhashThreshold = 0.2
+  private val NgramThreshold   = 0.05
+  private val CosineThreshold  = 0.3
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup: hash-groupBy, keeper = min id.
+    QueryDef("dedup_exact", (s, dir) => {
+      Dedup.exact(t("documents")(s, dir), "doc_id", "text")
+        .orderBy(col("keep_id"))
+    }, Some("""
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
+
+    // MinHash + LSH near-dup pairs, verified by true shingle Jaccard.
+    QueryDef("dedup_minhash_lsh", (s, dir) => {
+      Dedup.minhashLsh(t("documents")(s, dir), "doc_id", "text",
+          ShingleWords, NumHashes, Bands, MinhashThreshold)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      val sig  = Sql.minhashSignature("shingles", NumHashes)
+      val bandKeys = Sql.lshBandKeys("sig", Bands, NumHashes / Bands)
+      s"""
+      WITH sh AS (
+        SELECT doc_id AS id, ${Sql.wordShingles(toks, ShingleWords)} AS shingles
+        FROM documents),
+      nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      sg AS (SELECT id, shingles, $sig AS sig FROM nz),
+      banded AS (SELECT id, shingles, unnest($bandKeys) AS band FROM sg),
+      pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+      scored AS (
+        SELECT p.id_a, p.id_b, ${Sql.jaccard("x.shingles", "y.shingles")} AS jaccard
+        FROM pairs p
+        JOIN nz x ON x.id = p.id_a
+        JOIN nz y ON y.id = p.id_b)
+      SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= $MinhashThreshold
+      ORDER BY id_a, id_b"""
+    }),
+
+    // N-gram Jaccard near-dup pairs, blocked by language.
+    QueryDef("dedup_ngram_jaccard", (s, dir) => {
+      // doc_id bound keeps the blocked pair count tractable at bench SF
+      Dedup.ngramJaccard(t("documents")(s, dir).where(col("doc_id") < 2000),
+          "doc_id", "text", 5, Seq("lang"), NgramThreshold)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some {
+      val grams = Sql.charNgrams("text", "5")
+      s"""
+      WITH g AS (
+        SELECT doc_id AS id, lang, $grams AS grams FROM documents
+        WHERE doc_id < 2000),
+      nz AS (SELECT * FROM g WHERE len(grams) > 0)
+      SELECT a.id AS id_a, b.id AS id_b, ${Sql.jaccard("a.grams", "b.grams")} AS jaccard
+      FROM nz a JOIN nz b ON a.lang = b.lang AND a.id < b.id
+      WHERE ${Sql.jaccard("a.grams", "b.grams")} >= $NgramThreshold
+      ORDER BY id_a, id_b"""
+    }),
+
+    // SimHash near-dup pairs (banded 16-bit blocks, hamming ≤ 3).
+    QueryDef("dedup_simhash", (s, dir) => {
+      Dedup.simhash(t("documents")(s, dir), "doc_id", "text", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      // per-token md5 once, then 64 vote-folds over hex digits
+      val nibIdx = "CAST((q - (q % 4)) / 4 AS INT) + 1"
+      val bits =
+        s"""list_transform(generate_series(0, 63), q ->
+            CASE WHEN list_reduce(list_prepend(0, list_transform(hashes, h ->
+              CASE WHEN ((((strpos('0123456789abcdef', h[$nibIdx:$nibIdx]) - 1) >> (q % 4)) & 1) = 1)
+                   THEN 1 ELSE -1 END)), (a, b) -> a + b) > 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+      val pack =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse(bits[1:63])),
+             (a, b) -> a * 2 + b) +
+           CASE WHEN bits[64] = 1 THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE CAST(0 AS BIGINT) END"""
+      // band i value = bits 16i..16i+15 packed little-endian (bit q weight
+      // 2^(q-16i)) — identical to Spark's (simhash >>> 16i) & 0xFFFF.
+      val bands = (0 to 3).map { i =>
+        val chunk = s"bits[${i * 16 + 1}:${i * 16 + 16}]"
+        s"CAST($i AS VARCHAR) || '#' || CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse($chunk)), (a, b) -> a * 2 + b) AS VARCHAR)"
+      }.mkString("[", ", ", "]")
+      s"""
+      WITH h AS (
+        SELECT doc_id AS id, list_transform($toks, t -> md5(t)) AS hashes
+        FROM documents),
+      bt AS (SELECT id, $bits AS bits FROM h),
+      sh AS (SELECT id, bits, $pack AS simhash FROM bt),
+      banded AS (SELECT id, simhash, unnest($bands) AS band FROM sh),
+      pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id)
+      SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+      ORDER BY id_a, id_b"""
+    }),
+
+    // Embedding-cosine near-dup pairs — exact brute-force baseline.
+    QueryDef("dedup_embedding_cosine", (s, dir) => {
+      // vec_id bound keeps the exact O(N²) baseline tractable at bench SF;
+      // the scale path is Dedup.embeddingCosine (hyperplane-LSH blocked)
+      Ann.bruteForcePairs(t("embeddings")(s, dir).where(col("vec_id") < 2000),
+          "vec_id", "embedding", CosineThreshold)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some(s"""
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ${Sql.cosine("a.embedding", "b.embedding")} AS cosine
+      FROM embeddings a JOIN embeddings b
+        ON a.vec_id < b.vec_id AND a.vec_id < 2000 AND b.vec_id < 2000
+      WHERE ${Sql.cosine("a.embedding", "b.embedding")} >= $CosineThreshold
+      ORDER BY id_a, id_b""")),
+
+    // ANN: brute-force cosine top-k (k=5) for the first 10 vectors.
+    QueryDef("ann_topk_bruteforce", (s, dir) => {
+      val emb = t("embeddings")(s, dir)
+      Ann.bruteForceTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some(s"""
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ${Sql.cosine("q.embedding", "c.embedding")} AS cosine,
+             CAST(row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY ${Sql.cosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS INT) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank""")),
+
+    // Streaming-shaped: tumbling 1-hour window aggregation (batch form of
+    // the Structured Streaming query in graft.streaming).
+    QueryDef("stream_window_1h", (s, dir) => {
+      t("events")(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).as("total_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"))
+    }, Some("""
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+             count(*) AS n_events,
+             sum(CAST(value AS DECIMAL(12,2))) AS total_value
+      FROM events GROUP BY 1 ORDER BY 1""")),
+
+    // Streaming-shaped: sessionization — 30-minute inactivity gap splits
+    // sessions (gaps-and-islands; batch form of session_window).
+    QueryDef("stream_sessionize", (s, dir) => {
+      val w  = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val ws = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t("events")(s, dir)
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .withColumn("__new", when(col("__prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+        .withColumn("session_id", sum(col("__new")).over(ws))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).cast("timestamp_ntz").as("session_start"),
+          max(col("ts")).cast("timestamp_ntz").as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }, Some("""
+      WITH o AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               lag(CAST(ts AS TIMESTAMP)) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events),
+      f AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS newf
+        FROM o),
+      sx AS (
+        SELECT user_id, event_id, ts,
+               sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f)
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+      FROM sx GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+  )
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One correctness-gate query: the Spark implementation plus (when the op is
+  * SQL-expressible) the equivalent DuckDB oracle SQL over the same tables.
+  * Column names/aliases must match exactly — the driver sorts columns by
+  * name before hashing values.
+  */
+final case class QueryDef(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** DuckDB-SQL snippet builders mirrored 1:1 by the Spark column functions in
+  * `graft.functions`. Keeping both sides generated next to each other is
+  * what keeps the oracle honest: every fold is sequential left-to-right in
+  * both engines, every division is done in double, every hash is md5 —
+  * so results match bit-for-bit, no tolerance needed.
+  */
+object Sql {
+
+  /** Whitespace tokens, empties dropped (mirrors TextAnalysisFns.tokens). */
+  def tokens(c: String): String =
+    s"list_filter(str_split_regex($c, '\\s+'), t -> t <> '')"
+
+  /** Distinct char n-grams; n may be an expression (mirrors SimFns.charNgrams). */
+  def charNgrams(s: String, n: String): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(length($s) - ($n) + 1, 0)), i -> ($s)[i:i+($n)-1]))"
+
+  /** Distinct word w-shingles (mirrors SimFns.wordShingles). */
+  def wordShingles(toks: String, w: Int): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len($toks) - $w + 1, 0)), i -> array_to_string(($toks)[i:i+${w - 1}], ' ')))"
+
+  /** Jaccard of two distinct-element lists (mirrors SimFns.jaccard). */
+  def jaccard(a: String, b: String): String =
+    s"CASE WHEN len(list_distinct(list_concat($a, $b))) = 0 THEN 0.0 " +
+      s"ELSE len(list_intersect($a, $b)) / CAST(len(list_distinct(list_concat($a, $b))) AS DOUBLE) END"
+
+  /** Reference n-gram size rule (mirrors SimFns.refNgramSize). */
+  def refNgramSize(s: String): String =
+    s"greatest(5, CAST(round(sqrt(length($s) / 2.0)) AS INT))"
+
+  /** Levenshtein ratio 0..100 (mirrors SimFns.levRatio). */
+  def levRatio(a: String, b: String): String =
+    s"CASE WHEN greatest(length($a), length($b)) = 0 THEN 100.0 " +
+      s"ELSE (1.0 - levenshtein($a, $b) / CAST(greatest(length($a), length($b)) AS DOUBLE)) * 100.0 END"
+
+  /** clean_str (mirrors TextFns.cleanStr). */
+  def cleanStr(c: String): String =
+    s"lower(regexp_replace(regexp_replace($c, 'ñ|Ñ', 'n', 'g'), 'ã±', 'n', 'g'))"
+
+  /** normalize_location (mirrors TextFns.normalizeLocation). */
+  def normalizeLocation(c: String): String = {
+    val lowered = s"lower($c)"
+    val letters = s"regexp_replace($lowered, '[^a-z\\s]', '', 'g')"
+    val dropped = s"regexp_replace($letters, '\\b(city of|municipality of)\\b', '', 'g')"
+    val gen     = s"regexp_replace($dropped, '\\bgen\\b', 'general', 'g')"
+    val sto     = s"regexp_replace($gen, '\\bsto\\b', 'santo', 'g')"
+    s"trim(regexp_replace($sto, '\\s+', ' ', 'g'))"
+  }
+
+  /** Sequential left-fold sum of a double list, init 0.0 (mirrors
+    * VecFns dot-product fold — identical order ⇒ identical doubles).
+    */
+  def foldSum(xs: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $xs), (acc, v) -> acc + v)"
+
+  /** Elementwise product list in double (mirrors VecFns.dot's zip_with). */
+  def products(a: String, b: String): String =
+    s"list_transform(generate_series(1, len($a)), i -> CAST(($a)[i] AS DOUBLE) * CAST(($b)[i] AS DOUBLE))"
+
+  def dot(a: String, b: String): String = foldSum(products(a, b))
+
+  /** Cosine similarity (mirrors VecFns.cosine). */
+  def cosine(a: String, b: String): String = {
+    val d  = dot(a, b)
+    val na = s"sqrt(${dot(a, a)})"
+    val nb = s"sqrt(${dot(b, b)})"
+    s"CASE WHEN $na = 0.0 OR $nb = 0.0 THEN 0.0 ELSE $d / ($na * $nb) END"
+  }
+
+  /** MinHash signature as a list of md5 hex strings (mirrors
+    * HashFns.minhashSignature).
+    */
+  def minhashSignature(shingles: String, k: Int): String =
+    s"list_transform(generate_series(0, ${k - 1}), j -> list_min(list_transform($shingles, s -> md5(CAST(j AS VARCHAR) || ':' || s)))) "
+
+  /** LSH band keys (mirrors HashFns.lshBandKeys). */
+  def lshBandKeys(sig: String, b: Int, r: Int): String =
+    s"list_transform(generate_series(0, ${b - 1}), i -> CAST(i AS VARCHAR) || '#' || md5(array_to_string(($sig)[i*$r+1:i*$r+$r], ',')))"
+
+  /** Rolling fingerprint (mirrors HashFns.rollingFingerprint). */
+  def rollingFingerprint(toks: String): String = {
+    val vals = s"list_transform($toks, t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $vals), (acc, v) -> (acc * 31 + v) % 1000000007)"
+  }
+}

@@ -1,0 +1,361 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{SimFns, TextAnalysisFns, TextFns, TimeFns}
+import graft.operators.GeocodeJoin
+
+/** Scalar-function and similarity-join coverage (SURVEY.md §2.6 F1–F15,
+  * §2.3 J5–J8) plus the text-analysis operator family, each paired with an
+  * exact DuckDB oracle built from the mirrored SQL snippets in `Sql`.
+  */
+object TextSimQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  /** The small literal reference table for the similarity joins (the PSGC
+    * munprov analog): part-type-like phrases sharing 5-grams with p_type.
+    */
+  private val RefNames = Seq(
+    "ANODIZED STEEL", "BURNISHED COPPER", "PLATED BRASS",
+    "POLISHED TIN", "ECONOMY ANODIZED", "STANDARD PLATED")
+  private def refNamesSqlValues: String =
+    RefNames.map(n => s"('$n')").mkString(", ")
+
+  private val ServiceableNames = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // F1 — reference-code regex extraction with default
+    // (extraction_helpers.py:24-29).
+    QueryDef("f1_reference_code", (s, dir) => {
+      val msg = when(col("event_id") % 3 === 0, lit("no code in this message"))
+        .otherwise(concat(lit("please see Ref: "), upper(col("event_type")), lit(" thanks")))
+      t("events")(s, dir)
+        .select(col("event_id"), TextFns.extractReferenceCode(msg).as("reference_code"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH m AS (
+        SELECT event_id,
+               CASE WHEN event_id % 3 = 0 THEN 'no code in this message'
+                    ELSE 'please see Ref: ' || upper(event_type) || ' thanks' END AS msg
+        FROM events)
+      SELECT event_id,
+             CASE WHEN regexp_extract(msg, 'Ref:\s*([A-Z0-9]+)\b', 1) = ''
+                  THEN 'No Reference code'
+                  ELSE regexp_extract(msg, 'Ref:\s*([A-Z0-9]+)\b', 1) END AS reference_code
+      FROM m ORDER BY event_id""")),
+
+    // F2 — UTC → Asia/Manila naive wall-clock (date_utils.py:4-12).
+    // Manila is UTC+8 (no DST) ⇒ the oracle's fixed 8-hour shift is exact.
+    QueryDef("f2_timezone_manila", (s, dir) => {
+      t("events")(s, dir)
+        .select(col("event_id"),
+          TimeFns.toManilaWallClock(col("ts")).cast("timestamp_ntz").as("ts_mnl"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, CAST(ts AS TIMESTAMP) + INTERVAL 8 HOUR AS ts_mnl
+      FROM events ORDER BY event_id""")),
+
+    // F4 — custom_fields normalize: single-element list → element, else null
+    // (extraction_helpers.py:47-49).
+    QueryDef("f4_custom_fields", (s, dir) => {
+      val arr = when(col("event_id") % 2 === 0, array(col("event_type")))
+        .otherwise(array(col("event_type"), lit("extra")))
+      t("events")(s, dir)
+        .select(col("event_id"), TextFns.singleElementOrNull(arr).as("custom_field"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH m AS (
+        SELECT event_id,
+               CASE WHEN event_id % 2 = 0 THEN [event_type]
+                    ELSE [event_type, 'extra'] END AS arr
+        FROM events)
+      SELECT event_id, CASE WHEN len(arr) = 1 THEN arr[1] END AS custom_field
+      FROM m ORDER BY event_id""")),
+
+    // F5 — tags array → CSV (Ticket.py:60); array built from doc words.
+    QueryDef("f5_tags_csv", (s, dir) => {
+      t("documents")(s, dir)
+        .select(col("doc_id"),
+          TextFns.tagsCsv(slice(split(col("text"), " "), 1, 5)).as("tags"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CASE WHEN len(str_split(text, ' ')[1:5]) = 0 THEN ''
+                  ELSE array_to_string(str_split(text, ' ')[1:5], ',') END AS tags
+      FROM documents ORDER BY doc_id""")),
+
+    // F6 — schedule date+time combine with the reference's forgiving
+    // time-format parsing (extraction_helpers.py:164-216).
+    QueryDef("f6_schedule_combine", (s, dir) => {
+      val dateStr = date_format(col("ts"), "yyyy-MM-dd")
+      val timeStr = when(col("event_id") % 5 === 0, lit("3PM"))
+        .when(col("event_id") % 5 === 1, lit("10:30AM"))
+        .when(col("event_id") % 5 === 2, lit("12 PM"))
+        .when(col("event_id") % 5 === 3, lit("9.45 pm"))
+        .otherwise(lit("not a time"))
+      t("events")(s, dir)
+        .select(col("event_id"),
+          TimeFns.combineScheduleDateTime(dateStr, timeStr)
+            .cast("timestamp_ntz").as("schedule_ts"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH m AS (
+        SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS sd,
+               CASE WHEN event_id % 5 = 0 THEN '3PM'
+                    WHEN event_id % 5 = 1 THEN '10:30AM'
+                    WHEN event_id % 5 = 2 THEN '12 PM'
+                    WHEN event_id % 5 = 3 THEN '9.45 pm'
+                    ELSE 'not a time' END AS st
+        FROM events),
+      p AS (
+        SELECT event_id, TRY_CAST(sd AS TIMESTAMP) AS d,
+               upper(regexp_replace(st, '[\s\.]', '', 'g')) AS cleaned
+        FROM m),
+      x AS (
+        SELECT event_id, d,
+               regexp_extract(cleaned, '^(\d{1,2})(?::(\d{2}))?(AM|PM)$', 1) AS hh,
+               regexp_extract(cleaned, '^(\d{1,2})(?::(\d{2}))?(AM|PM)$', 2) AS mm,
+               regexp_extract(cleaned, '^(\d{1,2})(?::(\d{2}))?(AM|PM)$', 3) AS ap
+        FROM p),
+      y AS (
+        SELECT event_id, d,
+               CASE WHEN hh = '' THEN NULL ELSE CAST(hh AS INT) END AS hhn,
+               CASE WHEN mm = '' THEN 0 ELSE CAST(mm AS INT) END AS mmn, ap
+        FROM x),
+      z AS (
+        SELECT event_id, d,
+               CASE WHEN ap IS NOT NULL AND ap <> '' AND hhn IS NOT NULL
+                         AND hhn >= 1 AND hhn <= 12
+                    THEN (CASE WHEN ap = 'PM' AND hhn < 12 THEN hhn + 12
+                               WHEN ap = 'AM' AND hhn = 12 THEN 0
+                               ELSE hhn END) * 3600 + mmn * 60
+                    ELSE 0 END AS secs
+        FROM y)
+      SELECT event_id,
+             CASE WHEN d IS NULL THEN NULL
+                  ELSE date_trunc('day', d) + to_seconds(secs) END AS schedule_ts
+      FROM z ORDER BY event_id""")),
+
+    // F7 — clean_str (Geocode.py:36-40).
+    QueryDef("f7_clean_str", (s, dir) => {
+      t("documents")(s, dir)
+        .select(col("doc_id"), TextFns.cleanStr(col("text")).as("cleaned"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id, ${Sql.cleanStr("text")} AS cleaned
+      FROM documents ORDER BY doc_id""")),
+
+    // F8 — normalize_location (geocode_utils.py:5-14) over part names.
+    QueryDef("f8_normalize_location", (s, dir) => {
+      t("part")(s, dir)
+        .select(col("p_partkey"), TextFns.normalizeLocation(col("p_name")).as("normalized"))
+        .orderBy(col("p_partkey"))
+    }, Some(s"""
+      SELECT p_partkey, ${Sql.normalizeLocation("p_name")} AS normalized
+      FROM part ORDER BY p_partkey""")),
+
+    // F9 — n-gram Jaccard with the reference's dynamic n rule
+    // (Geocode.py:42-53) over adjacent document pairs.
+    QueryDef("f9_jaccard_ngram", (s, dir) => {
+      val d  = t("documents")(s, dir)
+      val a  = d.select(col("doc_id").as("id_a"), col("text").as("ta"))
+        .where(col("id_a") % 2 === 0)
+      val b  = d.select(col("doc_id").as("id_b"), col("text").as("tb"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          SimFns.jaccardNgram(col("ta"), col("tb")).as("score"))
+        .orderBy(col("id_a"))
+    }, Some {
+      val ga = Sql.charNgrams("ta", "n")
+      val gb = Sql.charNgrams("tb", "n")
+      s"""
+      WITH pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.text AS ta, b.text AS tb
+        FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        WHERE a.doc_id % 2 = 0),
+      g AS (SELECT id_a, id_b, ta, tb, ${Sql.refNgramSize("ta")} AS n FROM pairs),
+      sets AS (SELECT id_a, id_b, $ga AS ga, $gb AS gb FROM g)
+      SELECT id_a, id_b, ${Sql.jaccard("ga", "gb")} AS score
+      FROM sets ORDER BY id_a"""
+    }),
+
+    // F10 — Levenshtein-ratio fuzzy score (geocode_utils.py:18).
+    QueryDef("f10_fuzzy_ratio", (s, dir) => {
+      t("customer")(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          SimFns.levRatio(col("c_mktsegment"), lit("BUILDING")).as("ratio"))
+        .orderBy(col("c_custkey"))
+    }, Some(s"""
+      SELECT c_custkey, c_mktsegment,
+             ${Sql.levRatio("c_mktsegment", "'BUILDING'")} AS ratio
+      FROM customer ORDER BY c_custkey""")),
+
+    // F11/F12 — null normalization + fill (df_utils.py:9-15).
+    QueryDef("f11_fillna", (s, dir) => {
+      t("customer")(s, dir)
+        .select(col("c_custkey"),
+          when(col("c_acctbal") < 500, lit(null))
+            .otherwise(col("c_acctbal")).cast("decimal(12,2)").as("bal"))
+        .na.fill(0, Seq("bal"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey,
+             coalesce(CAST(CASE WHEN c_acctbal < 500 THEN NULL ELSE c_acctbal END
+                           AS DECIMAL(12,2)), 0) AS bal
+      FROM customer ORDER BY c_custkey""")),
+
+    // J5 — similarity theta-join phase 1: inputs × reference rows, n-gram
+    // Jaccard score, keep nonzero (Geocode.py:53-59).
+    QueryDef("j5_similarity_phase1", (s, dir) => {
+      val inputs = t("part")(s, dir).select(col("p_type")).distinct()
+      val ref = inputs.sparkSession.createDataFrame(
+        RefNames.map(Tuple1(_))).toDF("ref_name")
+      GeocodeJoin.phase1Candidates(inputs, ref, "p_type", "ref_name")
+        .select(col("p_type"), col("ref_name"), col("score"))
+        .orderBy(col("p_type"), col("ref_name"))
+    }, Some {
+      val ga = Sql.charNgrams("ca", "n")
+      val gb = Sql.charNgrams("cb", "n")
+      s"""
+      WITH inputs AS (SELECT DISTINCT p_type FROM part),
+      ref AS (SELECT * FROM (VALUES $refNamesSqlValues) t(ref_name)),
+      pairs AS (
+        SELECT p_type, ref_name, ${Sql.cleanStr("p_type")} AS ca,
+               ${Sql.cleanStr("ref_name")} AS cb
+        FROM inputs CROSS JOIN ref),
+      g AS (SELECT p_type, ref_name, ca, cb, ${Sql.refNgramSize("ca")} AS n FROM pairs),
+      sets AS (SELECT p_type, ref_name, $ga AS ga, $gb AS gb FROM g),
+      scored AS (SELECT p_type, ref_name, ${Sql.jaccard("ga", "gb")} AS score FROM sets)
+      SELECT p_type, ref_name, score FROM scored WHERE score <> 0
+      ORDER BY p_type, ref_name"""
+    }),
+
+    // J7 — similarity phase 2 + per-input top-1 with threshold 0.1
+    // (Geocode.py:70-89).
+    QueryDef("j7_similarity_top1", (s, dir) => {
+      val inputs = t("part")(s, dir).select(col("p_type")).distinct()
+      val ref = inputs.sparkSession.createDataFrame(
+        RefNames.map(Tuple1(_))).toDF("ref_name")
+      GeocodeJoin.bestMatch(inputs, ref, "p_type", "ref_name", "p_type")
+        .select(col("p_type"), col("ref_name"), col("score"), col("accepted"))
+        .orderBy(col("p_type"))
+    }, Some {
+      val ga = Sql.charNgrams("ca", "n")
+      val gb = Sql.charNgrams("cb", "n")
+      s"""
+      WITH inputs AS (SELECT DISTINCT p_type FROM part),
+      ref AS (SELECT * FROM (VALUES $refNamesSqlValues) t(ref_name)),
+      pairs AS (
+        SELECT p_type, ref_name, ${Sql.cleanStr("p_type")} AS ca,
+               ${Sql.cleanStr("ref_name")} AS cb
+        FROM inputs CROSS JOIN ref),
+      g AS (SELECT p_type, ref_name, ca, cb, ${Sql.refNgramSize("ca")} AS n FROM pairs),
+      sets AS (SELECT p_type, ref_name, $ga AS ga, $gb AS gb FROM g),
+      scored AS (SELECT p_type, ref_name, ${Sql.jaccard("ga", "gb")} AS score FROM sets),
+      nz AS (SELECT * FROM scored WHERE score <> 0)
+      SELECT p_type, ref_name, score, score >= 0.1 AS accepted FROM nz
+      QUALIFY row_number() OVER (PARTITION BY p_type
+                                 ORDER BY score DESC, ref_name) = 1
+      ORDER BY p_type"""
+    }),
+
+    // J8 — fuzzy semi-join serviceability tag, threshold 90
+    // (geocode_utils.py:16-32).
+    QueryDef("j8_fuzzy_semi_join", (s, dir) => {
+      val inputs = t("customer")(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val svc = inputs.sparkSession.createDataFrame(
+        ServiceableNames.map(Tuple1(_))).toDF("svc_name")
+      GeocodeJoin.tagViable(inputs, svc, "c_mktsegment", "svc_name")
+        .select(col("c_custkey"), col("c_mktsegment"), col("is_serviceable"))
+        .orderBy(col("c_custkey"))
+    }, Some {
+      val ratios = ServiceableNames.map(n =>
+        Sql.levRatio(Sql.normalizeLocation("c_mktsegment"),
+          Sql.normalizeLocation(s"'$n'"))).mkString(", ")
+      s"""
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN greatest($ratios) >= 90 THEN 'Yes' ELSE 'No' END AS is_serviceable
+      FROM customer ORDER BY c_custkey"""
+    }),
+
+    // Text analysis: language-ID (stopword heuristic).
+    QueryDef("text_langid", (s, dir) => {
+      t("documents")(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysisFns.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val toks = s"list_distinct(${Sql.tokens("lower(text)")})"
+      val scores = TextAnalysisFns.LangMarkers.map { case (lang, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_intersect($toks, $arr)) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysisFns.LangMarkers.map(_._1)
+      val best  = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = __best THEN '$l'").mkString(" ")
+      s"""
+      WITH sc AS (SELECT doc_id, lang, $scores FROM documents),
+      b AS (SELECT *, $best AS __best FROM sc)
+      SELECT doc_id, lang,
+             CASE WHEN __best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+      FROM b ORDER BY doc_id"""
+    }),
+
+    // Text analysis: quality scoring (length/punct/stopword ratios).
+    QueryDef("text_quality", (s, dir) => {
+      t("documents")(s, dir)
+        .select(col("doc_id"),
+          TextAnalysisFns.wordCount(col("text")).as("word_count"),
+          TextAnalysisFns.punctRatio(col("text")).as("punct_ratio"),
+          TextAnalysisFns.stopwordRatio(col("text")).as("stopword_ratio"),
+          TextAnalysisFns.qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      val lowToks = Sql.tokens("lower(text)")
+      val en = TextAnalysisFns.LangMarkers.head._2.map(m => s"'$m'")
+        .mkString("[", ", ", "]")
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / CAST(length(text) AS DOUBLE) END"
+      val stop  = s"CASE WHEN len($lowToks) = 0 THEN 0.0 ELSE len(list_filter($lowToks, t -> list_contains($en, t))) / CAST(len($lowToks) AS DOUBLE) END"
+      s"""
+      WITH m AS (
+        SELECT doc_id, len($toks) AS word_count,
+               $punct AS punct_ratio, $stop AS stopword_ratio,
+               least(length(text) / 500.0, 1.0) AS len_term
+        FROM documents)
+      SELECT doc_id, word_count, punct_ratio, stopword_ratio,
+             (len_term + least(stopword_ratio * 4.0, 1.0) +
+              greatest(0.0, 1.0 - punct_ratio * 4.0)) / 3.0 AS quality_score
+      FROM m ORDER BY doc_id"""
+    }),
+
+    // Text analysis: token counting — whitespace + BPE-ish regex.
+    QueryDef("text_tokens", (s, dir) => {
+      t("documents")(s, dir)
+        .select(col("doc_id"),
+          TextAnalysisFns.wordCount(col("text")).as("ws_tokens"),
+          TextAnalysisFns.bpeishTokenCount(col("text")).as("bpeish_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val pat = TextAnalysisFns.BpeishPattern.replace("'", "''")
+      s"""
+      SELECT doc_id, len(${Sql.tokens("text")}) AS ws_tokens,
+             len(regexp_extract_all(text, '$pat')) AS bpeish_tokens
+      FROM documents ORDER BY doc_id"""
+    }),
+
+    // Text analysis: rolling-hash document fingerprint.
+    QueryDef("text_fingerprint", (s, dir) => {
+      t("documents")(s, dir)
+        .select(col("doc_id"),
+          TextAnalysisFns.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id, ${Sql.rollingFingerprint(Sql.tokens("text"))} AS fingerprint
+      FROM documents ORDER BY doc_id"""))
+  )
+}
