@@ -13,16 +13,27 @@ object SimFns {
 
   /** Distinct character n-grams of a string; n may be a per-row column.
     * Empty/short input → empty array (never null for non-null input).
+    * Compiled loop (graft.expressions.CharNgrams); `charNgramsHof` is the
+    * built-ins-only reference formulation, asserted equal in tests.
     */
-  def charNgrams(s: Column, n: Column): Column = {
+  def charNgrams(s: Column, n: Column): Column =
+    graft.expressions.CharNgrams(s, n.cast("int"))
+
+  def charNgramsHof(s: Column, n: Column): Column = {
     val cnt = length(s) - n + lit(1)
     when(s.isNull, lit(null).cast("array<string>"))
       .when(cnt <= 0, array().cast("array<string>"))
       .otherwise(array_distinct(transform(sequence(lit(1), cnt), i => s.substr(i, n))))
   }
 
-  /** Distinct word w-shingles (space-joined runs of w consecutive tokens). */
-  def wordShingles(tokens: Column, w: Int): Column = {
+  /** Distinct word w-shingles (space-joined runs of w consecutive tokens).
+    * Compiled single pass (graft.expressions.WordShingles); the HOF
+    * reference formulation is kept for equivalence tests.
+    */
+  def wordShingles(tokens: Column, w: Int): Column =
+    graft.expressions.WordShingles(tokens, lit(w))
+
+  def wordShinglesHof(tokens: Column, w: Int): Column = {
     val cnt = size(tokens) - w + 1
     when(tokens.isNull, lit(null).cast("array<string>"))
       .when(cnt <= 0, array().cast("array<string>"))
@@ -30,12 +41,14 @@ object SimFns {
         i => array_join(slice(tokens, i, lit(w)), " "))))
   }
 
-  /** Jaccard similarity of two pre-computed distinct-element arrays.
-    * Exact rational |A∩B|/|A∪B| as double; both empty → 0.0.
+  /** Jaccard similarity of two pre-computed DISTINCT-element arrays
+    * (precondition: no duplicates — charNgrams/wordShingles guarantee it).
+    * Exact rational |A∩B|/|A∪B| as double; both empty → 0.0. Numerator via
+    * the compiled IntersectCount; |A∪B| = |A|+|B|−|A∩B| (distinctness).
     */
   def jaccard(a: Column, b: Column): Column = {
-    val inter = size(array_intersect(a, b))
-    val union = size(array_union(a, b))
+    val inter = graft.expressions.IntersectCount(a, b)
+    val union = size(a) + size(b) - inter
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
   }
 

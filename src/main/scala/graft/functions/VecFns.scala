@@ -15,7 +15,17 @@ object VecFns {
   private def fsum(xs: Column): Column =
     aggregate(xs, lit(0.0), (acc, v) => acc + v)
 
+  /** Codegen'd dot product (graft.expressions.DotProduct) — bit-identical
+    * to `dotHof` below but compiled to a tight loop instead of interpreted
+    * per-element lambdas (~100× on wide joins).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.DotProduct(a, b)
+
+  /** The built-ins-only formulation (kept as the reference semantics the
+    * custom expression must match; asserted equal in tests).
+    */
+  def dotHof(a: Column, b: Column): Column =
     fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   def norm(a: Column): Column = sqrt(dot(a, a))

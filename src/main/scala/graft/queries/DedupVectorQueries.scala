@@ -21,7 +21,7 @@ object DedupVectorQueries {
   private val NumHashes    = 8
   private val Bands        = 4
   private val MinhashThreshold = 0.2
-  private val NgramThreshold   = 0.05
+  private val NgramThreshold   = 0.3
   private val CosineThreshold  = 0.3
 
   val defs: Seq[QueryDef] = Seq(
@@ -106,9 +106,10 @@ object DedupVectorQueries {
         s"CAST($i AS VARCHAR) || '#' || CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_reverse($chunk)), (a, b) -> a * 2 + b) AS VARCHAR)"
       }.mkString("[", ", ", "]")
       s"""
-      WITH h AS (
+      WITH h0 AS (
         SELECT doc_id AS id, list_transform($toks, t -> md5(t)) AS hashes
         FROM documents),
+      h AS (SELECT * FROM h0 WHERE len(hashes) > 0),
       bt AS (SELECT id, $bits AS bits FROM h),
       sh AS (SELECT id, bits, $pack AS simhash FROM bt),
       banded AS (SELECT id, simhash, unnest($bands) AS band FROM sh),
