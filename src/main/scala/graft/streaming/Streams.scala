@@ -1,0 +1,88 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming forms of the reference's micro-batch semantics
+  * (SURVEY.md §2.8). The reference is scheduler-driven batch with a 6-hour
+  * lookback window; these are the true streaming equivalents for when the
+  * ingest becomes a stream: tumbling/sliding windowed aggregation with
+  * watermarks, session windows via flatMapGroupsWithState, and a
+  * foreachBatch upsert sink that reuses the K4 merge.
+  */
+object Streams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long)
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Tumbling-window aggregation with a watermark for late data — the
+    * streaming form of the 6-hour batch window (reference floors to the
+    * hour; window() aligns to the epoch the same way).
+    */
+  def windowedCounts(events: DataFrame, window_ : String = "1 hour",
+                     watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sessionization with a gap timeout via flatMapGroupsWithState —
+    * emits a session row when `gapMinutes` of inactivity passes (state
+    * timeout), mirroring the batch gaps-and-islands query
+    * (stream_sessionize in the correctness gate).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** Streaming upsert sink: foreachBatch applying the K4 staged merge into
+    * a warehouse table — the streaming form of the reference's
+    * staging+MERGE load (idempotent per key within a batch).
+    */
+  def upsertSink(stream: DataFrame, wh: graft.operators.Warehouse,
+                 table: String, key: String, updateCols: Seq[String]) =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        wh.upsert(table, batch.toDF(), key, updateCols)
+    }
+}

@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators._
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // ---- K4 merge -----------------------------------------------------
+
+  private def target = Seq(
+    ("t1", "old", 10, "keepP"),
+    ("t2", "old", 20, "keepP")).toDF("id", "status", "amount", "prio")
+  private def staging = Seq(
+    ("t2", "new", 99, "newP"),
+    ("t3", "new", 30, "newP")).toDF("id", "status", "amount", "prio")
+
+  test("K4 merge: update listed cols on match, insert new, pass through") {
+    val m = Upsert.merge(target, staging, "id", updateCols = Seq("status", "amount"))
+      .orderBy("id")
+      .as[(String, String, Int, String)].collect().toSeq
+    assert(m == Seq(
+      ("t1", "old", 10, "keepP"),   // target-only untouched
+      ("t2", "new", 99, "keepP"),   // updated, but prio NOT in update list
+      ("t3", "new", 30, "newP")))   // inserted with all cols
+  }
+
+  test("K4 merge idempotence: merging the same staging twice ≡ once") {
+    val once  = Upsert.merge(target, staging, "id", Seq("status", "amount"))
+    val twice = Upsert.merge(once, staging, "id", Seq("status", "amount"))
+    assert(once.orderBy("id").collect().toSeq == twice.orderBy("id").collect().toSeq)
+  }
+
+  test("K4 merge: SAFE_CAST coerces staging types, bad cast → null") {
+    val t = Seq(("a", 1)).toDF("id", "n")
+    val s = Seq(("a", "7"), ("b", "oops")).toDF("id", "n")
+    val m = Upsert.merge(t, s, "id", Seq("n")).orderBy("id").collect()
+    assert(m(0).getInt(1) == 7)
+    assert(m(1).isNullAt(1)) // "oops" → null, not an error
+  }
+
+  test("K4 merge: insert column list restriction (reference asymmetry)") {
+    val m = Upsert.merge(target, staging, "id",
+        updateCols = Seq("status"), insertCols = Some(Seq("id", "status")))
+      .orderBy("id").collect()
+    val t3 = m.find(_.getString(0) == "t3").get
+    assert(t3.getString(1) == "new" && t3.isNullAt(2) && t3.isNullAt(3))
+  }
+
+  // ---- Warehouse ----------------------------------------------------
+
+  test("Warehouse: overwrite/append/upsert snapshot swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    val wh = new Warehouse(spark, dir)
+    wh.overwrite("t", Seq(("a", 1)).toDF("id", "v"))
+    assert(wh.read("t").count() == 1)
+    wh.append("t", Seq(("b", 2)).toDF("id", "v"))
+    assert(wh.read("t").orderBy("id").as[(String, Int)].collect().toSeq ==
+      Seq(("a", 1), ("b", 2)))
+    wh.upsert("t", Seq(("b", 99), ("c", 3)).toDF("id", "v"), "id", Seq("v"))
+    assert(wh.read("t").orderBy("id").as[(String, Int)].collect().toSeq ==
+      Seq(("a", 1), ("b", 99), ("c", 3)))
+  }
+
+  // ---- A6 convo -----------------------------------------------------
+
+  test("A6 conversation assembly: ordered, rendered, joined") {
+    val msgs = Seq(
+      ("t1", "agent", "hello", "2024-01-01 10:01:00"),
+      ("t1", "client", "hi", "2024-01-01 10:00:00"),
+      ("t2", "client", "solo", "2024-01-01 09:00:00"))
+      .toDF("ticket_id", "sender_type", "message", "datecreated")
+      .withColumn("datecreated", to_timestamp($"datecreated"))
+    val got = Convo.conversationText(msgs).orderBy("ticket_id")
+      .as[(String, String)].collect().toMap
+    assert(got("t1") == "sender: client\nmessage: hi\n\nsender: agent\nmessage: hello")
+    assert(got("t2") == "sender: client\nmessage: solo")
+  }
+
+  // ---- Dedup --------------------------------------------------------
+
+  test("exact dedup: groups by content hash, keeps min id") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val got = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id")
+      .select("keep_id", "n_dups").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH: finds planted near-duplicate, skips unrelated") {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"word$i").mkString(" ")
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 3, 8, 4, 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs at hamming 0; banding catches them") {
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val got = Dedup.simhash(docs, "doc_id", "text", 3)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect().toSet
+    assert(got.contains((1L, 2L, 0)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: planted near-dup above threshold, block respected") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val docs = Seq((1L, a, "en"), (2L, b, "en"), (3L, a, "fr"))
+      .toDF("doc_id", "text", "lang")
+    val got = Dedup.ngramJaccard(docs, "doc_id", "text", 5, Seq("lang"), 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L))) // 1-3 identical but cross-block
+  }
+
+  test("embedding LSH dedup: same-bucket near vectors found") {
+    val v1 = Seq.fill(8)(1.0f)
+    val v2 = v1.updated(0, 0.9f)
+    val v3 = Seq.fill(8)(-1.0f)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val planes = Ann.deterministicPlanes(4, 8)
+    val got = Dedup.embeddingCosine(df, "vec_id", "embedding", planes, 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)))
+  }
+
+  // ---- ANN ----------------------------------------------------------
+
+  test("ANN brute force top-k: correct neighbor order, self excluded") {
+    val df = Seq(
+      (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)), (4L, Seq(1f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.bruteForceTopK(df.where($"vec_id" === 1), df, "vec_id", "embedding", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(4L, 2L))
+  }
+
+  test("ANN LSH top-k: returns plausible neighbors from bucketed candidates") {
+    val rndv = new scala.util.Random(7)
+    val docs = (1L to 50L).map(i =>
+      (i, Seq.fill(16)(rndv.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val planes = Seq(Ann.deterministicPlanes(6, 16, 1), Ann.deterministicPlanes(6, 16, 2))
+    val got = Ann.lshTopK(docs.where($"vec_id" <= 3), docs, "vec_id", "embedding", 3, planes)
+    // sanity: every returned neighbor differs from its query; ranks within k
+    val rows = got.select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 != r._2 && r._3 <= 3))
+  }
+
+  // ---- Geocode ------------------------------------------------------
+
+  test("J7 best match: top-1 by score with threshold acceptance") {
+    val inputs = Seq(Tuple1("quezon city area"), Tuple1("zzzz")).toDF("addr")
+    val ref = Seq(Tuple1("quezon city"), Tuple1("makati")).toDF("name")
+    val got = GeocodeJoin.bestMatch(inputs, ref, "addr", "name", "addr", 0.1)
+      .select("addr", "name", "accepted").as[(String, String, Boolean)].collect()
+    val q = got.find(_._1 == "quezon city area").get
+    assert(q._2 == "quezon city" && q._3)
+    assert(!got.exists(_._1 == "zzzz")) // no nonzero candidate at all
+  }
+
+  test("J8 serviceability: ratio ≥ 90 tags Yes") {
+    val inputs = Seq(Tuple1("Quezon City"), Tuple1("Narnia")).toDF("loc")
+    val svc = Seq(Tuple1("quezon city"), Tuple1("makati")).toDF("name")
+    val got = GeocodeJoin.tagViable(inputs, svc, "loc", "name")
+      .select("loc", "is_serviceable").as[(String, String)].collect().toMap
+    assert(got("Quezon City") == "Yes" && got("Narnia") == "No")
+  }
+
+  // ---- Schema inference --------------------------------------------
+
+  test("schema inference: widening + custom_fields forced nullable") {
+    import org.apache.spark.sql.types._
+    val st = StructType(Seq(
+      StructField("i", IntegerType, nullable = false),
+      StructField("f", FloatType),
+      StructField("custom_fields", StructType(Seq(
+        StructField("code", StringType))), nullable = false)))
+    val norm = SchemaInference.normalizeStruct(st)
+    assert(norm("i").dataType == LongType)
+    assert(norm("f").dataType == DoubleType)
+    assert(norm("custom_fields").nullable)
+  }
+}

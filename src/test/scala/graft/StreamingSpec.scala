@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("windowed counts: tumbling 1h with watermark (streaming end-to-end)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val agg = Streams.windowedCounts(mem.toDF(), "1 hour", "30 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_out").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:50:00"), 2, "click", 2.0),
+        Event(3, ts("2024-01-01 11:10:00"), 1, "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("window_start", "event_type", "n_events")
+        .as[(Timestamp, String, Long)].collect().toSet
+      assert(rows == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionize: 30-min gap splits sessions; state emits on timeout") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val events = mem.toDS().withWatermark("ts", "10 minutes").as[Event]
+    val sessions = Streams.sessionize(events, gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0),
+        // > 30 min gap → new session
+        Event(3, ts("2024-01-01 11:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      // advance watermark far enough to time out the open session
+      mem.addData(Event(9, ts("2024-01-01 13:00:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts("2024-01-01 15:00:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out")
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(rows.contains((7L, ts("2024-01-01 10:00:00"), 2L)))
+      assert(rows.contains((7L, ts("2024-01-01 11:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming upsert sink: foreachBatch merges into warehouse table") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-wh").toString
+    val wh = new graft.operators.Warehouse(spark, dir)
+    val mem = MemoryStream[(String, Int)]
+    val df = mem.toDF().toDF("id", "v")
+    val q = Streams.upsertSink(df, wh, "t", "id", Seq("v")).start()
+    try {
+      mem.addData(("a", 1), ("b", 2)); q.processAllAvailable()
+      mem.addData(("b", 99), ("c", 3)); q.processAllAvailable()
+      val got = wh.read("t").orderBy("id").as[(String, Int)].collect().toSeq
+      assert(got == Seq(("a", 1), ("b", 99), ("c", 3)))
+    } finally q.stop()
+  }
+}
