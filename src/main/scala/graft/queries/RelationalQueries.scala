@@ -25,6 +25,7 @@ object RelationalQueries {
     // `SUM … GROUP BY model` generalized (ExtractionLogger.py:72-83).
     QueryDef("q1_agg", (s, dir) => {
       t("lineitem")(s, dir)
+        .where(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
@@ -39,7 +40,9 @@ object RelationalQueries {
              sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
              sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
              count(*) AS count_order
-      FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""")),
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // P1 — projection with explicit column list (extraction_helpers.py:95-97).
     QueryDef("p1_projection", (s, dir) => {
@@ -150,15 +153,18 @@ object RelationalQueries {
       ORDER BY event_id""")),
 
     // J9 — anti-join: new keys = run keys − existing keys
-    // (ExtractionLogger.py:102-108).
+    // (ExtractionLogger.py:102-108). "Existing" = customers with a
+    // positive balance, so both sides of the difference are non-trivial.
     QueryDef("j9_anti_join", (s, dir) => {
       val ev = t("events")(s, dir).select(col("user_id")).distinct()
-      val cu = t("customer")(s, dir).select(col("c_custkey"))
+      val cu = t("customer")(s, dir).where(col("c_acctbal") > 2000)
+        .select(col("c_custkey"))
       ev.join(cu, col("user_id") === col("c_custkey"), "left_anti")
         .orderBy(col("user_id"))
     }, Some("""
       SELECT DISTINCT user_id FROM events e
-      WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = e.user_id AND c.c_acctbal > 2000)
       ORDER BY user_id""")),
 
     // J10 — semi-join: updated keys = run keys ∩ existing keys.
@@ -235,14 +241,61 @@ object RelationalQueries {
       SELECT event_id, event_type FROM events WHERE event_type = 'error'
       ORDER BY event_id""")),
 
-    // A8 — set difference over key frames (metrics new-keys shape).
+    // A8 — set difference over key frames (metrics new-keys shape):
+    // customers minus customers with a high-value order (non-empty both ways).
     QueryDef("a8_set_except", (s, dir) => {
       t("customer")(s, dir).select(col("c_custkey"))
-        .except(t("orders")(s, dir).select(col("o_custkey")))
+        .except(t("orders")(s, dir).where(col("o_totalprice") > 300000)
+          .select(col("o_custkey")))
         .orderBy(col("c_custkey"))
     }, Some("""
-      SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders
+      SELECT c_custkey FROM customer
+      EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
       ORDER BY c_custkey""")),
+
+    // S10 — SQL scan: arbitrary SQL over catalog tables (the BigQuery SQL
+    // passthrough analog, BigQueryManager.py:116-123) — spark.sql over
+    // registered views, exercising the SQL front end end-to-end.
+    QueryDef("s10_sql_scan", (s, dir) => {
+      t("orders")(s, dir).createOrReplaceTempView("orders_v")
+      t("customer")(s, dir).createOrReplaceTempView("customer_v")
+      s.sql("""
+        SELECT c_mktsegment, count(*) AS n_orders,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+        FROM orders_v JOIN customer_v ON o_custkey = c_custkey
+        WHERE o_orderstatus <> 'F'
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderstatus <> 'F'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // Q3-shaped multi-join analytics: 3-way join + grouped decimal agg —
+    // the plan Catalyst should broadcast (nation/customer) and shuffle once.
+    QueryDef("q3_join_agg", (s, dir) => {
+      val li = t("lineitem")(s, dir)
+      val or = t("orders")(s, dir)
+      val cu = t("customer")(s, dir)
+      val na = t("nation")(s, dir)
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(na), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("revenue"),
+          count(lit(1)).as("n_lineitems"))
+        .orderBy(col("n_name"))
+    }, Some("""
+      SELECT n_name,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n_lineitems
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name ORDER BY n_name""")),
 
     // W4 — ORDER BY + LIMIT (table-fetch route shape), deterministic ties.
     QueryDef("w4_sort_limit", (s, dir) => {

@@ -15,11 +15,11 @@ object TextSimQueries {
     Tables.load(s, dir, name)
 
   /** The small literal reference table for the similarity joins (the PSGC
-    * munprov analog): part-type-like phrases sharing 5-grams with p_type.
+    * munprov analog): part-name-like phrases sharing 5-grams with p_name.
     */
   private val RefNames = Seq(
-    "ANODIZED STEEL", "BURNISHED COPPER", "PLATED BRASS",
-    "POLISHED TIN", "ECONOMY ANODIZED", "STANDARD PLATED")
+    "small ring", "red bolt", "blue gear", "large plate",
+    "hot gizmo", "old widget")
   private def refNamesSqlValues: String =
     RefNames.map(n => s"('$n')").mkString(", ")
 
@@ -210,56 +210,56 @@ object TextSimQueries {
     // J5 — similarity theta-join phase 1: inputs × reference rows, n-gram
     // Jaccard score, keep nonzero (Geocode.py:53-59).
     QueryDef("j5_similarity_phase1", (s, dir) => {
-      val inputs = t("part")(s, dir).select(col("p_type")).distinct()
+      val inputs = t("part")(s, dir).select(col("p_name")).distinct()
       val ref = inputs.sparkSession.createDataFrame(
         RefNames.map(Tuple1(_))).toDF("ref_name")
-      GeocodeJoin.phase1Candidates(inputs, ref, "p_type", "ref_name")
-        .select(col("p_type"), col("ref_name"), col("score"))
-        .orderBy(col("p_type"), col("ref_name"))
+      GeocodeJoin.phase1Candidates(inputs, ref, "p_name", "ref_name")
+        .select(col("p_name"), col("ref_name"), col("score"))
+        .orderBy(col("p_name"), col("ref_name"))
     }, Some {
       val ga = Sql.charNgrams("ca", "n")
       val gb = Sql.charNgrams("cb", "n")
       s"""
-      WITH inputs AS (SELECT DISTINCT p_type FROM part),
+      WITH inputs AS (SELECT DISTINCT p_name FROM part),
       ref AS (SELECT * FROM (VALUES $refNamesSqlValues) t(ref_name)),
       pairs AS (
-        SELECT p_type, ref_name, ${Sql.cleanStr("p_type")} AS ca,
+        SELECT p_name, ref_name, ${Sql.cleanStr("p_name")} AS ca,
                ${Sql.cleanStr("ref_name")} AS cb
         FROM inputs CROSS JOIN ref),
-      g AS (SELECT p_type, ref_name, ca, cb, ${Sql.refNgramSize("ca")} AS n FROM pairs),
-      sets AS (SELECT p_type, ref_name, $ga AS ga, $gb AS gb FROM g),
-      scored AS (SELECT p_type, ref_name, ${Sql.jaccard("ga", "gb")} AS score FROM sets)
-      SELECT p_type, ref_name, score FROM scored WHERE score <> 0
-      ORDER BY p_type, ref_name"""
+      g AS (SELECT p_name, ref_name, ca, cb, ${Sql.refNgramSize("ca")} AS n FROM pairs),
+      sets AS (SELECT p_name, ref_name, $ga AS ga, $gb AS gb FROM g),
+      scored AS (SELECT p_name, ref_name, ${Sql.jaccard("ga", "gb")} AS score FROM sets)
+      SELECT p_name, ref_name, score FROM scored WHERE score <> 0
+      ORDER BY p_name, ref_name"""
     }),
 
     // J7 — similarity phase 2 + per-input top-1 with threshold 0.1
     // (Geocode.py:70-89).
     QueryDef("j7_similarity_top1", (s, dir) => {
-      val inputs = t("part")(s, dir).select(col("p_type")).distinct()
+      val inputs = t("part")(s, dir).select(col("p_name")).distinct()
       val ref = inputs.sparkSession.createDataFrame(
         RefNames.map(Tuple1(_))).toDF("ref_name")
-      GeocodeJoin.bestMatch(inputs, ref, "p_type", "ref_name", "p_type")
-        .select(col("p_type"), col("ref_name"), col("score"), col("accepted"))
-        .orderBy(col("p_type"))
+      GeocodeJoin.bestMatch(inputs, ref, "p_name", "ref_name", "p_name")
+        .select(col("p_name"), col("ref_name"), col("score"), col("accepted"))
+        .orderBy(col("p_name"))
     }, Some {
       val ga = Sql.charNgrams("ca", "n")
       val gb = Sql.charNgrams("cb", "n")
       s"""
-      WITH inputs AS (SELECT DISTINCT p_type FROM part),
+      WITH inputs AS (SELECT DISTINCT p_name FROM part),
       ref AS (SELECT * FROM (VALUES $refNamesSqlValues) t(ref_name)),
       pairs AS (
-        SELECT p_type, ref_name, ${Sql.cleanStr("p_type")} AS ca,
+        SELECT p_name, ref_name, ${Sql.cleanStr("p_name")} AS ca,
                ${Sql.cleanStr("ref_name")} AS cb
         FROM inputs CROSS JOIN ref),
-      g AS (SELECT p_type, ref_name, ca, cb, ${Sql.refNgramSize("ca")} AS n FROM pairs),
-      sets AS (SELECT p_type, ref_name, $ga AS ga, $gb AS gb FROM g),
-      scored AS (SELECT p_type, ref_name, ${Sql.jaccard("ga", "gb")} AS score FROM sets),
+      g AS (SELECT p_name, ref_name, ca, cb, ${Sql.refNgramSize("ca")} AS n FROM pairs),
+      sets AS (SELECT p_name, ref_name, $ga AS ga, $gb AS gb FROM g),
+      scored AS (SELECT p_name, ref_name, ${Sql.jaccard("ga", "gb")} AS score FROM sets),
       nz AS (SELECT * FROM scored WHERE score <> 0)
-      SELECT p_type, ref_name, score, score >= 0.1 AS accepted FROM nz
-      QUALIFY row_number() OVER (PARTITION BY p_type
+      SELECT p_name, ref_name, score, score >= 0.1 AS accepted FROM nz
+      QUALIFY row_number() OVER (PARTITION BY p_name
                                  ORDER BY score DESC, ref_name) = 1
-      ORDER BY p_type"""
+      ORDER BY p_name"""
     }),
 
     // J8 — fuzzy semi-join serviceability tag, threshold 90
