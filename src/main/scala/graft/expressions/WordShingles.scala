@@ -96,16 +96,28 @@ case class JaccardGeq(first: Expression, second: Expression, third: Expression)
     val na = a.numElements()
     val nb = b.numElements()
     val total = na + nb
+    val maxI = math.min(na, nb)
+    // minimal intersection count that satisfies the predicate, found by
+    // binary search with the IDENTICAL double test (J monotonic in I) —
+    // the merge loop below then needs only integer compares
+    var lo = 0; var hi = maxI + 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (jAtLeast(mid, total, t)) hi = mid else lo = mid + 1
+    }
+    val required = lo // maxI+1 ⇒ unreachable
+    if (required == 0) return true
+    if (required > maxI) return false
     var i = 0; var j = 0; var m = 0
     while (i < na && j < nb) {
-      if (jAtLeast(m, total, t)) return true                     // settled: true
-      if (!jAtLeast(m + math.min(na - i, nb - j), total, t)) return false // can't reach
+      if (m >= required) return true
+      if (m + math.min(na - i, nb - j) < required) return false
       val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
       if (c == 0) { m += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
       else j += 1
     }
-    jAtLeast(m, total, t)
+    m >= required
   }
 
   override protected def withNewChildrenInternal(

@@ -122,6 +122,10 @@ object Dedup {
     val grams = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
         array_sort(SimFns.charNgrams(col(textCol), lit(n))).as("grams"): _*)
       .where(size(col("grams")) > 0)
+      // the pair loop's work is per-PAIR, not per-row: spread the streamed
+      // side across the cluster or a small input file runs every
+      // comparison in one task
+      .repartition(col("id"))
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.id") < col("b.id"))(_ && _)
     grams.alias("a").join(grams.alias("b"),

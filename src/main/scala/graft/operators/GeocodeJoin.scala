@@ -22,7 +22,10 @@ object GeocodeJoin {
     */
   def phase1Candidates(inputs: DataFrame, refTable: DataFrame,
                        addrCol: String, refNameCol: String): DataFrame = {
-    val cleanedIn  = inputs.withColumn("__addr", TextFns.cleanStr(col(addrCol)))
+    // per-pair scoring work: spread the probe side so a small input file
+    // doesn't serialize the whole cross join into one task
+    val cleanedIn  = inputs.repartition(inputs.columns.map(col): _*)
+      .withColumn("__addr", TextFns.cleanStr(col(addrCol)))
     val cleanedRef = broadcast(refTable.withColumn("__ref", TextFns.cleanStr(col(refNameCol))))
     cleanedIn.crossJoin(cleanedRef)
       .withColumn("score", SimFns.jaccardNgram(col("__addr"), col("__ref")))
@@ -51,7 +54,8 @@ object GeocodeJoin {
     */
   def tagViable(inputs: DataFrame, serviceable: DataFrame, locCol: String,
                 svcNameCol: String, threshold: Double = 90.0): DataFrame = {
-    val normIn  = inputs.withColumn("__loc", TextFns.normalizeLocation(col(locCol)))
+    val normIn  = inputs.repartition(inputs.columns.map(col): _*)
+      .withColumn("__loc", TextFns.normalizeLocation(col(locCol)))
     val normSvc = broadcast(serviceable
       .select(TextFns.normalizeLocation(col(svcNameCol)).as("__svc")))
     val scored = normIn.crossJoin(normSvc)
