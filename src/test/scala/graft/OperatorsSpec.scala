@@ -185,4 +185,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(norm("f").dataType == DoubleType)
     assert(norm("custom_fields").nullable)
   }
+
+  // ---- Skew ---------------------------------------------------------
+
+  test("salted aggregate ≡ plain aggregate (associative aggs)") {
+    val ev = Seq.tabulate(200)(i => (s"k${i % 3}", i.toDouble)).toDF("k", "v")
+    val plain = ev.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast("decimal(12,2)")).as("s"))
+      .orderBy("k").collect().toSeq
+    val salted = Skew.saltedAggregate(ev, Seq("k"), 8)(
+      partial = Seq(count(lit(1)).as("n"), sum(col("v").cast("decimal(12,2)")).as("s")),
+      fin = Seq(sum("n").as("n"), sum("s").cast("decimal(22,2)").cast("decimal(22,2)").as("s")))
+      .orderBy("k").collect().toSeq
+    assert(plain.map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue())) ==
+      salted.map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).doubleValue())))
+  }
+
+  test("salted join ≡ plain join") {
+    val left = Seq.tabulate(100)(i => (s"k${i % 2}", i)).toDF("k", "lv")
+    val right = Seq(("k0", "zero"), ("k1", "one")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("lv")
+      .select("k", "lv", "rv").collect().toSeq
+    val salted = Skew.saltedJoin(left, right, "k", 8).orderBy("lv")
+      .select("k", "lv", "rv").collect().toSeq
+    assert(plain == salted)
+  }
 }
