@@ -134,6 +134,43 @@ object Dedup {
         SimFns.jaccard(col("a.grams"), col("b.grams")).as("jaccard"))
   }
 
+  /** Connected components over near-dup pairs → canonical keeper per
+    * cluster (min id), the step that turns pairwise dedup output into a
+    * keep/drop decision. Iterative min-label propagation: each round every
+    * node adopts the smallest label among itself and its neighbors;
+    * converges in O(cluster diameter) rounds — dup clusters are shallow,
+    * and each round is two shuffles on bounded pair data (the pair set is
+    * orders of magnitude smaller than the corpus).
+    * Returns (id, keep_id).
+    */
+  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("keep_id", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min(col("keep_id")).as("nmin"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("keep_id"), coalesce(col("nmin"), col("keep_id")))
+          .as("keep_id"))
+        .cache()
+      val changed = updated.alias("u")
+        .join(labels.alias("l"), col("u.id") === col("l.id"))
+        .where(col("u.keep_id") =!= col("l.keep_id")).limit(1).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** Embedding cosine near-dup pairs within a hyperplane-LSH bucket.
     * `numPlanes` sign bits form the bucket; same-bucket pairs with cosine ≥
     * threshold are returned. For oracle-exact small-scale checks use

@@ -48,6 +48,26 @@ object GeocodeJoin {
       .withColumn("accepted", col("score") >= threshold)
   }
 
+  /** J5→J6→J7 — the full two-phase plan (`core/Geocode.py:53-89`), the
+    * reference's key algorithmic optimization kept explicit:
+    * phase 1 scores inputs against the SMALL coarse table
+    * (municipality/province level); a semi-join then narrows the LARGE
+    * fine-grained table (barangay level) to rows whose `fineParentCol`
+    * matched; phase 2 scores only those and takes the per-input top-1.
+    * At scale this is the difference between inputs × |barangays| and
+    * inputs × |matched subset| — the coarse table broadcasts both times.
+    */
+  def twoPhase(inputs: DataFrame, coarseRef: DataFrame, fineRef: DataFrame,
+               addrCol: String, coarseNameCol: String, coarseCodeCol: String,
+               fineNameCol: String, fineParentCol: String, inputKey: String,
+               threshold: Double = 0.1): DataFrame = {
+    val p1 = phase1Candidates(inputs, coarseRef, addrCol, coarseNameCol)
+    val matchedCodes = p1.select(col(coarseCodeCol)).distinct()
+    val narrowed = fineRef.join(broadcast(matchedCodes),
+      fineRef(fineParentCol) === matchedCodes(coarseCodeCol), "left_semi")
+    bestMatch(inputs, narrowed, addrCol, fineNameCol, inputKey, threshold)
+  }
+
   /** J8 — fuzzy serviceability tag: best Levenshtein-ratio match of the
     * normalized location against the (broadcast) serviceable list; "Yes"
     * iff best ratio ≥ 90 (reference threshold).

@@ -210,4 +210,25 @@ class OperatorsSpec extends AnyFunSuite {
       .select("k", "lv", "rv").collect().toSeq
     assert(plain == salted)
   }
+
+  test("components: chain clusters collapse to min-id keeper") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
+  }
+
+  test("two-phase geocode: coarse match narrows the fine candidate set") {
+    val inputs = Seq(Tuple1("quezon city district three")).toDF("addr")
+    val coarse = Seq(("quezon city", "QC"), ("makati", "MK")).toDF("cname", "code")
+    val fine = Seq(
+      ("quezon city district one", "QC"),
+      ("quezon city district three", "QC"),
+      ("makati poblacion", "MK")).toDF("fname", "parent")
+    val got = GeocodeJoin.twoPhase(inputs, coarse, fine,
+      "addr", "cname", "code", "fname", "parent", "addr")
+      .select("addr", "fname", "accepted").as[(String, String, Boolean)].collect()
+    assert(got.length == 1)
+    assert(got.head._2 == "quezon city district three" && got.head._3)
+  }
 }
