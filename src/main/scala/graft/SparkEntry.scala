@@ -29,7 +29,7 @@ object SparkEntry {
     val customers = Tables.load(spark, dir, "customer")
     analysis.join(customers,
         col("ticket_id") === col("c_custkey").cast("string"), "left")
-      .select(col("ticket_id"), col("intent"), col("tokens"), col("model"),
+      .select(col("ticket_id"), col("intent_rating"), col("tokens"), col("model"),
         col("c_mktsegment"))
   }
 

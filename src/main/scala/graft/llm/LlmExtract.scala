@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
   */
 object LlmExtract {
 
-  val DefaultFields: Seq[String] =
-    Seq("summary", "intent", "location", "schedule_date", "schedule_time")
+  /** The reference's 15-field extraction whitelist (P11). */
+  val DefaultFields: Seq[String] = graft.pipeline.ColumnContracts.LlmExpectedFields
 
   def outputSchema(keyCol: String, fields: Seq[String]): StructType =
     StructType(

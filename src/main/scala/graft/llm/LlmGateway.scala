@@ -28,14 +28,25 @@ final case class LlmResult(fields: Map[String, String], tokens: Long, model: Str
 final class MockLlmGateway extends LlmGateway {
   override def extract(conversation: String): LlmResult = {
     val toks = conversation.split("\\s+").filter(_.nonEmpty)
+    val intent = if (conversation.contains("purchase")) "purchase"
+                 else if (conversation.contains("error")) "complaint"
+                 else "inquiry"
     val fields = Map(
-      "summary"       -> toks.take(8).mkString(" "),
-      "intent"        -> (if (conversation.contains("purchase")) "purchase"
-                          else if (conversation.contains("error")) "complaint"
-                          else "inquiry"),
-      "location"      -> toks.find(_.length > 6).getOrElse(""),
-      "schedule_date" -> "",
-      "schedule_time" -> "")
+      "service_category"  -> intent,
+      "summary"           -> toks.take(8).mkString(" "),
+      "intent_rating"     -> intent,
+      "engagement_rating" -> (toks.length % 5 + 1).toString,
+      "clarity_rating"    -> (conversation.length % 5 + 1).toString,
+      "resolution_rating" -> "3",
+      "sentiment_rating"  -> (if (conversation.contains("error")) "negative" else "neutral"),
+      "location"          -> toks.find(_.length > 6).getOrElse(""),
+      "schedule_date"     -> "",
+      "schedule_time"     -> "",
+      "car"               -> "",
+      "contact_num"       -> "",
+      "payment"           -> "",
+      "inspection"        -> "",
+      "quotation"         -> "")
     LlmResult(fields, toks.length.toLong, "mock-model")
   }
 }

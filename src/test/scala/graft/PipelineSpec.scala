@@ -46,7 +46,7 @@ class PipelineSpec extends AnyFunSuite {
     val got = LlmExtract.extract(convos, "ticket_id", "convo", new MockLlmGateway)
     val row = got.collect().head
     assert(got.columns.toSeq == Seq("ticket_id") ++ LlmExtract.DefaultFields ++ Seq("tokens", "model"))
-    assert(row.getAs[String]("intent") == "purchase")
+    assert(row.getAs[String]("intent_rating") == "purchase")
     assert(row.getAs[Long]("tokens") == 4L)
     assert(row.getAs[String]("model") == "mock-model")
   }
@@ -75,7 +75,7 @@ class PipelineSpec extends AnyFunSuite {
     val ref = Seq(Tuple1("quezon city"), Tuple1("makati")).toDF("ref_name")
     val svc = Seq(Tuple1("quezon city")).toDF("svc_name")
     val cnt = p.processConvos(messages, ref, "ref_name", svc, "svc_name",
-      updateCols = Seq("summary", "intent", "location"))
+      updateCols = graft.pipeline.ColumnContracts.ConvoUpdateColumns.filter(Seq("summary","intent_rating","location").contains))
     assert(cnt == 1)
     assert(wh.read("convo_analysis").count() == 1)
     assert(wh.read("convo_analysis_history").count() == 1)
@@ -90,5 +90,29 @@ class PipelineSpec extends AnyFunSuite {
     (1 to 4).foreach { _ => rl.acquire(); rl.release() }
     val elapsedMs = (System.nanoTime() - t0) / 1e6
     assert(elapsedMs >= 85) // 4 launches, 30ms spacing → ≥ 90ms ideal (slack for timer)
+  }
+
+  test("convo MERGE asymmetry: contact_num/payment staged but never updated") {
+    import graft.pipeline.ColumnContracts
+    // reference fidelity: both fields are in the LLM whitelist…
+    assert(ColumnContracts.LlmExpectedFields.contains("contact_num"))
+    assert(ColumnContracts.LlmExpectedFields.contains("payment"))
+    // …but excluded from the convo MERGE update list
+    assert(!ColumnContracts.ConvoUpdateColumns.contains("contact_num"))
+    assert(!ColumnContracts.ConvoUpdateColumns.contains("payment"))
+
+    val target = Seq(("T1", "orig-num", "cash", "old summary"))
+      .toDF("ticket_id", "contact_num", "payment", "summary")
+    val staging = Seq(
+      ("T1", "NEW-NUM", "card", "new summary"),
+      ("T2", "fresh-num", "gcash", "fresh"))
+      .toDF("ticket_id", "contact_num", "payment", "summary")
+    val merged = graft.operators.Upsert.merge(target, staging, "ticket_id",
+        updateCols = ColumnContracts.ConvoUpdateColumns)
+      .orderBy("ticket_id")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(merged == Seq(
+      ("T1", "orig-num", "cash", "new summary"), // summary updated, asymmetric cols kept
+      ("T2", "fresh-num", "gcash", "fresh")))    // insert takes all columns
   }
 }
