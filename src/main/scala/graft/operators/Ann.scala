@@ -16,9 +16,6 @@ import graft.functions.VecFns
   */
 object Ann {
 
-  /** Brute-force cosine top-k: for each query vector, the k most similar
-    * corpus vectors (self-match excluded), ties broken by corpus id.
-    */
   /** Cosine from a precomputed-norm pair — the per-pair work is one dot
     * product; norms are computed once per vector upstream (identical
     * double math to VecFns.cosine, just not recomputed per pair).
@@ -27,6 +24,9 @@ object Ann {
     when(an === 0.0 || bn === 0.0, lit(0.0))
       .otherwise(VecFns.dot(av, bv) / (an * bn))
 
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * corpus vectors (self-match excluded), ties broken by corpus id.
+    */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -87,5 +87,87 @@ object Ann {
   def deterministicPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(seed)
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** IVF (inverted-file) index state: centroid id → centroid vector. */
+  final case class IvfIndex(centroids: Seq[(Int, Seq[Double])])
+
+  /** Train an IVF coarse quantizer with deterministic Lloyd's iterations:
+    * init = the `nlist` lowest-id vectors, then `iters` rounds of
+    * assign-to-nearest (L2) + recompute means — all DataFrame ops, the
+    * centroid table broadcast each round. Deterministic: no RNG, fixed
+    * iteration count, ties broken by centroid id.
+    */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
+               nlist: Int, iters: Int = 5): IvfIndex = {
+    val spark = corpus.sparkSession
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    var centroids: Seq[(Int, Seq[Double])] =
+      corpus.orderBy(col(idCol)).limit(nlist)
+        .select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+        .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+    for (_ <- 1 to iters) {
+      val assigned = assignToCentroids(corpus, vecCol, centroids)
+      val sums = assigned
+        .select(col("__centroid"),
+          posexplode(col(vecCol)).as(Seq("__d", "__x")))
+        .groupBy(col("__centroid"), col("__d"))
+        .agg(sum(col("__x").cast("double")).as("__sum"), count(lit(1)).as("__n"))
+        .collect()
+      val byCentroid = sums.groupBy(_.getInt(0))
+      centroids = centroids.map { case (cid, old) =>
+        byCentroid.get(cid) match {
+          case Some(rows) =>
+            val mean = new Array[Double](dim)
+            rows.foreach(r => mean(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+            (cid, mean.toSeq)
+          case None => (cid, old) // empty cell keeps its centroid
+        }
+      }
+    }
+    IvfIndex(centroids)
+  }
+
+  /** Nearest centroid (L2, ties → lowest centroid id) per row. */
+  private def assignToCentroids(df: DataFrame, vecCol: String,
+                                centroids: Seq[(Int, Seq[Double])]): DataFrame = {
+    val best = centroids.map { case (cid, cv) =>
+      val c = array(cv.map(lit): _*)
+      struct(VecFns.l2Distance(col(vecCol), c).as("d"), lit(cid).as("cid"))
+    }.reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
+    df.withColumn("__centroid", best.getField("cid"))
+  }
+
+  /** IVF top-k: assign corpus to cells once, probe the `nprobe` cells
+    * nearest each query, exact cosine rank within the probed subset. The
+    * cell equi-join replaces the full-corpus scan — the IVF trade: recall
+    * bounded by nprobe/nlist, cost bounded by probed cells.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, index: IvfIndex, nprobe: Int): DataFrame = {
+    val cells = assignToCentroids(corpus, vecCol, index.centroids)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+        col("__centroid").as("cell"),
+        VecFns.norm(col(vecCol)).as("cn"))
+    // per-query probe list: nprobe nearest centroids
+    val probeStructs = index.centroids.map { case (cid, cv) =>
+      val c = array(cv.map(lit): _*)
+      struct(VecFns.l2Distance(col(vecCol), c).as("d"), lit(cid).as("cid"))
+    }
+    val probes = array_sort(array(probeStructs: _*))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        VecFns.norm(col(vecCol)).as("qn"),
+        slice(transform(probes, p => p.getField("cid")), 1, nprobe).as("cells"))
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val scored = cells.join(broadcast(q), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("qn") === 0.0 || col("cn") === 0.0, lit(0.0))
+          .otherwise(VecFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }
 }

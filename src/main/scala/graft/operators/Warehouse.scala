@@ -52,5 +52,27 @@ class Warehouse(spark: SparkSession, root: String) {
     Files.writeString(tmp, snap)
     Files.move(tmp, pointer(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    gc(name)
+  }
+
+  /** Snapshot GC: keep the current snapshot plus the most recent
+    * `keepSnapshots − 1` others; older ones are deleted. Readers of a
+    * just-replaced snapshot finish safely as long as churn stays within
+    * the retention window (same contract as table-format VACUUM).
+    */
+  var keepSnapshots: Int = 3
+  private def gc(name: String): Unit = {
+    val cur = currentSnapshot(name).getOrElse(return)
+    val dir = tableDir(name).toFile
+    val snaps = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+      .sortBy(_.getName).reverse // snap-<nanotime>: newest first
+    snaps.filterNot(_.getName == cur).drop(keepSnapshots - 1).foreach { f =>
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+        x.delete()
+      }
+      rm(f)
+    }
   }
 }

@@ -282,6 +282,17 @@ object TextSimQueries {
       FROM customer ORDER BY c_custkey"""
     }),
 
+    // F17 — datetime → ISO string at the serialization edge
+    // (api/logs/routes.py:15-25).
+    QueryDef("f17_date_format", (s, dir) => {
+      t("orders")(s, dir)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("iso"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS iso
+      FROM orders ORDER BY o_orderkey""")),
+
     // Text analysis: language-ID (stopword heuristic).
     QueryDef("text_langid", (s, dir) => {
       t("documents")(s, dir)

@@ -231,4 +231,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.length == 1)
     assert(got.head._2 == "quezon city district three" && got.head._3)
   }
+
+  test("Warehouse GC: old snapshots pruned, current retained") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-gc").toString
+    val wh = new Warehouse(spark, dir)
+    wh.keepSnapshots = 2
+    (1 to 5).foreach(i => wh.overwrite("t", Seq(("a", i)).toDF("id", "v")))
+    assert(wh.read("t").as[(String, Int)].head() == ("a", 5))
+    val snaps = new java.io.File(s"$dir/t").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+    assert(snaps.length <= 2, s"expected <=2 snapshots, got ${snaps.length}")
+  }
+
+  test("K6: JSON serialization at the serving edge") {
+    val df = Seq(("T1", 2L)).toDF("id", "n")
+    val json = df.toJSON.collect().head
+    assert(json == """{"id":"T1","n":2}""")
+  }
+
+  test("IVF: clustered data, high recall vs brute force at nprobe=2") {
+    val rndv = new scala.util.Random(11)
+    // 3 well-separated cluster centers, 30 points each
+    val centers = Seq(Seq.fill(8)(5f), Seq.fill(8)(-5f),
+      (0 until 8).map(i => if (i % 2 == 0) 5f else -5f))
+    val docs = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rndv.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val idx = Ann.ivfTrain(docs, "vec_id", "embedding", nlist = 3, iters = 4)
+    val queries = docs.where($"vec_id" < 6)
+    val ivf = Ann.ivfTopK(queries, docs, "vec_id", "embedding", 5, idx, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Ann.bruteForceTopK(queries, docs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+    // determinism: same index + same query → same result
+    val ivf2 = Ann.ivfTopK(queries, docs, "vec_id", "embedding", 5, idx, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == ivf2)
+  }
 }
