@@ -33,13 +33,33 @@ object GeocodeJoin {
       .drop("__addr", "__ref")
   }
 
-  /** Phase 2 + top-1: re-score candidates (optionally narrowed by a
-    * semi-join on matched codes) and keep the best row per input, accepted
-    * when score ≥ threshold.
+  /** Phase 2 + top-1: keep the best nonzero-scored reference row per input,
+    * accepted when score ≥ threshold.
+    *
+    * Physical plan: the custom TopKPerProbe operator (one pass, bounded
+    * top-1 buffer per probe, reference broadcast) instead of
+    * cross-join → Window row_number — no candidate materialization, no
+    * exchange. Semantics identical to the window form (score desc, ref
+    * name asc tie-break, zero scores dropped); `bestMatchViaWindow` keeps
+    * the composed formulation for equivalence tests.
     */
   def bestMatch(inputs: DataFrame, refTable: DataFrame, addrCol: String,
                 refNameCol: String, inputKey: String,
                 threshold: Double = 0.1): DataFrame = {
+    val cleanedIn = inputs.repartition(inputs.columns.map(col): _*)
+      .withColumn("__addr", TextFns.cleanStr(col(addrCol)))
+    val cleanedRef = refTable.withColumn("__ref", TextFns.cleanStr(col(refNameCol)))
+    graft.plans.TopKPerProbe.join(cleanedIn, cleanedRef,
+        SimFns.jaccardNgram(col("__addr"), col("__ref")), col(refNameCol),
+        k = 1, minScoreExclusive = 0.0)
+      .drop("__addr", "__ref")
+      .withColumn("accepted", col("score") >= threshold)
+  }
+
+  /** The composed (cross join + window) formulation of bestMatch. */
+  def bestMatchViaWindow(inputs: DataFrame, refTable: DataFrame, addrCol: String,
+                         refNameCol: String, inputKey: String,
+                         threshold: Double = 0.1): DataFrame = {
     val cands = phase1Candidates(inputs, refTable, addrCol, refNameCol)
     val w = Window.partitionBy(col(inputKey))
       .orderBy(col("score").desc, col(refNameCol).asc)

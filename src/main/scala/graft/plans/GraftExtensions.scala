@@ -11,8 +11,10 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * `.withExtensions(new GraftExtensions)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushdownNanosTimestampPredicate)
+    e.injectPlannerStrategy(_ => TopKPerProbeStrategy)
+  }
 }
 
 /** Rewrites comparisons against the ns→µs-converted events timestamp into

@@ -271,4 +271,33 @@ class OperatorsSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf == ivf2)
   }
+
+  test("TopKPerProbe custom operator ≡ window formulation (j7 shape)") {
+    val dir = "/root/testdata/sf0.001"
+    val inputs = Tables.load(spark, dir, "part").select(col("p_name")).distinct()
+    val ref = Seq(Tuple1("small ring"), Tuple1("red bolt"), Tuple1("blue gear"))
+      .toDF("ref_name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("p_name", "ref_name", "score", "accepted")
+        .orderBy("p_name").as[(String, String, Double, Boolean)].collect().toSeq
+    val custom = canon(GeocodeJoin.bestMatch(inputs, ref, "p_name", "ref_name", "p_name"))
+    val window = canon(GeocodeJoin.bestMatchViaWindow(inputs, ref, "p_name", "ref_name", "p_name"))
+    assert(custom.nonEmpty && custom == window)
+    // and the plan really uses the custom exec, not a window exchange
+    val plan = GeocodeJoin.bestMatch(inputs, ref, "p_name", "ref_name", "p_name")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerProbe"), s"plan:\n$plan")
+  }
+
+  test("TopKPerProbe: k>1 ordering and tie-break determinism") {
+    val probes = Seq(Tuple1("abcdefgh")).toDF("s")
+    val ref = Seq(Tuple1("abcdefgh"), Tuple1("abcdefgX"), Tuple1("zzzzzzzz"))
+      .toDF("r")
+    val got = graft.plans.TopKPerProbe.join(probes, ref,
+        graft.functions.SimFns.jaccardNgram(col("s"), col("r")), col("r"),
+        k = 2, minScoreExclusive = 0.0)
+      .select("r", "score").as[(String, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("abcdefgh", "abcdefgX")) // zero-score zzz dropped
+    assert(got.head._2 == 1.0)
+  }
 }
