@@ -129,12 +129,20 @@ object Ann {
     IvfIndex(centroids)
   }
 
+  /** Squared L2 distance to a constant centroid via the codegen dot
+    * product: ||v−c||² = v·v − 2v·c + c·c (monotonic in distance, so
+    * comparisons need no sqrt; c·c folds to a constant).
+    */
+  private def distSqTo(v: Column, cv: Seq[Double]): Column = {
+    val c = array(cv.map(lit): _*)
+    VecFns.dot(v, v) - lit(2.0) * VecFns.dot(v, c) + lit(cv.map(x => x * x).sum)
+  }
+
   /** Nearest centroid (L2, ties → lowest centroid id) per row. */
   private def assignToCentroids(df: DataFrame, vecCol: String,
                                 centroids: Seq[(Int, Seq[Double])]): DataFrame = {
     val best = centroids.map { case (cid, cv) =>
-      val c = array(cv.map(lit): _*)
-      struct(VecFns.l2Distance(col(vecCol), c).as("d"), lit(cid).as("cid"))
+      struct(distSqTo(col(vecCol), cv).as("d"), lit(cid).as("cid"))
     }.reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
     df.withColumn("__centroid", best.getField("cid"))
   }
@@ -152,8 +160,7 @@ object Ann {
         VecFns.norm(col(vecCol)).as("cn"))
     // per-query probe list: nprobe nearest centroids
     val probeStructs = index.centroids.map { case (cid, cv) =>
-      val c = array(cv.map(lit): _*)
-      struct(VecFns.l2Distance(col(vecCol), c).as("d"), lit(cid).as("cid"))
+      struct(distSqTo(col(vecCol), cv).as("d"), lit(cid).as("cid"))
     }
     val probes = array_sort(array(probeStructs: _*))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
