@@ -300,4 +300,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got.map(_._1) == Seq("abcdefgh", "abcdefgX")) // zero-score zzz dropped
     assert(got.head._2 == 1.0)
   }
+
+  test("X2 geocode fallback: engine match + driver-side resolver union") {
+    val inputs = Seq(
+      Tuple1("quezon city area"),      // resolves in-engine
+      Tuple1("weird unknown place"),   // resolver knows it
+      Tuple1("nowhere at all"))        // nobody knows it
+      .toDF("addr")
+    val ref = Seq(Tuple1("quezon city"), Tuple1("makati")).toDF("name")
+    val resolver = new MockGeoResolver(Map("weird unknown place" -> "mystery town"))
+    val got = GeoFallback.geocodeWithFallback(inputs, ref, "addr", "name", "addr",
+        resolver, threshold = 0.1, minIntervalMillis = 1L)
+      .select("addr", "matched_location", "source")
+      .as[(String, String, String)].collect().toSet
+    assert(got == Set(
+      ("quezon city area", "quezon city", "database"),
+      ("weird unknown place", "mystery town", "osm")))
+  }
 }
