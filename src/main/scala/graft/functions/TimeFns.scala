@@ -46,18 +46,10 @@ object TimeFns {
     *  - combined into a single naive timestamp.
     */
   def combineScheduleDateTime(dateStr: Column, timeStr: Column): Column = {
-    val d       = try_to_timestamp(dateStr)
-    val cleaned = upper(regexp_replace(timeStr, "[\\s\\.]", ""))
-    val hh      = regexp_extract(cleaned, "^(\\d{1,2})(?::(\\d{2}))?(AM|PM)$", 1)
-    val mm      = regexp_extract(cleaned, "^(\\d{1,2})(?::(\\d{2}))?(AM|PM)$", 2)
-    val ap      = regexp_extract(cleaned, "^(\\d{1,2})(?::(\\d{2}))?(AM|PM)$", 3)
-    val hhN     = when(hh === "", lit(null)).otherwise(hh.cast("int"))
-    val mmN     = when(mm === "", lit(0)).otherwise(mm.cast("int"))
-    val hour24  = when(ap === "PM" && hhN < 12, hhN + 12)
-      .when(ap === "AM" && hhN === 12, lit(0))
-      .otherwise(hhN)
-    val valid   = ap.isNotNull && ap =!= "" && hhN.isNotNull && hhN >= 1 && hhN <= 12
-    val secs    = when(valid, hour24 * 3600 + mmN * 60).otherwise(lit(0))
+    val d    = try_to_timestamp(dateStr)
+    // one compiled pass (the composed when/regexp chain re-evaluated the
+    // same regex ~8x per row through the CASE tree)
+    val secs = graft.expressions.ParseScheduleTime(timeStr)
     when(d.isNull, lit(null).cast("timestamp"))
       .otherwise(date_trunc("day", d) +
         make_dt_interval(lit(0), lit(0), lit(0), secs.cast("double")))

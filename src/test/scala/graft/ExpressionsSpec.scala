@@ -14,7 +14,7 @@ class ExpressionsSpec extends AnyFunSuite {
 
   private val rnd = new scala.util.Random(42)
   private def randText(maxLen: Int): String = {
-    val alphabet = "abcde ñ"
+    val alphabet = "abcde ñ 😀"
     (0 until rnd.nextInt(maxLen)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
   }
 
