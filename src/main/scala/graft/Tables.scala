@@ -13,9 +13,21 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") loadEvents(spark, dir) else
-      spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = if (name == "events") loadEvents(spark, dir)
+             else spark.read.parquet(s"$dir/$name.parquet")
+    spread(spark, df)
+  }
+
+  /** The test tables are single-row-group parquet files, which Spark
+    * cannot split — every scan would run as ONE task regardless of cores,
+    * serializing all per-row expression work. One round-robin repartition
+    * restores cluster parallelism; at production scale tables arrive as
+    * many files/row groups and this becomes a no-op decision at write
+    * time, not read time.
+    */
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
   /** The events table carries a parquet TIMESTAMP(NANOS) column, which
     * Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos
