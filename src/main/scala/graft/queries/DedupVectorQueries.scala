@@ -62,6 +62,45 @@ object DedupVectorQueries {
       ORDER BY id_a, id_b"""
     }),
 
+    // Dedup clustering: connected components over the MinHash near-dup
+    // pairs → canonical keeper per doc (min reachable id). Oracle: the
+    // same pair set + a recursive-CTE transitive closure.
+    QueryDef("dedup_components", (s, dir) => {
+      val pairs = Dedup.minhashLsh(t("documents")(s, dir), "doc_id", "text",
+        ShingleWords, NumHashes, Bands, MinhashThreshold)
+      Dedup.components(pairs).orderBy(col("id"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      val sig  = Sql.minhashSignature("shingles", NumHashes)
+      val bandKeys = Sql.lshBandKeys("sig", Bands, NumHashes / Bands)
+      s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id AS id, ${Sql.wordShingles(toks, ShingleWords)} AS shingles
+        FROM documents),
+      nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      sg AS (SELECT id, shingles, $sig AS sig FROM nz),
+      banded AS (SELECT id, shingles, unnest($bandKeys) AS band FROM sg),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+      pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN nz x ON x.id = c.id_a
+        JOIN nz y ON y.id = c.id_b
+        WHERE ${Sql.jaccard("x.shingles", "y.shingles")} >= $MinhashThreshold),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.dst AS id, r.label
+        FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id, min(label) AS keep_id FROM reach GROUP BY id ORDER BY id"""
+    }),
+
     // N-gram Jaccard near-dup pairs, blocked by language.
     QueryDef("dedup_ngram_jaccard", (s, dir) => {
       // doc_id bound keeps the blocked pair count tractable at bench SF
