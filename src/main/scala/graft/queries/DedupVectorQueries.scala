@@ -190,6 +190,48 @@ object DedupVectorQueries {
       QUALIFY rank <= 5
       ORDER BY query_id, rank""")),
 
+    // ANN scale path, oracle-backed: hyperplane-LSH bucketed top-k with
+    // two probe sets. The deterministic planes are embedded in the oracle
+    // as double literals (shortest-roundtrip printing ⇒ identical doubles
+    // on both engines), so even the approximate variant is hash-checked.
+    QueryDef("ann_topk_lsh", (s, dir) => {
+      val emb = t("embeddings")(s, dir)
+      val planeSets = Seq(
+        graft.operators.Ann.deterministicPlanes(8, 64, seed = 1),
+        graft.operators.Ann.deterministicPlanes(8, 64, seed = 2))
+      graft.operators.Ann.lshTopK(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "embedding", 5, planeSets)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some {
+      val planeSets = Seq(
+        graft.operators.Ann.deterministicPlanes(8, 64, seed = 1),
+        graft.operators.Ann.deterministicPlanes(8, 64, seed = 2))
+      // bucket id for one plane set: Σ 2^i over planes with v·p_i ≥ 0
+      def bucketSql(v: String, planes: Seq[Seq[Double]]): String =
+        planes.zipWithIndex.map { case (p, i) =>
+          val lit = p.map(_.toString).mkString("[", ", ", "]")
+          s"CASE WHEN ${Sql.dot(v, s"CAST($lit AS DOUBLE[])")} >= 0.0 THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", " + ", ")")
+      val b0q = bucketSql("q.embedding", planeSets(0))
+      val b1q = bucketSql("q.embedding", planeSets(1))
+      val b0c = bucketSql("c.embedding", planeSets(0))
+      val b1c = bucketSql("c.embedding", planeSets(1))
+      s"""
+      WITH cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.embedding AS qv, c.embedding AS cv
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         AND ($b0q = $b0c OR $b1q = $b1c))
+      SELECT query_id, neighbor_id, ${Sql.cosine("qv", "cv")} AS cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY ${Sql.cosine("qv", "cv")} DESC, neighbor_id) AS INT) AS rank
+      FROM cand
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank"""
+    }),
+
     // Streaming-shaped: tumbling 1-hour window aggregation (batch form of
     // the Structured Streaming query in graft.streaming).
     QueryDef("stream_window_1h", (s, dir) => {

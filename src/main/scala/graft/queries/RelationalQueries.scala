@@ -343,6 +343,41 @@ object RelationalQueries {
       FROM target t FULL OUTER JOIN staging s ON t.o_orderkey = s.o_orderkey
       ORDER BY o_orderkey""")),
 
+    // Q5-shaped 6-way join: region→nation→customer→orders→lineitem→supplier
+    // with the local-supplier condition — exercises Catalyst join ordering
+    // and dimension broadcasting end-to-end.
+    QueryDef("q5_region_revenue", (s, dir) => {
+      val re = t("region")(s, dir)
+      val na = t("nation")(s, dir)
+      val cu = t("customer")(s, dir)
+      val or = t("orders")(s, dir)
+      val li = t("lineitem")(s, dir)
+      val su = t("supplier")(s, dir)
+      li.join(or, col("l_orderkey") === col("o_orderkey"))
+        .join(cu, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("decimal(18,4)")).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }, Some("""
+      SELECT r_name, n_name,
+             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             count(*) AS n_items
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name IN ('ASIA', 'EUROPE')
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
     // A1 — grouped SUM, the metrics token-total shape.
     QueryDef("a1_grouped_sum", (s, dir) => {
       t("events")(s, dir)
