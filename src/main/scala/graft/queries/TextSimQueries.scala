@@ -359,6 +359,52 @@ object TextSimQueries {
       FROM documents ORDER BY doc_id"""
     }),
 
+    // Composite training-data filter — the realistic production shape:
+    // keep documents that pass quality, are detected English, and are
+    // their exact-dup cluster's keeper — all in one plan (filters fused
+    // over one scan + a broadcast semi-join against the keeper set).
+    QueryDef("pipeline_doc_filter", (s, dir) => {
+      val docs = t("documents")(s, dir)
+      val keepers = docs.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .select(col("keep_id"))
+      docs.join(broadcast(keepers), col("doc_id") === col("keep_id"), "left_semi")
+        .where(TextAnalysisFns.qualityScore(col("text")) >= 0.5 &&
+               TextAnalysisFns.langId(col("text")) === "en")
+        .select(col("doc_id"), col("lang"),
+          TextAnalysisFns.qualityScore(col("text")).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      val lowToks = Sql.tokens("lower(text)")
+      val en = TextAnalysisFns.LangMarkers.head._2.map(m => s"'$m'")
+        .mkString("[", ", ", "]")
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / CAST(length(text) AS DOUBLE) END"
+      val stop  = s"CASE WHEN len($lowToks) = 0 THEN 0.0 ELSE len(list_filter($lowToks, t -> list_contains($en, t))) / CAST(len($lowToks) AS DOUBLE) END"
+      val quality = s"(least(length(text) / 500.0, 1.0) + least(($stop) * 4.0, 1.0) + greatest(0.0, 1.0 - ($punct) * 4.0)) / 3.0"
+      val distToks = s"list_distinct($lowToks)"
+      val scores = TextAnalysisFns.LangMarkers.map { case (lang, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_intersect($distToks, $arr)) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysisFns.LangMarkers.map(_._1)
+      val best  = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = __best THEN '$l'").mkString(" ")
+      s"""
+      WITH keepers AS (
+        SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+      sc AS (SELECT doc_id, lang, text, $scores FROM documents),
+      lp AS (SELECT *, $best AS __best FROM sc),
+      pred AS (SELECT doc_id, lang, text,
+                      CASE WHEN __best = 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+               FROM lp)
+      SELECT doc_id, lang, $quality AS quality_score
+      FROM pred
+      WHERE doc_id IN (SELECT keep_id FROM keepers)
+        AND ($quality) >= 0.5 AND lang_pred = 'en'
+      ORDER BY doc_id"""
+    }),
+
     // Text analysis: rolling-hash document fingerprint.
     QueryDef("text_fingerprint", (s, dir) => {
       t("documents")(s, dir)
