@@ -2,17 +2,24 @@
 """Local replica of the driver's correctness gate: run graft.Verify first
 (`sbt "runMain graft.Verify <sfDir> <outDir>"`), then this script reads each
 <outDir>/<name> parquet, runs the matching oracle SQL from oracle_sql.json in
-DuckDB over the same sf tables, sorts columns by name and rows by value, and
-compares cell-by-cell (exact; floats compared bitwise first, then with 1e-12
-rel tolerance reported separately).
+DuckDB over the same sf tables, and compares two ways:
+
+1. semantic: cell-by-cell on fetchall() values (exact; floats bitwise, then
+   1e-12 tolerance reported separately) — catches real value divergence.
+2. driver-mode: Spark side via pandas.read_parquet (pyarrow), oracle side via
+   duckdb .df(); cells compared as str(). This emulates the round-1 driver
+   hash, where DECIMAL comes back as Decimal('1.40') from parquet but float64
+   1.4 from duckdb's pandas bridge — the mode that failed 9 queries in r01.
 
 Usage: check_correctness.py <sfDir> <outDir>
 """
+import glob
 import json
 import math
 import sys
 
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -35,13 +42,22 @@ def cells_equal(a, b):
             fa, fb = float(a), float(b)
         except (TypeError, ValueError):
             return False, False
-        if fa == fb:
+        if fa == fb or (math.isnan(fa) and math.isnan(fb)):
             return True, False
         if math.isclose(fa, fb, rel_tol=1e-12, abs_tol=1e-12):
             return True, True  # equal only under tolerance
         return False, False
     # decimals/ints/strings/timestamps: string-normalized compare
     return str(a) == str(b), False
+
+
+def df_cells(df):
+    """Canonical sorted str-rows, columns sorted by name (driver emulation)."""
+    df = df[sorted(df.columns)]
+    rows = [tuple("NULL" if v is None or (isinstance(v, float) and math.isnan(v))
+                  or v is pd.NaT else str(v) for v in row)
+            for row in df.itertuples(index=False, name=None)]
+    return sorted(rows)
 
 
 def main():
@@ -93,9 +109,27 @@ def main():
             print(f"FAIL {name}: {bad} cell mismatches; first: "
                   f"col={first_bad[0]} got={first_bad[1]!r} exp={first_bad[2]!r}")
             failures += 1
-        else:
-            note = f" ({tol} float cells matched only under tolerance)" if tol else ""
-            print(f"PASS {name}: {len(grows)} rows{note}")
+            continue
+        # driver-mode: pandas reads on both sides, stringified hash equality
+        try:
+            files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
+            gdf = pd.concat([pd.read_parquet(f) for f in files],
+                            ignore_index=True)
+            edf = con.execute(sql).df()
+            gs, es = df_cells(gdf), df_cells(edf)
+            if gs != es:
+                diff = next((i, a, b) for i, (a, b) in
+                            enumerate(zip(gs, es)) if a != b)
+                print(f"FAIL {name}: DRIVER-MODE str mismatch at sorted row "
+                      f"{diff[0]}: {diff[1]!r} vs {diff[2]!r}")
+                failures += 1
+                continue
+        except Exception as e:
+            print(f"FAIL {name}: driver-mode compare error: {str(e)[:300]}")
+            failures += 1
+            continue
+        note = f" ({tol} float cells matched only under tolerance)" if tol else ""
+        print(f"PASS {name}: {len(grows)} rows{note}")
     print(f"\n{len(oracles) - failures}/{len(oracles)} queries pass")
     sys.exit(1 if failures else 0)
 

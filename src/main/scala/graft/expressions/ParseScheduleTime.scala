@@ -10,10 +10,13 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** F6's forgiving time parse as one compiled pass: returns the
   * seconds-past-midnight for a schedule time string, with the reference's
-  * rules (strip spaces/periods, uppercase, accept `h[:mm]AM|PM`, hour must
-  * be 1–12; anything unparseable → 0 = midnight). The composed
-  * when/regexp_extract chain evaluated the same regex up to ~8× per row
-  * through the CASE tree; this is one scan.
+  * exact rules (extraction_helpers.py:182-196): strip ASCII spaces ONLY
+  * (case preserved, periods kept), require a literal uppercase `AM`/`PM`
+  * suffix, then accept `h[h][:m[m]]AM|PM` with hour 1–12 and minute 0–59
+  * (strptime `%I`/`%M` accept 1–2 digits); anything unparseable → 0 =
+  * midnight, matching the reference's fallback Timestamp at date midnight.
+  * The composed when/regexp_extract chain evaluated the same regex up to
+  * ~8× per row through the CASE tree; this is one scan.
   * Semantics are locked by the FunctionsSpec format table and the
   * f6_schedule_combine oracle (which replicates the RULES, not the
   * implementation).
@@ -31,16 +34,18 @@ case class ParseScheduleTime(child: Expression)
 
   override def nullSafeEval(v: Any): Any = {
     val raw = v.asInstanceOf[UTF8String].toString
-    // cleaned = uppercase(strip [\s.])
+    // cleaned = strip ASCII spaces only, case preserved (the reference does
+    // time_str.replace(' ', '') and nothing else)
     val sb = new java.lang.StringBuilder(raw.length)
     var i = 0
     while (i < raw.length) {
       val c = raw.charAt(i)
-      if (!Character.isWhitespace(c) && c != '.') sb.append(Character.toUpperCase(c))
+      if (c != ' ') sb.append(c)
       i += 1
     }
     val s = sb.toString
-    // ^(\d{1,2})(?::(\d{2}))?(AM|PM)$
+    // ^(\d{1,2})(?::(\d{1,2}))?(AM|PM)$  (uppercase suffix required: the
+    // reference gates on a literal 'AM'/'PM' substring before parsing)
     val n = s.length
     if (n < 3) return 0
     val ap = s.substring(n - 2)
@@ -55,15 +60,16 @@ case class ParseScheduleTime(child: Expression)
       true
     }
     if (colon >= 0) {
+      val mmLen = body.length - colon - 1
       if (!digits(body, 0, colon) || colon > 2 ||
-          body.length - colon - 1 != 2 || !digits(body, colon + 1, body.length)) return 0
+          mmLen < 1 || mmLen > 2 || !digits(body, colon + 1, body.length)) return 0
       hh = body.substring(0, colon).toInt
       mm = body.substring(colon + 1).toInt
     } else {
       if (!digits(body, 0, body.length) || body.length > 2) return 0
       hh = body.toInt
     }
-    if (hh < 1 || hh > 12) return 0
+    if (hh < 1 || hh > 12 || mm > 59) return 0
     val hour24 = if (ap == "PM" && hh < 12) hh + 12
                  else if (ap == "AM" && hh == 12) 0
                  else hh

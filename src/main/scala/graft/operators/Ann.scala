@@ -104,8 +104,10 @@ object Ann {
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     var centroids: Seq[(Int, Seq[Double])] =
       corpus.orderBy(col(idCol)).limit(nlist)
-        .select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toSeq)
+        // float AND double embedding columns are accepted, like every other
+        // Ann/VecFns entry point
+        .select(col(vecCol).cast("array<double>")).collect()
+        .map(_.getSeq[Double](0).toSeq)
         .zipWithIndex.map { case (v, i) => (i, v) }.toSeq
     for (_ <- 1 to iters) {
       val assigned = assignToCentroids(corpus, vecCol, centroids)

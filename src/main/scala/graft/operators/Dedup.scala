@@ -143,7 +143,7 @@ object Dedup {
     * orders of magnitude smaller than the corpus).
     * Returns (id, keep_id).
     */
-  def components(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def components(pairs: DataFrame, maxIter: Int = 1000): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
@@ -168,6 +168,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    // A silently-split cluster gives wrong keep/drop decisions; the pair set
+    // is small by construction, so non-convergence is a bug, not a budget.
+    if (!converged) throw new IllegalStateException(
+      s"Dedup.components did not converge after $maxIter label-propagation " +
+        "rounds (dup-chain diameter exceeds maxIter)")
     labels
   }
 

@@ -34,11 +34,15 @@ object Upsert {
             updateCols: Seq[String], insertCols: Option[Seq[String]] = None): DataFrame = {
     val outCols = target.columns.toSeq
     val insCols = insertCols.getOrElse(outCols).toSet
-    val t = target.alias("t")
-    val s = staging.alias("s")
+    // Row presence is tracked with explicit markers, not key nullability: a
+    // full-outer join can't otherwise distinguish "no target row" from
+    // "target row whose key IS NULL" (which BigQuery MERGE leaves untouched,
+    // since NULL = NULL never matches).
+    val t = target.withColumn("__t_present", lit(true)).alias("t")
+    val s = staging.withColumn("__s_present", lit(true)).alias("s")
     val joined = t.join(s, col(s"t.$key") === col(s"s.$key"), "full_outer")
-    val matched   = col(s"t.$key").isNotNull && col(s"s.$key").isNotNull
-    val stageOnly = col(s"t.$key").isNull
+    val matched   = col("t.__t_present").isNotNull && col("s.__s_present").isNotNull
+    val stageOnly = col("t.__t_present").isNull
 
     def outCol(c: String): Column = {
       val tc = col(s"t.$c")

@@ -58,27 +58,38 @@ object PushdownNanosTimestampPredicate extends Rule[LogicalPlan] {
 
   private def nsLit(micros: Long): Literal = Literal(micros * 1000L, LongType)
 
+  /** The rewrite is only exact when (a) `(t+1)*1000` cannot overflow Long and
+    * (b) `t >= 1`, because Spark's IntegralDivide truncates toward zero (not
+    * floor): for negative raw nanos, `ns div 1000` rounds up, so the floor
+    * identities above only hold when the literal bound is positive (any
+    * negative-nanos row is then strictly below the bound on both sides).
+    * Out-of-range literals (pre-1970 or far-future like TIMESTAMP '9999-12-31'
+    * at ns scale) are left unrewritten — correct, just not pushed down.
+    */
+  private def rewritable(t: Long): Boolean =
+    t >= 1L && t <= Long.MaxValue / 1000L - 2L
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
-    case GreaterThanOrEqual(NanosConversion(raw), TsLiteral(t)) =>
+    case GreaterThanOrEqual(NanosConversion(raw), TsLiteral(t)) if rewritable(t) =>
       GreaterThanOrEqual(raw, nsLit(t))
-    case GreaterThan(NanosConversion(raw), TsLiteral(t)) =>
+    case GreaterThan(NanosConversion(raw), TsLiteral(t)) if rewritable(t) =>
       GreaterThanOrEqual(raw, nsLit(t + 1))
-    case LessThan(NanosConversion(raw), TsLiteral(t)) =>
+    case LessThan(NanosConversion(raw), TsLiteral(t)) if rewritable(t) =>
       LessThan(raw, nsLit(t))
-    case LessThanOrEqual(NanosConversion(raw), TsLiteral(t)) =>
+    case LessThanOrEqual(NanosConversion(raw), TsLiteral(t)) if rewritable(t) =>
       LessThan(raw, nsLit(t + 1))
-    case EqualTo(NanosConversion(raw), TsLiteral(t)) =>
+    case EqualTo(NanosConversion(raw), TsLiteral(t)) if rewritable(t) =>
       And(GreaterThanOrEqual(raw, nsLit(t)), LessThan(raw, nsLit(t + 1)))
     // mirrored operand order
-    case GreaterThanOrEqual(TsLiteral(t), NanosConversion(raw)) =>
+    case GreaterThanOrEqual(TsLiteral(t), NanosConversion(raw)) if rewritable(t) =>
       LessThan(raw, nsLit(t + 1))
-    case GreaterThan(TsLiteral(t), NanosConversion(raw)) =>
+    case GreaterThan(TsLiteral(t), NanosConversion(raw)) if rewritable(t) =>
       LessThan(raw, nsLit(t))
-    case LessThan(TsLiteral(t), NanosConversion(raw)) =>
+    case LessThan(TsLiteral(t), NanosConversion(raw)) if rewritable(t) =>
       GreaterThanOrEqual(raw, nsLit(t + 1))
-    case LessThanOrEqual(TsLiteral(t), NanosConversion(raw)) =>
+    case LessThanOrEqual(TsLiteral(t), NanosConversion(raw)) if rewritable(t) =>
       GreaterThanOrEqual(raw, nsLit(t))
-    case EqualTo(TsLiteral(t), NanosConversion(raw)) =>
+    case EqualTo(TsLiteral(t), NanosConversion(raw)) if rewritable(t) =>
       And(GreaterThanOrEqual(raw, nsLit(t)), LessThan(raw, nsLit(t + 1)))
   }
 }

@@ -238,14 +238,14 @@ object DedupVectorQueries {
       t("events")(s, dir)
         .groupBy(window(col("ts"), "1 hour"))
         .agg(count(lit(1)).as("n_events"),
-          sum(col("value").cast("decimal(12,2)")).as("total_value"))
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
         .select(col("window.start").cast("timestamp_ntz").as("window_start"),
           col("n_events"), col("total_value"))
         .orderBy(col("window_start"))
     }, Some("""
       SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
              count(*) AS n_events,
-             sum(CAST(value AS DECIMAL(12,2))) AS total_value
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1 ORDER BY 1""")),
 
     // Streaming-shaped: sessionization — 30-minute inactivity gap splits

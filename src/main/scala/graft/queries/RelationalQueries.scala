@@ -28,17 +28,21 @@ object RelationalQueries {
         .where(col("l_shipdate") <= lit("2000-12-01 00:00:00").cast("timestamp_ntz"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).as("sum_base_price"),
+          // Sum in DECIMAL (order-independent, engine-exact), then cast the
+          // final value to DOUBLE: the driver's pandas bridge renders DECIMAL
+          // with trailing zeros on one side only, while a correctly-rounded
+          // decimal->double is the same float64 bit pattern in both engines.
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .cast("decimal(18,4)")).as("sum_disc_price"),
+            .cast("decimal(18,4)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }, Some("""
       SELECT l_returnflag, l_linestatus,
-             sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-             sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS sum_disc_price,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -201,11 +205,11 @@ object RelationalQueries {
       t("customer")(s, dir)
         .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
         .select(col("c_nationkey"), col("c_custkey").as("best_custkey"),
-          col("c_acctbal").cast("decimal(12,2)").as("best_acctbal"))
+          col("c_acctbal").as("best_acctbal"))
         .orderBy(col("c_nationkey"))
     }, Some("""
       SELECT c_nationkey, c_custkey AS best_custkey,
-             CAST(c_acctbal AS DECIMAL(12,2)) AS best_acctbal
+             c_acctbal AS best_acctbal
       FROM customer
       QUALIFY row_number() OVER (PARTITION BY c_nationkey
                                  ORDER BY c_acctbal DESC, c_custkey DESC) = 1
@@ -261,13 +265,13 @@ object RelationalQueries {
       t("customer")(s, dir).createOrReplaceTempView("customer_v")
       s.sql("""
         SELECT c_mktsegment, count(*) AS n_orders,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         FROM orders_v JOIN customer_v ON o_custkey = c_custkey
         WHERE o_orderstatus <> 'F'
         GROUP BY c_mktsegment ORDER BY c_mktsegment""")
     }, Some("""
       SELECT c_mktsegment, count(*) AS n_orders,
-             sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE o_orderstatus <> 'F'
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
@@ -284,12 +288,12 @@ object RelationalQueries {
         .join(broadcast(na), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).as("revenue"),
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_lineitems"))
         .orderBy(col("n_name"))
     }, Some("""
       SELECT n_name,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              count(*) AS n_lineitems
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -302,10 +306,10 @@ object RelationalQueries {
       t("orders")(s, dir)
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
         .limit(10)
-        .select(col("o_orderkey"), col("o_totalprice").cast("decimal(14,2)").as("o_totalprice"))
+        .select(col("o_orderkey"), col("o_totalprice"))
         .orderBy(col("o_orderkey"))
     }, Some("""
-      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice
+      SELECT o_orderkey, o_totalprice
       FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
       ORDER BY o_orderkey""")),
 
@@ -316,29 +320,26 @@ object RelationalQueries {
       val or = t("orders")(s, dir)
       val target = or.where(col("o_orderkey") % 4 =!= 0)
         .select(col("o_orderkey"), col("o_orderstatus"),
-          col("o_totalprice").cast("decimal(14,2)").as("o_totalprice"),
-          col("o_orderpriority"))
+          col("o_totalprice"), col("o_orderpriority"))
       val staging = or.where(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-          (col("o_totalprice").cast("decimal(14,2)") + lit(10).cast("decimal(14,2)"))
-            .as("o_totalprice"),
+          (col("o_totalprice") + lit(10.0)).as("o_totalprice"),
           col("o_orderpriority"))
       Upsert.merge(target, staging, "o_orderkey",
           updateCols = Seq("o_orderstatus", "o_totalprice"))
         .orderBy(col("o_orderkey"))
     }, Some("""
       WITH target AS (
-        SELECT o_orderkey, o_orderstatus,
-               CAST(o_totalprice AS DECIMAL(14,2)) AS o_totalprice, o_orderpriority
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
         FROM orders WHERE o_orderkey % 4 <> 0),
       staging AS (
         SELECT o_orderkey, 'U' AS o_orderstatus,
-               CAST(o_totalprice AS DECIMAL(14,2)) + CAST(10 AS DECIMAL(14,2)) AS o_totalprice,
+               o_totalprice + CAST(10 AS DOUBLE) AS o_totalprice,
                o_orderpriority
         FROM orders WHERE o_orderkey % 2 = 0)
       SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
              CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
-             CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS DECIMAL(14,2)) AS o_totalprice,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
              CASE WHEN t.o_orderkey IS NOT NULL THEN t.o_orderpriority ELSE s.o_orderpriority END AS o_orderpriority
       FROM target t FULL OUTER JOIN staging s ON t.o_orderkey = s.o_orderkey
       ORDER BY o_orderkey""")),
@@ -362,12 +363,12 @@ object RelationalQueries {
         .where(col("r_name").isin("ASIA", "EUROPE"))
         .groupBy(col("r_name"), col("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-          .cast("decimal(18,4)")).as("revenue"),
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("r_name"), col("n_name"))
     }, Some("""
       SELECT r_name, n_name,
-             sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS revenue,
+             CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              count(*) AS n_items
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
@@ -382,11 +383,11 @@ object RelationalQueries {
     QueryDef("a1_grouped_sum", (s, dir) => {
       t("events")(s, dir)
         .groupBy(col("event_type"))
-        .agg(sum(col("value").cast("decimal(12,2)")).as("total_value"),
+        .agg(sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"),
           count(lit(1)).as("n_events"))
         .orderBy(col("event_type"))
     }, Some("""
-      SELECT event_type, sum(CAST(value AS DECIMAL(12,2))) AS total_value,
+      SELECT event_type, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
              count(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type""")),
 

@@ -91,10 +91,12 @@ object TextSimQueries {
     // time-format parsing (extraction_helpers.py:164-216).
     QueryDef("f6_schedule_combine", (s, dir) => {
       val dateStr = date_format(col("ts"), "yyyy-MM-dd")
-      val timeStr = when(col("event_id") % 5 === 0, lit("3PM"))
-        .when(col("event_id") % 5 === 1, lit("10:30AM"))
-        .when(col("event_id") % 5 === 2, lit("12 PM"))
-        .when(col("event_id") % 5 === 3, lit("9.45 pm"))
+      val timeStr = when(col("event_id") % 7 === 0, lit("3PM"))
+        .when(col("event_id") % 7 === 1, lit("10:30AM"))
+        .when(col("event_id") % 7 === 2, lit("12 PM"))
+        .when(col("event_id") % 7 === 3, lit("9.45 pm"))
+        .when(col("event_id") % 7 === 4, lit("1:99PM"))
+        .when(col("event_id") % 7 === 5, lit("7:5AM"))
         .otherwise(lit("not a time"))
       t("events")(s, dir)
         .select(col("event_id"),
@@ -104,21 +106,23 @@ object TextSimQueries {
     }, Some("""
       WITH m AS (
         SELECT event_id, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS sd,
-               CASE WHEN event_id % 5 = 0 THEN '3PM'
-                    WHEN event_id % 5 = 1 THEN '10:30AM'
-                    WHEN event_id % 5 = 2 THEN '12 PM'
-                    WHEN event_id % 5 = 3 THEN '9.45 pm'
+               CASE WHEN event_id % 7 = 0 THEN '3PM'
+                    WHEN event_id % 7 = 1 THEN '10:30AM'
+                    WHEN event_id % 7 = 2 THEN '12 PM'
+                    WHEN event_id % 7 = 3 THEN '9.45 pm'
+                    WHEN event_id % 7 = 4 THEN '1:99PM'
+                    WHEN event_id % 7 = 5 THEN '7:5AM'
                     ELSE 'not a time' END AS st
         FROM events),
       p AS (
         SELECT event_id, TRY_CAST(sd AS TIMESTAMP) AS d,
-               upper(regexp_replace(st, '[\s\.]', '', 'g')) AS cleaned
+               replace(st, ' ', '') AS cleaned
         FROM m),
       x AS (
         SELECT event_id, d,
-               regexp_extract(cleaned, '^(\d{1,2})(?::(\d{2}))?(AM|PM)$', 1) AS hh,
-               regexp_extract(cleaned, '^(\d{1,2})(?::(\d{2}))?(AM|PM)$', 2) AS mm,
-               regexp_extract(cleaned, '^(\d{1,2})(?::(\d{2}))?(AM|PM)$', 3) AS ap
+               regexp_extract(cleaned, '^(\d{1,2})(?::(\d{1,2}))?(AM|PM)$', 1) AS hh,
+               regexp_extract(cleaned, '^(\d{1,2})(?::(\d{1,2}))?(AM|PM)$', 2) AS mm,
+               regexp_extract(cleaned, '^(\d{1,2})(?::(\d{1,2}))?(AM|PM)$', 3) AS ap
         FROM p),
       y AS (
         SELECT event_id, d,
@@ -128,7 +132,7 @@ object TextSimQueries {
       z AS (
         SELECT event_id, d,
                CASE WHEN ap IS NOT NULL AND ap <> '' AND hhn IS NOT NULL
-                         AND hhn >= 1 AND hhn <= 12
+                         AND hhn >= 1 AND hhn <= 12 AND mmn <= 59
                     THEN (CASE WHEN ap = 'PM' AND hhn < 12 THEN hhn + 12
                                WHEN ap = 'AM' AND hhn = 12 THEN 0
                                ELSE hhn END) * 3600 + mmn * 60
@@ -198,13 +202,13 @@ object TextSimQueries {
       t("customer")(s, dir)
         .select(col("c_custkey"),
           when(col("c_acctbal") < 500, lit(null))
-            .otherwise(col("c_acctbal")).cast("decimal(12,2)").as("bal"))
+            .otherwise(col("c_acctbal")).as("bal"))
         .na.fill(0, Seq("bal"))
         .orderBy(col("c_custkey"))
     }, Some("""
       SELECT c_custkey,
-             coalesce(CAST(CASE WHEN c_acctbal < 500 THEN NULL ELSE c_acctbal END
-                           AS DECIMAL(12,2)), 0) AS bal
+             coalesce(CASE WHEN c_acctbal < 500 THEN NULL ELSE c_acctbal END,
+                      CAST(0 AS DOUBLE)) AS bal
       FROM customer ORDER BY c_custkey""")),
 
     // J5 — similarity theta-join phase 1: inputs × reference rows, n-gram

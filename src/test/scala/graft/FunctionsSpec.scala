@@ -67,7 +67,11 @@ class FunctionsSpec extends AnyFunSuite {
       ("2024-01-05", "10:30AM", "2024-01-05 10:30:00"),
       ("2024-01-05", "12 PM", "2024-01-05 12:00:00"),   // strip spaces
       ("2024-01-05", "12AM", "2024-01-05 00:00:00"),    // midnight rule
-      ("2024-01-05", "9.45 pm", "2024-01-05 00:00:00"), // '945PM' unparseable → midnight
+      ("2024-01-05", "7:5AM", "2024-01-05 07:05:00"),   // strptime %M takes 1-2 digits
+      ("2024-01-05", "1:99PM", "2024-01-05 00:00:00"),  // minute > 59 rejected
+      ("2024-01-05", "3pm", "2024-01-05 00:00:00"),     // lowercase: no 'AM'/'PM' gate hit
+      ("2024-01-05", "9.45 pm", "2024-01-05 00:00:00"), // period NOT stripped → midnight
+      ("2024-01-05", "9.45 PM", "2024-01-05 00:00:00"), // same, uppercase
       ("2024-01-05", "garbage", "2024-01-05 00:00:00"), // unparseable time → midnight
       ("garbage", "3PM", null))                          // unparseable date → null
     val df = cases.map(c => (c._1, c._2)).toDF("d", "t")

@@ -41,6 +41,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(m(1).isNullAt(1)) // "oops" → null, not an error
   }
 
+  test("K4 merge: NULL-key target row passes through untouched") {
+    // BigQuery MERGE never matches ON NULL = NULL, so a target row with a
+    // NULL key is left as-is — it must NOT be misread as "staging-only".
+    val t = Seq((Option("a"), 1), (None, 42)).toDF("id", "n")
+    val s = Seq((Option("a"), 7), (Option.empty[String], 99)).toDF("id", "n")
+    val m = Upsert.merge(t, s, "id", Seq("n"))
+      .orderBy(col("id").asc_nulls_first, col("n")).collect()
+    // null-key target row keeps n=42; null-key staging row inserts n=99
+    assert(m.length == 3)
+    assert(m(0).isNullAt(0) && m(0).getInt(1) == 42)
+    assert(m(1).isNullAt(0) && m(1).getInt(1) == 99)
+    assert(m(2).getString(0) == "a" && m(2).getInt(1) == 7)
+  }
+
   test("K4 merge: insert column list restriction (reference asymmetry)") {
     val m = Upsert.merge(target, staging, "id",
         updateCols = Seq("status"), insertCols = Some(Seq("id", "status")))
