@@ -16,9 +16,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * Semantics match the HOF formulation exactly: null string → null,
   * length < n → empty array, else the distinct n-char substrings in
   * first-occurrence order (character = codepoint, like `Column.substr` and
-  * DuckDB string slicing).
+  * DuckDB string slicing). With `sorted = true` the grams come back
+  * byte-lexicographically sorted (UTF8String order — identical to
+  * `array_sort`'s default comparator) in the same compiled pass, instead
+  * of a downstream `array_sort` whose comparator lambda is interpreted
+  * per comparison.
   */
-case class CharNgrams(left: Expression, right: Expression)
+case class CharNgrams(left: Expression, right: Expression,
+                      sorted: Boolean = false)
     extends BinaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -52,7 +57,11 @@ case class CharNgrams(left: Expression, right: Expression)
       seen.add(UTF8String.fromBytes(bytes, from, offs.get(i + n) - from))
       i += 1
     }
-    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+    val arr = seen.toArray.asInstanceOf[Array[AnyRef]]
+    if (sorted) java.util.Arrays.sort(arr,
+      (a: AnyRef, b: AnyRef) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+    new GenericArrayData(arr)
   }
 
   override protected def withNewChildrenInternal(
@@ -63,6 +72,11 @@ case class CharNgrams(left: Expression, right: Expression)
 object CharNgrams {
   def apply(s: Column, n: Column): Column =
     Bridge.column(CharNgrams(Bridge.expression(s), Bridge.expression(n)))
+
+  /** Grams pre-sorted in UTF8String (byte) order — for JaccardGeq inputs. */
+  def sorted(s: Column, n: Column): Column =
+    Bridge.column(CharNgrams(Bridge.expression(s), Bridge.expression(n),
+      sorted = true))
 }
 
 /** Count of distinct common elements of two string arrays — the numerator

@@ -45,7 +45,9 @@ object Dedup {
                  shingleWords: Int = 3, numHashes: Int = 8, bands: Int = 4,
                  threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sh = shingled(df, idCol, textCol, shingleWords)
+    // referenced by the signature build AND both verify joins: cache so the
+    // shingling runs once, not re-derived inside three scans
+    val sh = shingled(df, idCol, textCol, shingleWords).cache()
     val sig = sh.select(col("id"), explode(col("shingles")).as("s"))
       .groupBy(col("id"))
       .agg(min(md5(concat(lit("0:"), col("s")))).as("h0"),
@@ -117,15 +119,19 @@ object Dedup {
   def ngramJaccard(df: DataFrame, idCol: String, textCol: String, n: Int,
                    blockCols: Seq[String], threshold: Double): DataFrame = {
     // grams kept SORTED so the threshold predicate is a single merge scan
-    // with early exit (JaccardGeq); the exact score is recomputed only for
-    // the surviving pairs.
+    // with early exit (JaccardGeq); the sort happens inside the compiled
+    // CharNgrams pass (array_sort's comparator lambda is interpreted per
+    // comparison). Cached because the self-join references this frame
+    // twice and predicate pushdown would otherwise re-derive the grams
+    // inside each scan's filter (3 evaluations per row).
     val grams = df.select((col(idCol).as("id") +: blockCols.map(col)) :+
-        array_sort(SimFns.charNgrams(col(textCol), lit(n))).as("grams"): _*)
+        graft.expressions.CharNgrams.sorted(col(textCol), lit(n)).as("grams"): _*)
       .where(size(col("grams")) > 0)
       // the pair loop's work is per-PAIR, not per-row: spread the streamed
       // side across the cluster or a small input file runs every
       // comparison in one task
       .repartition(col("id"))
+      .cache()
     val blockCond = blockCols.map(c => col(s"a.$c") === col(s"b.$c"))
       .foldLeft(col("a.id") < col("b.id"))(_ && _)
     grams.alias("a").join(grams.alias("b"),
@@ -136,16 +142,33 @@ object Dedup {
 
   /** Connected components over near-dup pairs → canonical keeper per
     * cluster (min id), the step that turns pairwise dedup output into a
-    * keep/drop decision. Iterative min-label propagation: each round every
-    * node adopts the smallest label among itself and its neighbors;
-    * converges in O(cluster diameter) rounds — dup clusters are shallow,
-    * and each round is two shuffles on bounded pair data (the pair set is
-    * orders of magnitude smaller than the corpus).
-    * Returns (id, keep_id).
+    * keep/drop decision. Returns (id, keep_id).
+    *
+    * Two physical paths behind one semantics:
+    *  - pair set ≤ `driverMaxPairs` and integral ids: collect the edges and
+    *    run union-find on the driver (path-compressed, min-id roots). The
+    *    LSH candidate set is orders of magnitude smaller than the corpus —
+    *    10M edges is ~160 MB of driver heap — and this replaces
+    *    O(diameter) shuffle rounds with one collect.
+    *  - otherwise: distributed min-label propagation; each round every
+    *    node adopts the smallest label among itself and its neighbors,
+    *    converging in O(cluster diameter) rounds of two bounded shuffles —
+    *    the path that holds when even the pair set is cluster-sized.
     */
-  def components(pairs: DataFrame, maxIter: Int = 1000): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def components(pairs: DataFrame, maxIter: Int = 1000,
+                 driverMaxPairs: Long = 10L * 1000 * 1000): DataFrame = {
+    val idType = pairs.schema("id_a").dataType
+    val integralIds = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    val p = pairs.select(col("id_a"), col("id_b")).cache()
+    val nPairs = p.count()
+    if (integralIds && nPairs <= driverMaxPairs) {
+      val result = componentsUnionFind(p, idType)
+      p.unpersist()
+      return result
+    }
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("keep_id", col("id"))
@@ -155,25 +178,60 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min(col("keep_id")).as("nmin"))
+      // localCheckpoint (eager), not cache: the join references `labels`
+      // twice, so without lineage truncation the logical plan doubles per
+      // round and a diameter-d chain builds an O(2^d) plan tree.
       val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"), least(col("keep_id"), coalesce(col("nmin"), col("keep_id")))
           .as("keep_id"))
-        .cache()
+        .localCheckpoint()
       val changed = updated.alias("u")
         .join(labels.alias("l"), col("u.id") === col("l.id"))
         .where(col("u.keep_id") =!= col("l.keep_id")).limit(1).count()
-      labels.unpersist()
       labels = updated
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    p.unpersist()
     // A silently-split cluster gives wrong keep/drop decisions; the pair set
     // is small by construction, so non-convergence is a bug, not a budget.
     if (!converged) throw new IllegalStateException(
       s"Dedup.components did not converge after $maxIter label-propagation " +
         "rounds (dup-chain diameter exceeds maxIter)")
     labels
+  }
+
+  /** Driver-side path-compressed union-find with min-id roots; exact same
+    * (id, keep_id) contract as the distributed loop.
+    */
+  private def componentsUnionFind(pairs: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val nx = parent.get(c); parent.put(c, r); c = nx }
+      r
+    }
+    def asLong(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int  => i.toLong
+    }
+    pairs.collect().foreach { row =>
+      val a = asLong(row.get(0)); val b = asLong(row.get(1))
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size())
+    parent.keySet().forEach(id => out += ((id, find(id))))
+    out.toSeq.toDF("id", "keep_id")
+      .select(col("id").cast(idType).as("id"),
+        col("keep_id").cast(idType).as("keep_id"))
   }
 
   /** Embedding cosine near-dup pairs within a hyperplane-LSH bucket.

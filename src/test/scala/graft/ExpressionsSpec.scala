@@ -28,6 +28,16 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("CharNgrams.sorted ≡ array_sort(CharNgrams) (unicode included)") {
+    for (n <- 1 to 5) {
+      val texts = Seq.fill(40)(randText(60)) :+ "" :+ "ñab😀cñ"
+      val got = texts.toDF("s").select(
+        graft.expressions.CharNgrams.sorted($"s", lit(n)).as("fast"),
+        array_sort(SimFns.charNgrams($"s", lit(n))).as("ref")).collect()
+      got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n"))
+    }
+  }
+
   test("CharNgrams dynamic n per row ≡ HOF") {
     val texts = Seq.fill(30)(randText(120))
     val got = texts.toDF("s").select(

@@ -232,6 +232,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L)))
   }
 
+  test("components: driver union-find ≡ distributed label propagation") {
+    val rnd = new scala.util.Random(7)
+    // random sparse graph incl. a long chain (diameter >> 1)
+    val chain = (100L until 140L).map(i => (i, i + 1))
+    val random = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter { case (a, b) => a != b }
+    val pairs = (chain ++ random).toDF("id_a", "id_b")
+    val fast = Dedup.components(pairs).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    val dist = Dedup.components(pairs, driverMaxPairs = -1L).orderBy("id")
+      .as[(Long, Long)].collect().toSeq
+    assert(fast == dist)
+  }
+
   test("two-phase geocode: coarse match narrows the fine candidate set") {
     val inputs = Seq(Tuple1("quezon city district three")).toDF("addr")
     val coarse = Seq(("quezon city", "QC"), ("makati", "MK")).toDF("cname", "code")
