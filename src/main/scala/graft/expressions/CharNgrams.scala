@@ -3,8 +3,8 @@ package graft.expressions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,10 +21,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * `array_sort`'s default comparator) in the same compiled pass, instead
   * of a downstream `array_sort` whose comparator lambda is interpreted
   * per comparison.
+  *
+  * Generates a static `ExprOps.charNgrams` call, so the enclosing operator
+  * stays inside whole-stage codegen (CodegenFallback would evict it).
   */
 case class CharNgrams(left: Expression, right: Expression,
                       sorted: Boolean = false)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -35,34 +38,12 @@ case class CharNgrams(left: Expression, right: Expression,
     else TypeCheckResult.TypeCheckFailure(
       s"char_ngrams expects (string, int), got ${left.dataType} / ${right.dataType}")
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val s = l.asInstanceOf[UTF8String]
-    val n = r.asInstanceOf[Int]
-    val bytes = s.getBytes
-    // codepoint start offsets (O(len) walk — substringSQL per position
-    // would be O(len²))
-    val offs = new java.util.ArrayList[Int]()
-    var o = 0
-    while (o < bytes.length) {
-      offs.add(o)
-      o += UTF8String.numBytesForFirstByte(bytes(o))
-    }
-    offs.add(bytes.length)
-    val len = offs.size() - 1
-    if (n <= 0 || len - n + 1 <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[UTF8String]()
-    var i = 0
-    while (i <= len - n) {
-      val from = offs.get(i)
-      seen.add(UTF8String.fromBytes(bytes, from, offs.get(i + n) - from))
-      i += 1
-    }
-    val arr = seen.toArray.asInstanceOf[Array[AnyRef]]
-    if (sorted) java.util.Arrays.sort(arr,
-      (a: AnyRef, b: AnyRef) =>
-        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
-    new GenericArrayData(arr)
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprOps.charNgrams(l.asInstanceOf[UTF8String], r.asInstanceOf[Int], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) =>
+      s"graft.expressions.ExprOps.charNgrams($s, $n, $sorted)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
@@ -81,10 +62,11 @@ object CharNgrams {
 
 /** Count of distinct common elements of two string arrays — the numerator
   * of Jaccard over pre-distinct arrays, as one hash-probe loop per pair
-  * instead of interpreted `array_intersect` + `size`.
+  * instead of interpreted `array_intersect` + `size`. Codegen: one static
+  * call per row.
   */
 case class IntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = IntegerType
   override def nullIntolerant: Boolean = true
@@ -96,25 +78,12 @@ case class IntersectCount(left: Expression, right: Expression)
       s"intersect_count expects (array<string>, array<string>), got $l / $r")
   }
 
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
-    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
-    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
-    var i = 0
-    while (i < small.numElements()) {
-      set.add(small.getUTF8String(i)); i += 1
-    }
-    var cnt = 0
-    val seen = new java.util.HashSet[UTF8String]()
-    i = 0
-    while (i < large.numElements()) {
-      val e = large.getUTF8String(i)
-      if (set.contains(e) && seen.add(e)) cnt += 1
-      i += 1
-    }
-    cnt
-  }
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ExprOps.intersectCount(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.ExprOps.intersectCount($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

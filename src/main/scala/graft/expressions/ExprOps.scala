@@ -1,0 +1,168 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static bodies of the custom expressions, shared by interpreted eval and
+  * generated code. A standalone Scala object gets Java static forwarders,
+  * so whole-stage-codegen'd Java calls these directly — one static call per
+  * row instead of a CodegenFallback expression that drops the enclosing
+  * operator out of codegen.
+  */
+object ExprOps {
+
+  /** Distinct character n-grams in first-occurrence order (codepoint
+    * semantics); `sortGrams` → UTF8String (byte) order instead.
+    */
+  def charNgrams(s: UTF8String, n: Int, sortGrams: Boolean): ArrayData = {
+    val bytes = s.getBytes
+    // codepoint start offsets (O(len) walk — substringSQL per position
+    // would be O(len²))
+    val offs = new java.util.ArrayList[Int]()
+    var o = 0
+    while (o < bytes.length) {
+      offs.add(o)
+      o += UTF8String.numBytesForFirstByte(bytes(o))
+    }
+    offs.add(bytes.length)
+    val len = offs.size() - 1
+    if (n <= 0 || len - n + 1 <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
+    while (i <= len - n) {
+      val from = offs.get(i)
+      seen.add(UTF8String.fromBytes(bytes, from, offs.get(i + n) - from))
+      i += 1
+    }
+    val arr = seen.toArray.asInstanceOf[Array[AnyRef]]
+    if (sortGrams) java.util.Arrays.sort(arr,
+      (a: AnyRef, b: AnyRef) =>
+        a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]))
+    new GenericArrayData(arr)
+  }
+
+  /** Count of distinct common elements of two string arrays. */
+  def intersectCount(a: ArrayData, b: ArrayData): Int = {
+    val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) {
+      set.add(small.getUTF8String(i)); i += 1
+    }
+    var cnt = 0
+    val seen = new java.util.HashSet[UTF8String]()
+    i = 0
+    while (i < large.numElements()) {
+      val e = large.getUTF8String(i)
+      if (set.contains(e) && seen.add(e)) cnt += 1
+      i += 1
+    }
+    cnt
+  }
+
+  /** Distinct word w-shingles in first-occurrence order. */
+  def wordShingles(toks: ArrayData, w: Int): ArrayData = {
+    val n = toks.numElements()
+    if (w <= 0 || n - w + 1 <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val space = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](2 * w - 1)
+    var i = 0
+    while (i <= n - w) {
+      var j = 0
+      while (j < w) {
+        if (j > 0) parts(2 * j - 1) = space
+        parts(2 * j) = toks.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concat(parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[AnyRef]])
+  }
+
+  private def jAtLeast(inter: Int, total: Int, t: Double): Boolean = {
+    val union = total - inter
+    if (union == 0) false // matches jaccard() = 0.0 for two empty arrays
+    else inter.toDouble / union.toDouble >= t
+  }
+
+  /** `jaccard(a, b) >= t` over two SORTED distinct string arrays: one merge
+    * scan with conservative early exits (see JaccardGeq's exactness
+    * contract — the decisive division is identical to the scorer's).
+    */
+  def jaccardGeq(a: ArrayData, b: ArrayData, t: Double): Boolean = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val total = na + nb
+    val maxI = math.min(na, nb)
+    // minimal intersection count that satisfies the predicate, found by
+    // binary search with the IDENTICAL double test (J monotonic in I) —
+    // the merge loop below then needs only integer compares
+    var lo = 0; var hi = maxI + 1
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (jAtLeast(mid, total, t)) hi = mid else lo = mid + 1
+    }
+    val required = lo // maxI+1 ⇒ unreachable
+    if (required == 0) return true
+    if (required > maxI) return false
+    var i = 0; var j = 0; var m = 0
+    while (i < na && j < nb) {
+      if (m >= required) return true
+      if (m + math.min(na - i, nb - j) < required) return false
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { m += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    m >= required
+  }
+
+  /** Schedule-time parse → seconds past midnight (reference rules; see
+    * ParseScheduleTime's Scaladoc).
+    */
+  def parseScheduleTime(v: UTF8String): Int = {
+    val raw = v.toString
+    // cleaned = strip ASCII spaces only, case preserved (the reference does
+    // time_str.replace(' ', '') and nothing else)
+    val sb = new java.lang.StringBuilder(raw.length)
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c != ' ') sb.append(c)
+      i += 1
+    }
+    val s = sb.toString
+    // ^(\d{1,2})(?::(\d{1,2}))?(AM|PM)$  (uppercase suffix required: the
+    // reference gates on a literal 'AM'/'PM' substring before parsing)
+    val n = s.length
+    if (n < 3) return 0
+    val ap = s.substring(n - 2)
+    if (ap != "AM" && ap != "PM") return 0
+    val body = s.substring(0, n - 2)
+    var hh = 0; var mm = 0
+    val colon = body.indexOf(':')
+    def digits(str: String, lo: Int, hi: Int): Boolean = {
+      if (hi <= lo) return false
+      var j = lo
+      while (j < hi) { if (!Character.isDigit(str.charAt(j))) return false; j += 1 }
+      true
+    }
+    if (colon >= 0) {
+      val mmLen = body.length - colon - 1
+      if (!digits(body, 0, colon) || colon > 2 ||
+          mmLen < 1 || mmLen > 2 || !digits(body, colon + 1, body.length)) return 0
+      hh = body.substring(0, colon).toInt
+      mm = body.substring(colon + 1).toInt
+    } else {
+      if (!digits(body, 0, body.length) || body.length > 2) return 0
+      hh = body.toInt
+    }
+    if (hh < 1 || hh > 12 || mm > 59) return 0
+    val hour24 = if (ap == "PM" && hh < 12) hh + 12
+                 else if (ap == "AM" && hh == 12) 0
+                 else hh
+    hour24 * 3600 + mm * 60
+  }
+}
