@@ -119,6 +119,26 @@ object ExprOps {
     m >= required
   }
 
+  /** Best Levenshtein ratio of `s` against a constant name list, with the
+    * exact per-pair formula of SimFns.levRatio / the DuckDB oracle:
+    * maxLen == 0 → 100.0 else (1.0 − d/maxLen) · 100.0 — same operations in
+    * the same order, so the running max is over bit-identical doubles.
+    */
+  def maxLevRatio(s: UTF8String, names: Array[UTF8String]): Double = {
+    val slen = s.numChars()
+    var best = Double.NegativeInfinity
+    var i = 0
+    while (i < names.length) {
+      val n = names(i)
+      val maxLen = math.max(slen, n.numChars())
+      val r = if (maxLen == 0) 100.0
+              else (1.0 - s.levenshteinDistance(n).toDouble / maxLen.toDouble) * 100.0
+      if (r > best) best = r
+      i += 1
+    }
+    best
+  }
+
   /** Schedule-time parse → seconds past midnight (reference rules; see
     * ParseScheduleTime's Scaladoc).
     */

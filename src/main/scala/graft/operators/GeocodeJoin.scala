@@ -89,21 +89,23 @@ object GeocodeJoin {
   }
 
   /** J8 — fuzzy serviceability tag: best Levenshtein-ratio match of the
-    * normalized location against the (broadcast) serviceable list; "Yes"
-    * iff best ratio ≥ 90 (reference threshold).
+    * normalized location against the serviceable list; "Yes" iff best
+    * ratio ≥ 90 (reference threshold).
+    *
+    * The list is tiny by construction (69 municipalities), so it is
+    * collected once and compiled into a single-pass MaxLevRatio projection:
+    * a narrow map stage with no ×N row expansion and no groupBy re-shuffle
+    * — the shape that stays cheap at 100 TB of inputs. Per-pair math is
+    * bit-identical to the crossJoin + max formulation (spec-proven).
     */
   def tagViable(inputs: DataFrame, serviceable: DataFrame, locCol: String,
                 svcNameCol: String, threshold: Double = 90.0): DataFrame = {
-    val normIn  = inputs.repartition(inputs.columns.map(col): _*)
-      .withColumn("__loc", TextFns.normalizeLocation(col(locCol)))
-    val normSvc = broadcast(serviceable
-      .select(TextFns.normalizeLocation(col(svcNameCol)).as("__svc")))
-    val scored = normIn.crossJoin(normSvc)
-      .withColumn("__ratio", SimFns.levRatio(col("__loc"), col("__svc")))
-    val keyCols = inputs.columns.map(col).toSeq
-    scored.groupBy(keyCols: _*)
-      .agg(max(col("__ratio")).as("__best"))
-      .withColumn("is_serviceable", when(col("__best") >= threshold, lit("Yes")).otherwise(lit("No")))
-      .drop("__best", "__loc")
+    val names = serviceable
+      .select(TextFns.normalizeLocation(col(svcNameCol)).as("n"))
+      .collect().map(_.getString(0)).toSeq
+    inputs.withColumn("is_serviceable",
+      when(graft.expressions.MaxLevRatio(
+          TextFns.normalizeLocation(col(locCol)), names) >= threshold, lit("Yes"))
+        .otherwise(lit("No")))
   }
 }

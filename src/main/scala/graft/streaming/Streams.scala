@@ -75,6 +75,20 @@ object Streams {
       }
   }
 
+  /** Streaming exact dedup: drop re-deliveries of the same key arriving
+    * within the watermark horizon — the streaming form of exact dedup (A2 /
+    * dedup_exact) for an at-least-once source. State is BOUNDED: a key's
+    * fingerprint is evicted once the watermark passes it, so memory tracks
+    * the horizon, not the stream length — the property that keeps this
+    * viable on an unbounded 100 TB/day feed (unbounded dropDuplicates
+    * state would OOM).
+    */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+                  tsCol: String = "ts",
+                  watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Streaming upsert sink: foreachBatch applying the K4 staged merge into
     * a warehouse table — the streaming form of the reference's
     * staging+MERGE load (idempotent per key within a batch).

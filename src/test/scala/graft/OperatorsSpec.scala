@@ -185,6 +185,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("Quezon City") == "Yes" && got("Narnia") == "No")
   }
 
+  test("J8 MaxLevRatio ≡ crossJoin + max(levRatio) formulation") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdef ñ"
+    def rs(n: Int) = (0 until rnd.nextInt(n)).map(_ =>
+      alphabet(rnd.nextInt(alphabet.length))).mkString
+    val names = Seq.fill(12)(rs(10)) :+ "" // include empty name
+    val inputs = (Seq.fill(60)(rs(14)) :+ "").toDF("s")
+    val svc = names.map(Tuple1(_)).toDF("n")
+    val fast = inputs.select($"s",
+      graft.expressions.MaxLevRatio($"s", names).as("best"))
+    val ref = inputs.crossJoin(broadcast(svc))
+      .groupBy($"s").agg(max(graft.functions.SimFns.levRatio($"s", $"n")).as("best"))
+    val f = fast.distinct().orderBy("s", "best").as[(String, Double)].collect().toSeq
+    val r = ref.orderBy("s", "best").as[(String, Double)].collect().toSeq
+    assert(f == r) // bit-identical doubles, not approximate
+  }
+
   // ---- Schema inference --------------------------------------------
 
   test("schema inference: widening + custom_fields forced nullable") {

@@ -34,6 +34,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedup within watermark: re-delivered keys dropped, state bounded") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val dd = Streams.dedupStream(mem.toDF(), Seq("event_id"), "ts", "30 minutes")
+    val q = dd.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:05"), 1, "click", 1.0), // re-delivery
+        Event(2, ts("2024-01-01 10:01:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      mem.addData( // same batch key dup + advance watermark past horizon
+        Event(2, ts("2024-01-01 10:02:00"), 2, "view", 2.0), // re-delivery
+        Event(3, ts("2024-01-01 11:30:00"), 3, "click", 3.0))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .as[Long].collect().toSeq.sorted
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("sessionize: 30-min gap splits sessions; state emits on timeout") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
