@@ -1,5 +1,6 @@
 package graft.expressions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -117,6 +118,37 @@ object ExprOps {
       else j += 1
     }
     m >= required
+  }
+
+  /** Sort an array of structs by their full field tuple and concatenate the
+    * LAST field (string) with `sep`, skipping nulls — array_sort +
+    * transform(_.getField) + array_join fused into one pass with a direct
+    * row comparator instead of an interpreted comparator lambda per
+    * comparison.
+    */
+  def sortJoinLast(arr: ArrayData, sep: UTF8String,
+                   ord: java.util.Comparator[AnyRef], numFields: Int): UTF8String = {
+    val n = arr.numElements()
+    val rows = new java.util.ArrayList[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      // copy: unsafe-backed structs share their buffer with the array
+      if (!arr.isNullAt(i)) rows.add(arr.getStruct(i, numFields).copy())
+      i += 1
+    }
+    val a = rows.toArray
+    java.util.Arrays.sort(a, ord)
+    val parts = new java.util.ArrayList[UTF8String](2 * a.length)
+    i = 0
+    while (i < a.length) {
+      val r = a(i).asInstanceOf[InternalRow]
+      if (!r.isNullAt(numFields - 1)) {
+        if (!parts.isEmpty) parts.add(sep)
+        parts.add(r.getUTF8String(numFields - 1))
+      }
+      i += 1
+    }
+    UTF8String.concat(parts.toArray(new Array[UTF8String](parts.size())): _*)
   }
 
   /** Best Levenshtein ratio of `s` against a constant name list, with the

@@ -18,12 +18,24 @@ import org.apache.spark.sql.functions._
 object Convo {
 
   /** Generic sorted string agg: group by `groupCol`, order rows by
-    * `orderCols` (must be struct-sortable; make them unique for full
-    * determinism), render each row with `rendered`, join with `sep`.
+    * `orderCols` (must be struct-sortable; make them unique and non-null
+    * for full determinism), render each row with `rendered`, join with
+    * `sep`. The sort+extract+join tail runs as one compiled pass
+    * (SortJoinLastField) instead of three interpreted HOF evaluations.
     */
   def sortedStringAgg(df: DataFrame, groupCol: String, orderCols: Seq[Column],
                       rendered: Column, sep: String,
                       outCol: String = "convo"): DataFrame = {
+    val packed = struct(orderCols :+ rendered.as("__r"): _*)
+    df.groupBy(col(groupCol))
+      .agg(graft.expressions.SortJoinLastField(collect_list(packed), lit(sep))
+        .as(outCol))
+  }
+
+  /** Built-ins-only formulation, kept as the spec reference. */
+  def sortedStringAggHof(df: DataFrame, groupCol: String, orderCols: Seq[Column],
+                         rendered: Column, sep: String,
+                         outCol: String = "convo"): DataFrame = {
     val packed = struct(orderCols :+ rendered.as("__r"): _*)
     df.groupBy(col(groupCol))
       .agg(array_join(transform(array_sort(collect_list(packed)),

@@ -38,6 +38,23 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SortJoinLastField ≡ array_sort+transform+array_join (convo agg)") {
+    val rows = (1 to 200).map { i =>
+      (rnd.nextInt(10).toLong,                        // group
+       new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 1000L),
+       i.toLong,                                      // unique tiebreak
+       randText(20))                                  // rendered payload
+    }
+    val df = rows.toDF("g", "ts", "id", "r")
+    val fast = graft.operators.Convo.sortedStringAgg(
+      df, "g", Seq($"ts", $"id"), $"r", "\n\n")
+    val ref = graft.operators.Convo.sortedStringAggHof(
+      df, "g", Seq($"ts", $"id"), $"r", "\n\n")
+    val f = fast.orderBy("g").as[(Long, String)].collect().toSeq
+    val h = ref.orderBy("g").as[(Long, String)].collect().toSeq
+    assert(f == h)
+  }
+
   test("CharNgrams dynamic n per row ≡ HOF") {
     val texts = Seq.fill(30)(randText(120))
     val got = texts.toDF("s").select(
