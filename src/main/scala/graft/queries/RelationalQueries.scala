@@ -391,6 +391,55 @@ object RelationalQueries {
              count(*) AS n_events
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
+    // S6 — nested message-group flatten: per-parent array<struct> exploded
+    // to wide rows, parents with NO messages kept as a base row
+    // (Ticket.py:143-186, explode_outer at :182-183). The array is built
+    // in-query (orders × their high-linenumber lineitems) so the oracle can
+    // replicate it; sorted for cross-engine determinism.
+    QueryDef("s6_flatten_outer", (s, dir) => {
+      val li = t("lineitem")(s, dir).where(col("l_linenumber") >= 5)
+        .select(col("l_orderkey"),
+          struct(col("l_linenumber").as("ln"), col("l_quantity").as("qty")).as("m"))
+      val grouped = li.groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("m"))).as("msgs"))
+      val or = t("orders")(s, dir).where(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"))
+      or.join(grouped, col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("o_orderkey"), explode_outer(col("msgs")).as("m"))
+        .select(col("o_orderkey"), col("m.ln").as("ln"), col("m.qty").as("qty"))
+        .orderBy(col("o_orderkey"), col("ln"), col("qty"))
+    }, Some("""
+      WITH li AS (SELECT l_orderkey, l_linenumber AS ln, l_quantity AS qty
+                  FROM lineitem WHERE l_linenumber >= 5),
+      g AS (SELECT l_orderkey, list_sort(list(struct_pack(ln := ln, qty := qty))) AS msgs
+            FROM li GROUP BY l_orderkey),
+      o AS (SELECT o_orderkey FROM orders WHERE o_orderkey < 5000),
+      j AS (SELECT o.o_orderkey,
+                   CASE WHEN g.msgs IS NULL OR len(g.msgs) = 0 THEN [NULL] ELSE g.msgs END AS msgs
+            FROM o LEFT JOIN g ON o.o_orderkey = g.l_orderkey),
+      x AS (SELECT o_orderkey, unnest(msgs) AS m FROM j)
+      SELECT o_orderkey, m.ln AS ln, m.qty AS qty FROM x
+      ORDER BY o_orderkey, ln, qty""")),
+
+    // J3 — ticket-metadata enrichment join with fallback values for misses
+    // (Ticket.py:96-106: cache hit else passed-arg fallback).
+    QueryDef("j3_metadata_join", (s, dir) => {
+      val ev = t("events")(s, dir).select(col("event_id"), col("user_id"))
+      val meta = t("customer")(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      ev.join(broadcast(meta), col("user_id") === col("c_custkey"), "left")
+        .select(col("event_id"),
+          coalesce(col("c_name"), concat(lit("user-"), col("user_id").cast("string")))
+            .as("owner_name"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id,
+             coalesce(c_name, 'user-' || CAST(user_id AS VARCHAR)) AS owner_name,
+             coalesce(c_mktsegment, 'UNKNOWN') AS segment
+      FROM events LEFT JOIN customer ON user_id = c_custkey
+      ORDER BY event_id""")),
+
     // F13 — JSON field extraction (LLM output parse shape, LLMGateway.py:97-102).
     QueryDef("f13_json_extract", (s, dir) => {
       t("events")(s, dir)
