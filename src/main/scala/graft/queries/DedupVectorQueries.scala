@@ -232,6 +232,23 @@ object DedupVectorQueries {
       ORDER BY query_id, rank"""
     }),
 
+    // Training-data split assignment: md5-bucketed deterministic
+    // train/val/test — stable across runs, shards, and engines.
+    QueryDef("split_assign", (s, dir) => {
+      graft.operators.Splits.withSplit(
+          t("documents")(s, dir).select(col("doc_id")), "doc_id")
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CASE WHEN b < 90 THEN 'train'
+                  WHEN b < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 AS b
+            FROM documents)
+      ORDER BY doc_id""")),
+
     // Streaming-shaped: tumbling 1-hour window aggregation (batch form of
     // the Structured Streaming query in graft.streaming).
     QueryDef("stream_window_1h", (s, dir) => {

@@ -242,6 +242,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("splits: deterministic, complete, and roughly proportioned") {
+    val df = (1L to 2000L).toDF("id")
+    val s1 = graft.operators.Splits.withSplit(df, "id")
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(s1.values.sum == 2000L)
+    assert(s1("train") > 1600 && s1("val") > 40 && s1("test") > 40)
+    // same assignment on a re-run and on a differently-partitioned input
+    val a = graft.operators.Splits.withSplit(df, "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    val b = graft.operators.Splits.withSplit(df.repartition(13), "id")
+      .orderBy("id").as[(Long, String)].collect().toSeq
+    assert(a == b)
+  }
+
   test("components: chain clusters collapse to min-id keeper") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L)).toDF("id_a", "id_b")
     val got = Dedup.components(pairs).orderBy("id")
