@@ -286,6 +286,28 @@ object TextSimQueries {
       FROM customer ORDER BY c_custkey"""
     }),
 
+    // Corpus profiling: per-language token-count quartiles (exact
+    // interpolated percentile — Spark `percentile` and DuckDB
+    // `quantile_cont` share the linear-interpolation definition, and
+    // quarter fractions over integer-valued doubles are exactly
+    // representable, so the compare stays bit-exact).
+    QueryDef("text_token_quantiles", (s, dir) => {
+      t("documents")(s, dir)
+        .select(col("lang"),
+          TextAnalysisFns.wordCount(col("text")).cast("double").as("wc"))
+        .groupBy(col("lang"))
+        .agg(expr("percentile(wc, 0.25D)").as("p25"),
+          expr("percentile(wc, 0.5D)").as("p50"),
+          expr("percentile(wc, 0.75D)").as("p75"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }, Some(s"""
+      WITH w AS (SELECT lang, CAST(len(${Sql.tokens("text")}) AS DOUBLE) AS wc
+                 FROM documents)
+      SELECT lang, quantile_cont(wc, 0.25) AS p25, quantile_cont(wc, 0.5) AS p50,
+             quantile_cont(wc, 0.75) AS p75, count(*) AS n_docs
+      FROM w GROUP BY lang ORDER BY lang""")),
+
     // F17 — datetime → ISO string at the serialization edge
     // (api/logs/routes.py:15-25).
     QueryDef("f17_date_format", (s, dir) => {
