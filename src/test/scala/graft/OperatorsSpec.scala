@@ -331,6 +331,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf == ivf2)
   }
 
+  test("IVF: array<double> embeddings train and probe like float") {
+    val rndv = new scala.util.Random(13)
+    val docs = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(4)(rndv.nextDouble() * (if (i % 2 == 0) 1 else -1)))
+    }.toDF("vec_id", "embedding") // array<double>, not array<float>
+    val idx = Ann.ivfTrain(docs, "vec_id", "embedding", nlist = 2, iters = 3)
+    assert(idx.centroids.size == 2)
+    val got = Ann.ivfTopK(docs.where($"vec_id" < 2), docs,
+      "vec_id", "embedding", 3, idx, nprobe = 2)
+    assert(got.count() == 6)
+  }
+
   test("TopKPerProbe custom operator ≡ window formulation (j7 shape)") {
     val dir = "/root/testdata/sf0.001"
     val inputs = Tables.load(spark, dir, "part").select(col("p_name")).distinct()
