@@ -51,47 +51,50 @@ object Multimodal {
     out
   }
 
-  /** Feature extraction over the media table: mapPartitions (one decoder
-    * init per partition — the expensive part with a real codec), emitting
-    * (media_id, features, n_bytes).
+  /** Feature extraction over the media table: typed Dataset mapPartitions
+    * (one decoder init per partition — the expensive part with a real
+    * codec), emitting (media_id, features, n_bytes). Stays in the
+    * Dataset/Encoder world — no raw RDD hop.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
-    val schema = StructType(Seq(
-      StructField("media_id", LongType),
-      StructField("features", ArrayType(FloatType, containsNull = false)),
-      StructField("n_bytes", LongType)))
-    val idIdx = media.columns.indexOf("media_id")
-    val payIdx = media.columns.indexOf("payload")
-    val rows = media.toDF().rdd.mapPartitions { it =>
-      // real impl: init decoder/codec once here, per partition
-      it.map { r =>
-        val payload = r.get(payIdx) match {
-          case b: Array[Byte] => b
-          case _ => null
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: init decoder/codec once here, per partition
+        it.map { case (id, payload) =>
+          (id, decodeStub(payload),
+            if (payload == null) 0L else payload.length.toLong)
         }
-        Row(r.getLong(idIdx), decodeStub(payload).toSeq,
-          if (payload == null) 0L else payload.length.toLong)
       }
-    }
-    spark.createDataFrame(rows, schema)
+      .toDF("media_id", "features", "n_bytes")
   }
 
   /** Byte-budget repartitioning: pack rows into partitions of roughly
-    * `targetBytes` by bucketing the cumulative payload size — the
-    * size-skew answer for media tables. Deterministic given input order of
-    * media_id.
+    * `targetBytes` of payload — the size-skew answer for media tables (a
+    * 4K video and a thumbnail must not count the same).
+    *
+    * Scale shape: the cumulative-sum window is PARTITIONED (hash of
+    * media_id into `parallelism` groups), so no single task ever sees the
+    * whole table — a global ORDER BY window would serialize 100 TB through
+    * one task. Each group packs its own rows into `(group, localBucket)`
+    * cells of ≤ targetBytes (+ one row of slack); the final repartition
+    * hashes those cells across the cluster. Deterministic given media_id.
     */
-  def repartitionByBytes(media: DataFrame, targetBytes: Long): DataFrame = {
+  def repartitionByBytes(media: DataFrame, targetBytes: Long,
+                         parallelism: Int = 64): DataFrame = {
     val sized = media.withColumn("__sz",
       coalesce(length(col("payload")).cast("long"), lit(0L)))
+      .withColumn("__grp", pmod(hash(col("media_id")), lit(parallelism)))
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("media_id"))
+      .partitionBy(col("__grp")).orderBy(col("media_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val bucketed = sized
       .withColumn("__cum", sum(col("__sz")).over(w))
-      .withColumn("__bucket", (col("__cum") / lit(targetBytes)).cast("long"))
-    val n = math.max(1, bucketed.agg(max(col("__bucket"))).first().getLong(0).toInt + 1)
-    bucketed.repartition(n, col("__bucket")).drop("__sz", "__cum", "__bucket")
+      .withColumn("__bucket",
+        concat(col("__grp"), lit("#"), (col("__cum") / lit(targetBytes)).cast("long")))
+    val n = math.max(1, bucketed.select(col("__bucket")).distinct().count().toInt)
+    bucketed.repartition(n, col("__bucket")).drop("__sz", "__grp", "__cum", "__bucket")
   }
 }
