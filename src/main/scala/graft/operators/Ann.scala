@@ -140,14 +140,22 @@ object Ann {
     VecFns.dot(v, v) - lit(2.0) * VecFns.dot(v, c) + lit(cv.map(x => x * x).sum)
   }
 
+  /** (distance², centroid id) structs for every centroid — struct ordering
+    * is lexicographic, so `array_min` picks nearest-with-lowest-id and
+    * `array_sort` ranks probes, both with LINEAR expression size in
+    * `nlist` (a when-chain reduce would double the expression tree per
+    * centroid — 2^nlist plan blow-up).
+    */
+  private def cellStructs(v: Column, centroids: Seq[(Int, Seq[Double])]): Column =
+    array(centroids.map { case (cid, cv) =>
+      struct(distSqTo(v, cv).as("d"), lit(cid).as("cid"))
+    }: _*)
+
   /** Nearest centroid (L2, ties → lowest centroid id) per row. */
   private def assignToCentroids(df: DataFrame, vecCol: String,
-                                centroids: Seq[(Int, Seq[Double])]): DataFrame = {
-    val best = centroids.map { case (cid, cv) =>
-      struct(distSqTo(col(vecCol), cv).as("d"), lit(cid).as("cid"))
-    }.reduce((a, b) => when(b.getField("d") < a.getField("d"), b).otherwise(a))
-    df.withColumn("__centroid", best.getField("cid"))
-  }
+                                centroids: Seq[(Int, Seq[Double])]): DataFrame =
+    df.withColumn("__centroid",
+      array_min(cellStructs(col(vecCol), centroids)).getField("cid"))
 
   /** IVF top-k: assign corpus to cells once, probe the `nprobe` cells
     * nearest each query, exact cosine rank within the probed subset. The
@@ -161,10 +169,7 @@ object Ann {
         col("__centroid").as("cell"),
         VecFns.norm(col(vecCol)).as("cn"))
     // per-query probe list: nprobe nearest centroids
-    val probeStructs = index.centroids.map { case (cid, cv) =>
-      struct(distSqTo(col(vecCol), cv).as("d"), lit(cid).as("cid"))
-    }
-    val probes = array_sort(array(probeStructs: _*))
+    val probes = array_sort(cellStructs(col(vecCol), index.centroids))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         VecFns.norm(col(vecCol)).as("qn"),
         slice(transform(probes, p => p.getField("cid")), 1, nprobe).as("cells"))

@@ -248,6 +248,96 @@ object AnalyticsQueries {
       QUALIFY rank <= 3
       ORDER BY doc_id, rank""")),
 
+    // UNPIVOT (wide→long melt): one row per (lineitem, metric). Spark's
+    // native unpivot ≡ the oracle's UNION ALL expansion. Narrow op — no
+    // shuffle, output is |rows| × |metrics|.
+    QueryDef("unpivot_metrics", (s, dir) => {
+      t("lineitem")(s, dir)
+        .where(col("l_orderkey") < 3000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount")),
+          "metric", "metric_value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }, Some("""
+      WITH base AS (SELECT l_orderkey, l_linenumber,
+                           CAST(l_quantity AS DOUBLE) AS quantity,
+                           CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                           CAST(l_discount AS DOUBLE) AS discount
+                    FROM lineitem WHERE l_orderkey < 3000)
+      SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+             quantity AS metric_value FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'extendedprice', extendedprice FROM base
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'discount', discount FROM base
+      ORDER BY l_orderkey, l_linenumber, metric""")),
+
+    // Pearson correlation from exact moment sums: the built-in corr()
+    // accumulates doubles in partition order (not reproducible), so the
+    // moments are summed in DECIMAL (order-free) and the final formula is
+    // the identical double operation tree in both engines (sqrt is
+    // IEEE-correctly-rounded, unlike log).
+    QueryDef("stats_corr", (s, dir) => {
+      val x = col("value")
+      val y = col("user_id").cast("double")
+      val agged = t("events")(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum(x.cast("decimal(18,4)")).cast("double").as("sx"),
+          sum(y.cast("decimal(18,4)")).cast("double").as("sy"),
+          sum((x * x).cast("decimal(28,8)")).cast("double").as("sxx"),
+          sum((y * y).cast("decimal(28,8)")).cast("double").as("syy"),
+          sum((x * y).cast("decimal(28,8)")).cast("double").as("sxy"))
+      agged.select(col("event_type"), col("n"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_xy"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH m AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+               CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+               CAST(sum(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS syy,
+               CAST(sum(CAST(value * CAST(user_id AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+        FROM events GROUP BY event_type)
+      SELECT event_type, n,
+             (n * sxy - sx * sy) /
+               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+      FROM m ORDER BY event_type""")),
+
+    // Sliding windows (1 h window, 30 min slide) — batch form of the
+    // streaming sliding aggregation. Each event lands in exactly two
+    // windows (floor-to-slide and one slide earlier); the oracle unnests
+    // both starts per row. DECIMAL sums keep the per-window totals exact.
+    QueryDef("stream_window_slide", (s, dir) => {
+      t("events")(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("total_value"))
+        .select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("window_start"))
+    }, Some("""
+      WITH starts AS (
+        SELECT unnest([
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 * 1800000000,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 1800000000 * 1800000000
+                   - 1800000000
+               ]) AS s_us, value
+        FROM events)
+      SELECT make_timestamp(s_us) AS window_start,
+             count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+      FROM starts GROUP BY 1 ORDER BY 1""")),
+
     // Stratified deterministic sampling: event-type-dependent keep rates
     // (keep purchases at 60%, clicks at 25%, the rest at 5%).
     QueryDef("sample_stratified", (s, dir) => {

@@ -89,6 +89,30 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream interval join: each left event picks up the right-side
+    * events with matching keys whose time falls in
+    * `[left.ts − lookback, left.ts]` — the streaming form of the batch
+    * bounded range join (graft.operators.RangeJoin).
+    *
+    * Both inputs carry watermarks and the join condition bounds BOTH event
+    * times, which is exactly what lets Spark evict join state: each side
+    * buffers only `watermark + lookback` of history, so state is
+    * horizon-bounded on an unbounded feed. `keys` maps left→right column
+    * names (the sides must not share column names — rename apart first).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   keys: Seq[(String, String)],
+                   leftTs: String, rightTs: String,
+                   lookback: String = "1 hour",
+                   watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val cond = keys.map { case (lk, rk) => col(lk) === col(rk) }.reduce(_ && _) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+      col(rightTs) <= col(leftTs)
+    l.join(r, cond)
+  }
+
   /** Streaming upsert sink: foreachBatch applying the K4 staged merge into
     * a warehouse table — the streaming form of the reference's
     * staging+MERGE load (idempotent per key within a batch).

@@ -83,6 +83,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: bounded lookback, state evicted by watermark") {
+    implicit val sq = spark.sqlContext
+    val errs = MemoryStream[Event]
+    val purch = MemoryStream[Event]
+    val joined = Streams.intervalJoin(
+      errs.toDF().select(col("event_id").as("err_id"), col("ts").as("err_ts"),
+        col("user_id").as("err_user")),
+      purch.toDF().select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+        col("user_id").as("p_user")),
+      keys = Seq(("err_user", "p_user")), leftTs = "err_ts", rightTs = "p_ts",
+      lookback = "1 hour", watermark = "30 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try {
+      purch.addData(
+        Event(100, ts("2024-01-01 10:00:00"), 1, "purchase", 5.0),
+        Event(101, ts("2024-01-01 10:40:00"), 1, "purchase", 6.0),
+        Event(102, ts("2024-01-01 08:00:00"), 1, "purchase", 7.0), // too old
+        Event(103, ts("2024-01-01 10:30:00"), 2, "purchase", 8.0)) // other user
+      errs.addData(Event(1, ts("2024-01-01 10:45:00"), 1, "error", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("ij_out").select("err_id", "p_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 100L), (1L, 101L)))
+    } finally q.stop()
+  }
+
   test("streaming upsert sink: foreachBatch merges into warehouse table") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-wh").toString
