@@ -90,6 +90,26 @@ object Sql {
   def lshBandKeys(sig: String, b: Int, r: Int): String =
     s"list_transform(generate_series(0, ${b - 1}), i -> CAST(i AS VARCHAR) || '#' || md5(array_to_string(($sig)[i*$r+1:i*$r+$r], ',')))"
 
+  /** 60-bit md5-prefix hash (mirrors SketchFns.hash60). */
+  def hash60(v: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($v AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  /** Leading-one rank in the 51-bit HLL remainder window (mirrors
+    * SketchFns.hllRho — a generated branch chain, NOT log2: libm rounding
+    * is not portable across engines).
+    */
+  def hllRho(rem: String): String = {
+    val bits = graft.functions.SketchFns.HllRemBits
+    val cases = (0 until bits)
+      .map(i => s"WHEN $rem >= ${1L << (bits - 1 - i)} THEN ${i + 1}")
+      .mkString(" ")
+    s"CASE $cases ELSE ${bits + 1} END"
+  }
+
+  /** Count-Min cell for hash row j (mirrors SketchFns.cmsCell). */
+  def cmsCell(j: String, v: String, width: Int): String =
+    s"CAST(concat('0x', substr(md5(CAST($j AS VARCHAR) || ':' || CAST($v AS VARCHAR)), 1, 8)) AS BIGINT) % $width"
+
   /** Rolling fingerprint (mirrors HashFns.rollingFingerprint). */
   def rollingFingerprint(toks: String): String = {
     val vals = s"list_transform($toks, t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))"

@@ -37,4 +37,62 @@ class SketchSpec extends AnyFunSuite {
       .first().getDouble(0)
     assert(math.abs(q - 50000.0) < 1000.0)
   }
+
+  // ---- portable md5-prefix sketches (graft.functions.SketchFns) -------
+
+  import graft.functions.SketchFns
+
+  test("portable HLL: estimate within m=512 error bound; duplicates don't move it") {
+    val n = 20000L
+    val df = spark.range(0, n).select(col("id"))
+    def estimate(d: org.apache.spark.sql.DataFrame): Double = {
+      val h = SketchFns.hash60(col("id"))
+      val regs = d.select(SketchFns.hllBucket(h).as("bucket"),
+          SketchFns.hllRho(SketchFns.hllRem(h)).as("rho"))
+        .groupBy("bucket").agg(max(col("rho")).as("maxrho"))
+      regs.agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - maxrho)")).as("sp"),
+          count(lit(1)).as("nb"))
+        .select(SketchFns.hllEstimate(col("sp"), col("nb")).as("e"))
+        .first().getDouble(0)
+    }
+    val e = estimate(df)
+    // standard error ~1.04/sqrt(512) = 4.6%; allow 4 sigma
+    assert(math.abs(e - n) < n * 0.19, s"estimate $e vs exact $n")
+    // multiset-insensitive: the registers are max-aggregated
+    assert(estimate(df.union(df)) == e)
+  }
+
+  test("portable HLL rho: branch chain equals leading-zero arithmetic") {
+    val rows = spark.range(0, 2000).select(
+      (col("id") * 2654435761L % (1L << SketchFns.HllRemBits)).as("rem"))
+    val got = rows.select(col("rem"), SketchFns.hllRho(col("rem")).as("rho"))
+      .collect()
+    got.foreach { r =>
+      val rem = r.getLong(0)
+      val expected =
+        if (rem == 0) SketchFns.HllRemBits + 1
+        else java.lang.Long.numberOfLeadingZeros(rem) - (64 - SketchFns.HllRemBits) + 1
+      assert(r.getInt(1) == expected, s"rem=$rem")
+    }
+  }
+
+  test("portable CMS: overestimate-only, exact when no cell collision") {
+    import spark.implicits._
+    val ev = Seq.tabulate(3000)(i => (i % 37, 1)).toDF("k", "one")
+    val sketch = ev.select(col("k"), explode(sequence(lit(0), lit(3))).as("j"))
+      .groupBy(col("j"), SketchFns.cmsCell(col("j"), col("k"), 256).as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = ev.groupBy(col("k")).agg(count(lit(1)).as("n_exact"))
+    val probed = exact
+      .select(col("k"), col("n_exact"), explode(sequence(lit(0), lit(3))).as("j"))
+      .withColumn("cell", SketchFns.cmsCell(col("j"), col("k"), 256))
+      .join(broadcast(sketch), Seq("j", "cell"))
+      .groupBy(col("k"), col("n_exact")).agg(min(col("cnt")).as("n_est"))
+      .collect()
+    assert(probed.length == 37)
+    probed.foreach(r => assert(r.getLong(2) >= r.getLong(1)))
+    // 37 keys in 256 cells × 4 rows: the min over rows is exact unless a
+    // key collides in ALL four rows — verify most keys resolve exactly
+    assert(probed.count(r => r.getLong(2) == r.getLong(1)) >= 30)
+  }
 }
