@@ -57,7 +57,10 @@ object Dedup {
       val slice = (i * rows until (i + 1) * rows).map(j => col(s"h$j"))
       concat(lit(s"$i#"), md5(concat_ws(",", slice: _*)))
     }
+    // both self-join sides read this frame: cache so the k-min signature
+    // aggregate runs once, not once per side
     val banded = sig.select(col("id"), explode(array(bandCols: _*)).as("band"))
+      .cache()
     val pairs = banded.alias("a")
       .join(banded.alias("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -96,8 +99,11 @@ object Dedup {
       when(col(s"v$q") > 0, lit(1L << q)).otherwise(lit(0L))).reduce(_ + _)
     val packed = low63 +
       when(col("v63") > 0, lit(Long.MinValue)).otherwise(lit(0L))
+    // both self-join sides read this frame: cache so the 64-vote hash
+    // aggregate (the expensive stage) runs once, not once per side
     val hashed = votes.select(col("id"), packed.as("simhash"))
       .withColumn("band", explode(graft.functions.HashFns.simhashBands(col("simhash"))))
+      .cache()
     hashed.alias("a")
       .join(hashed.alias("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
