@@ -168,6 +168,94 @@ object AdvancedQueries {
       WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
       ORDER BY event_id""")),
 
+    // Scalar-subquery filter: rows above the global mean — the aggregate
+    // is computed once and broadcast to the filter (a 1-row build side),
+    // never collected to the driver.
+    QueryDef("scalar_subquery_above_avg", (s, dir) => {
+      val or = t("orders")(s, dir)
+      val thr = or.agg(
+        (sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          / count(lit(1))).as("__thr"))
+      or.crossJoin(broadcast(thr))
+        .where(col("o_totalprice") > col("__thr"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_above"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n_above,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders
+      WHERE o_totalprice > (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                                        AS DOUBLE) / count(*) FROM orders)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Post-aggregation predicate (HAVING): repeat buyers only. The filter
+    // sits above the partial-agg + final-agg pair, so it prunes after one
+    // shuffle — no second pass.
+    QueryDef("having_repeat_buyers", (s, dir) => {
+      t("orders")(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+        .where(col("n_orders") >= 15)
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      SELECT o_custkey, count(*) AS n_orders,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+      ORDER BY o_custkey""")),
+
+    // §2.6 breadth — string-function family in one narrow projection
+    // (upper, lpad, reverse, position, substring, printf-format,
+    // translate), all codegen'd built-ins.
+    QueryDef("f18_string_family", (s, dir) => {
+      t("customer")(s, dir)
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("key_padded"),
+          reverse(col("c_name")).as("name_rev"),
+          instr(col("c_name"), "#").cast("long").as("hash_pos"),
+          substring(col("c_name"), 1, 8).as("name_prefix"),
+          format_string("%s|%d", col("c_mktsegment"), col("c_custkey")).as("seg_key"),
+          translate(lower(col("c_mktsegment")), "aeiou", "AEIOU").as("seg_tr"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey,
+             upper(c_name) AS name_upper,
+             lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+             reverse(c_name) AS name_rev,
+             CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+             substr(c_name, 1, 8) AS name_prefix,
+             printf('%s|%d', c_mktsegment, c_custkey) AS seg_key,
+             translate(lower(c_mktsegment), 'aeiou', 'AEIOU') AS seg_tr
+      FROM customer ORDER BY c_custkey""")),
+
+    // §2.6 breadth — array-function family over tokenized documents,
+    // reduced to scalars (array-valued outputs are forbidden by the
+    // exactness rules: element order differs across engines).
+    QueryDef("f19_array_family", (s, dir) => {
+      val toks = graft.functions.TextAnalysisFns.tokens(col("text"))
+      t("documents")(s, dir)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_toks"),
+          concat_ws(" ", slice(toks, 1, 3)).as("first3"),
+          array_contains(toks, "data").as("has_data"),
+          array_position(toks, "data").as("data_pos"),
+          element_at(toks, -1).as("last_tok"),
+          array_min(toks).as("min_tok"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             array_to_string(toks[1:3], ' ') AS first3,
+             list_contains(toks, 'data') AS has_data,
+             CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos,
+             toks[-1] AS last_tok,
+             list_min(toks) AS min_tok
+      FROM (SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents)
+      ORDER BY doc_id""")),
+
     // Time-RANGE window frame: trailing 1-hour sum per user, frame bounds
     // on the numeric event-time axis (micros) — RANGE peers make the
     // result independent of tie order; DECIMAL addition inside the frame
