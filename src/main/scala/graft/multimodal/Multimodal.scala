@@ -71,6 +71,70 @@ object Multimodal {
       .toDF("media_id", "features", "n_bytes")
   }
 
+  /** Deterministic stand-in for image resize: emits a fake thumbnail
+    * payload of exactly `w*h` bytes derived from the source bytes. ??? —
+    * replace with the real scaler; the contract (binary → binary of the
+    * target geometry, null-safe) is what the pipeline depends on.
+    */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(0, w * h))
+    if (payload == null || payload.isEmpty) return out
+    var i = 0
+    var acc = 1469598103934665603L
+    while (i < out.length) {
+      acc = (acc ^ payload(i % payload.length)) * 1099511628211L
+      out(i) = (acc >>> 56).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Thumbnail projection: typed mapPartitions batch shape (decoder init
+    * per partition), binary in → binary out + target geometry columns.
+    */
+  def resizeAll(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: init scaler once here, per partition
+        it.map { case (id, p) => (id, resizeStub(p, w, h), w, h) }
+      }
+      .toDF("media_id", "thumb", "width", "height")
+  }
+
+  /** Video frame sampling: one row per sampled frame, every `everyMs`
+    * across `meta.duration_ms` (frame 0 always included). The fan-out is a
+    * declarative `explode(sequence(...))` — Catalyst knows the output
+    * cardinality shape, and the per-frame decode happens AFTER the
+    * explode, so a long video's frames spread across tasks instead of
+    * being decoded inside one row's UDF call. Frame features come from the
+    * stub decoder seeded with the frame offset (??? — real impl: seek +
+    * decode the frame).
+    */
+  def sampleFrames(media: DataFrame, everyMs: Long): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id").cast("long"), col("payload"),
+        coalesce(col("meta.duration_ms"), lit(0L)).as("__dur"))
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), greatest(col("__dur") - 1, lit(0L)),
+          lit(everyMs))))
+      .select(col("media_id"), col("payload"), col("frame_ms"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        // real impl: open container + seek per frame here
+        it.map { case (id, p, ms) =>
+          val seeded = if (p == null) Array[Byte]()
+            else p :+ (ms & 0xFF).toByte :+ ((ms >> 8) & 0xFF).toByte
+          (id, ms, decodeStub(seeded))
+        }
+      }
+      .toDF("media_id", "frame_ms", "frame_features")
+  }
+
   /** Byte-budget repartitioning: pack rows into partitions of roughly
     * `targetBytes` of payload — the size-skew answer for media tables (a
     * 4K video and a thumbnail must not count the same).
