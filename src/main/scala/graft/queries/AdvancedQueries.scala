@@ -98,6 +98,94 @@ object AdvancedQueries {
       FROM probes GROUP BY user_id, n_exact
       ORDER BY n_exact DESC, user_id LIMIT 25""")),
 
+    // Grouped HLL: the register table keys by (group, bucket), so the
+    // sketch composes with ordinary aggregation — distinct event_ids per
+    // event_type estimated without a per-group count-distinct shuffle.
+    // (Raw estimator only: per-group cardinality here is ≫ 2.5m, outside
+    // the linear-counting regime — its ln() correction would not be
+    // bit-portable across engines.)
+    QueryDef("sketch_hll_grouped", (s, dir) => {
+      val ev = t("events")(s, dir)
+      val h = SketchFns.hash60(col("event_id"))
+      val regs = ev
+        .select(col("event_type"), SketchFns.hllBucket(h).as("bucket"),
+          SketchFns.hllRho(SketchFns.hllRem(h)).as("rho"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rho")).as("maxrho"))
+      val summed = regs.groupBy(col("event_type")).agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 52 - maxrho)")).as("sp"),
+        count(lit(1)).as("nb"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+      exact.join(summed, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"),
+          SketchFns.hllEstimate(col("sp"), col("nb")).as("hll_estimate"))
+        .orderBy(col("event_type"))
+    }, Some(s"""
+      WITH h AS (
+        SELECT event_type, ${Sql.hash60("event_id")} AS h FROM events
+      ), b AS (
+        SELECT event_type, h >> ${SketchFns.HllP + 42} AS bucket,
+               h & ${(1L << SketchFns.HllRemBits) - 1} AS rem FROM h
+      ), r AS (
+        SELECT event_type, bucket, ${Sql.hllRho("rem")} AS rho FROM b
+      ), m AS (
+        SELECT event_type, bucket, max(rho) AS maxrho
+        FROM r GROUP BY event_type, bucket
+      ), s AS (
+        SELECT event_type, sum(1::BIGINT << (52 - maxrho)) AS sp,
+               count(*) AS nb
+        FROM m GROUP BY event_type
+      ), x AS (
+        SELECT event_type, count(DISTINCT event_id) AS n_exact
+        FROM events GROUP BY event_type
+      )
+      SELECT x.event_type, x.n_exact,
+             0.7213 / (1.0 + 1.079 / 512.0) * 512.0 * 512.0
+               * 4503599627370496.0
+               / CAST(sp + (512 - nb) * 4503599627370496 AS DOUBLE)
+               AS hll_estimate
+      FROM x JOIN s ON x.event_type = s.event_type
+      ORDER BY x.event_type""")),
+
+    // Several DISTINCT aggregates in one pass — Catalyst plans this with
+    // an Expand (one stream per distinct set) feeding a single shuffle,
+    // not one job per aggregate.
+    QueryDef("a9_multi_distinct", (s, dir) => {
+      t("events")(s, dir)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("value").cast("decimal(10,2)")).as("n_values"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type,
+             count(DISTINCT user_id) AS n_users,
+             count(DISTINCT CAST(value AS DECIMAL(10,2))) AS n_values,
+             count(*) AS n_events
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // §2.6 breadth — regexp family (extract_all count, first match, rlike,
+    // global replace), reduced to scalars.
+    QueryDef("f20_regexp_family", (s, dir) => {
+      t("documents")(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_nums"),
+          regexp_extract(col("text"), "[0-9]+", 0).as("first_num"),
+          col("text").rlike("data|model").as("has_kw"),
+          length(regexp_replace(col("text"), "[aeiou]", ""))
+            .cast("long").as("novowel_len"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_nums,
+             coalesce(regexp_extract(text, '[0-9]+'), '') AS first_num,
+             regexp_matches(text, 'data|model') AS has_kw,
+             CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT)
+               AS novowel_len
+      FROM documents ORDER BY doc_id""")),
+
     // Keyed interval-overlap join: purchase windows × error windows of the
     // same user. The engine plan is the binned equi-join (IntervalJoin:
     // one (key, bin) shuffle, local first-bin dedup — no theta-join, no
