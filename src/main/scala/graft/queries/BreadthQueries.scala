@@ -1,0 +1,276 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 breadth: date/math scalar families, UNION/INTERSECT set ops,
+  * correlated NOT EXISTS, gaps-and-islands sessionization, SCD-2 history
+  * derivation, and the first/last/nth window-value family. Exactness
+  * rules as everywhere: integer/date outputs where possible, decimal
+  * internal sums, identical double divisions, total ORDER BY.
+  *
+  * Cross-engine gotchas encoded here (probed against DuckDB 1.0):
+  * - DuckDB dayofweek() is 0=Sunday vs Spark's 1=Sunday → use the ISO
+  *   form instead (Spark weekday()+1 ≡ DuckDB isodow()).
+  * - `%` on negatives truncates in DuckDB but pmod() is positive in
+  *   Spark → only apply to non-negative operands.
+  * - round() on DECIMAL is HALF_UP in both engines (round on DOUBLE is
+  *   engine-dependent at the ulp boundary — never round doubles).
+  * - Spark ceil/floor(double) return BIGINT, DuckDB return DOUBLE →
+  *   cast the DuckDB side.
+  */
+object BreadthQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // §2.6 date-function family over the order date: quarter, ISO week +
+    // weekday, day-of-year, month/week truncation, month-end, calendar
+    // arithmetic. All date or integer outputs — no timezone or libm
+    // exposure anywhere.
+    QueryDef("f21_date_family", (s, dir) => {
+      val od = to_date(col("o_orderdate"))
+      t("orders")(s, dir).select(
+        col("o_orderkey"),
+        quarter(od).as("qtr"),
+        weekofyear(od).as("iso_week"),
+        (weekday(od) + lit(1)).as("iso_dow"),
+        dayofyear(od).as("doy"),
+        // DATE columns are cast to TIMESTAMP for output: the driver reads
+        // Spark parquet date32 as datetime.date ('1996-08-31') but DuckDB
+        // dates surface as datetime64 ('1996-08-31 00:00:00') — same
+        // str-render trap as DECIMAL. Midnight-UTC timestamps render
+        // identically on both bridges.
+        trunc(od, "month").cast("timestamp").as("month_start"),
+        trunc(od, "week").cast("timestamp").as("week_start"),
+        last_day(od).cast("timestamp").as("month_end"),
+        add_months(od, 1).cast("timestamp").as("next_month"),
+        datediff(od, lit("2024-01-01").cast("date")).cast("long").as("days_since")
+      ).orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey,
+             quarter(CAST(o_orderdate AS DATE)) AS qtr,
+             week(CAST(o_orderdate AS DATE)) AS iso_week,
+             isodow(CAST(o_orderdate AS DATE)) AS iso_dow,
+             dayofyear(CAST(o_orderdate AS DATE)) AS doy,
+             CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_start,
+             CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS week_start,
+             CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+             CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP) AS next_month,
+             date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS days_since
+      FROM orders ORDER BY o_orderkey""")),
+
+    // §2.6 math-function family: abs/sign/ceil/floor, HALF_UP decimal
+    // rounding, positive modulo, exact powers of two, bounded
+    // greatest/least, IEEE-correctly-rounded sqrt, and factorial.
+    QueryDef("f22_math_family", (s, dir) => {
+      val v = col("value")
+      t("events")(s, dir).select(
+        col("event_id"),
+        abs(v).as("abs_v"),
+        signum(v).cast("long").as("sgn"),
+        ceil(v).as("ceil_v"),
+        floor(v).as("floor_v"),
+        round(v.cast("decimal(18,6)"), 2).cast("double").as("round2"),
+        pmod(col("event_id"), lit(7)).as("m7"),
+        pow(lit(2.0), (col("event_id") % 16).cast("double")).as("pw2"),
+        greatest(v, lit(50.0)).as("hi"),
+        least(v, lit(50.0)).as("lo"),
+        sqrt(abs(v)).as("rt"),
+        factorial((col("event_id") % 10).cast("int")).as("fact")
+      ).orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id,
+             abs(value) AS abs_v,
+             CAST(sign(value) AS BIGINT) AS sgn,
+             CAST(ceil(value) AS BIGINT) AS ceil_v,
+             CAST(floor(value) AS BIGINT) AS floor_v,
+             CAST(round(CAST(value AS DECIMAL(18,6)), 2) AS DOUBLE) AS round2,
+             event_id % 7 AS m7,
+             pow(2.0, CAST(event_id % 16 AS DOUBLE)) AS pw2,
+             greatest(value, 50.0) AS hi,
+             least(value, 50.0) AS lo,
+             sqrt(abs(value)) AS rt,
+             CAST(factorial(CAST(event_id % 10 AS INTEGER)) AS BIGINT) AS fact
+      FROM events ORDER BY event_id""")),
+
+    // §2.9 UNION (distinct): one hash-distinct over the concatenation —
+    // complements a7_union_all / a8_set_except.
+    QueryDef("a10_union_distinct", (s, dir) => {
+      val buyers = t("events")(s, dir)
+        .where(col("event_type") === "purchase")
+        .select(col("user_id").as("id"))
+      val bigCust = t("orders")(s, dir)
+        .where(col("o_totalprice") > 400000.0)
+        .select(col("o_custkey").as("id"))
+      buyers.union(bigCust).distinct().orderBy(col("id"))
+    }, Some("""
+      SELECT user_id AS id FROM events WHERE event_type = 'purchase'
+      UNION
+      SELECT o_custkey AS id FROM orders WHERE o_totalprice > 400000.0
+      ORDER BY id""")),
+
+    // §2.9 INTERSECT: users who both purchased and errored.
+    QueryDef("a11_intersect", (s, dir) => {
+      val ev = t("events")(s, dir)
+      ev.where(col("event_type") === "purchase").select(col("user_id"))
+        .intersect(
+          ev.where(col("event_type") === "error").select(col("user_id")))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT user_id FROM events WHERE event_type = 'error'
+      ORDER BY user_id""")),
+
+    // Correlated NOT EXISTS with an extra predicate — planned as a
+    // left-anti join with a compound condition (no subquery re-execution
+    // per row; one shuffle on the key).
+    QueryDef("j11_not_exists", (s, dir) => {
+      val cust = t("customer")(s, dir)
+      val big = t("orders")(s, dir)
+        .where(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey"))
+      cust.join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey, c_mktsegment FROM customer c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      ORDER BY c_custkey""")),
+
+    // Gaps-and-islands: per-user event bursts separated by >10-minute
+    // silences. Two window passes over ONE (user) shuffle partitioning:
+    // lag → new-island flag → running sum = island id; then a hash agg.
+    // The micros axis keeps the gap test integer-exact in both engines.
+    QueryDef("gaps_islands", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+      val flagged = t("events")(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("prev_us", lag(col("us"), 1).over(w))
+        .withColumn("new_island",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 600L * 1000000L, 1L).otherwise(0L))
+        .withColumn("island",
+          sum(col("new_island")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy(col("user_id"), col("island"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_islands"), max(col("len")).as("max_len"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events),
+      f AS (
+        SELECT user_id, us, event_id,
+               CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 600 * 1000000
+                    THEN 1 ELSE 0 END AS new_island
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      i AS (
+        SELECT user_id,
+               sum(new_island) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS island
+        FROM f),
+      g AS (
+        SELECT user_id, island, count(*) AS len
+        FROM i GROUP BY user_id, island)
+      SELECT user_id, count(*) AS n_islands, max(len) AS max_len
+      FROM g GROUP BY user_id ORDER BY user_id""")),
+
+    // SCD type-2 derivation: order events become validity intervals per
+    // customer (valid_from = order date, valid_to = next order's date,
+    // NULL = current). One (custkey) window shuffle; dedup-per-day picks
+    // the highest order key deterministically.
+    QueryDef("scd2_order_history", (s, dir) => {
+      val wDedup = Window.partitionBy(col("o_custkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey").desc)
+      val wSeq = Window.partitionBy(col("o_custkey")).orderBy(col("valid_from"))
+      t("orders")(s, dir)
+        .withColumn("__rn", row_number().over(wDedup)).where(col("__rn") === 1)
+        .select(col("o_custkey"), col("o_orderdate").as("valid_from"),
+          col("o_totalprice").as("state_price"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wSeq))
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy(col("o_custkey"), col("valid_from"))
+    }, Some("""
+      WITH d AS (
+        SELECT o_custkey, CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+               o_totalprice AS state_price
+        FROM orders
+        QUALIFY row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                   ORDER BY o_orderkey DESC) = 1)
+      SELECT o_custkey, valid_from, state_price,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY valid_from) AS valid_to,
+             lead(valid_from) OVER (PARTITION BY o_custkey
+                                    ORDER BY valid_from) IS NULL AS is_current
+      FROM d ORDER BY o_custkey, valid_from""")),
+
+    // The streaming interval join (Streams.intervalJoin — watermark +
+    // two-sided time bound, state evicted by horizon) executed in BATCH
+    // mode over the same code path: withWatermark is a no-op on batch
+    // frames, so one definition serves both modes. Oracle is the plain
+    // inequality join.
+    QueryDef("stream_interval_join", (s, dir) => {
+      val ev = t("events")(s, dir)
+      val errs = ev.where(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), col("ts").as("err_ts"),
+          col("user_id").as("err_user"))
+      val purch = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"),
+          col("user_id").as("p_user"))
+      graft.streaming.Streams.intervalJoin(errs, purch,
+          keys = Seq(("err_user", "p_user")),
+          leftTs = "err_ts", rightTs = "p_ts", lookback = "1 hour")
+        .select(col("err_id"), col("p_id"))
+        .orderBy(col("err_id"), col("p_id"))
+    }, Some("""
+      WITH e AS (SELECT event_id AS err_id, CAST(ts AS TIMESTAMP) AS err_ts,
+                        user_id FROM events WHERE event_type = 'error'),
+           p AS (SELECT event_id AS p_id, CAST(ts AS TIMESTAMP) AS p_ts,
+                        user_id FROM events WHERE event_type = 'purchase')
+      SELECT err_id, p_id
+      FROM e JOIN p ON e.user_id = p.user_id
+        AND p.p_ts >= e.err_ts - INTERVAL 1 HOUR AND p.p_ts <= e.err_ts
+      ORDER BY err_id, p_id""")),
+
+    // Window value family: first/last/nth over an explicit full frame
+    // (full frame makes last/nth deterministic), plus percent-of-group —
+    // the denominator summed in DECIMAL (order-free) and divided in
+    // double, identically on both sides.
+    QueryDef("win_first_last", (s, dir) => {
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val grp = Window.partitionBy(col("user_id"))
+      t("events")(s, dir).select(
+          col("event_id"), col("user_id"), col("ts"), col("value"))
+        .withColumn("first_v", first(col("value")).over(frame))
+        .withColumn("last_v", last(col("value")).over(frame))
+        .withColumn("second_v", nth_value(col("value"), 2).over(frame))
+        .withColumn("pct", col("value") /
+          sum(col("value").cast("decimal(18,4)")).over(grp).cast("double"))
+        .select(col("event_id"), col("first_v"), col("last_v"),
+          col("second_v"), col("pct"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id,
+             first_value(value) OVER w AS first_v,
+             last_value(value) OVER w AS last_v,
+             nth_value(value, 2) OVER w AS second_v,
+             value / CAST(sum(CAST(value AS DECIMAL(18,4)))
+                            OVER (PARTITION BY user_id) AS DOUBLE) AS pct
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY event_id"""))
+  )
+}
