@@ -21,6 +21,29 @@ trait LlmGateway extends Serializable {
 
 final case class LlmResult(fields: Map[String, String], tokens: Long, model: String)
 
+/** The reference's model-fallback chain (`core/LLMGateway.py:77-127` +
+  * `core/extract/ConvoDataExtract.py:163-187`): try each delegate in
+  * order, first success wins; a delegate failing (including returning
+  * unparseable output — modeled here as a thrown exception) falls through
+  * to the next. When EVERY delegate fails, the chain returns the
+  * reference's sentinel row instead of raising: all extraction fields
+  * null, `model = "fallback_error"`, tokens = token count of the prompt
+  * side (whitespace-count stand-in for tiktoken).
+  */
+final class FallbackLlmGateway(delegates: Seq[LlmGateway]) extends LlmGateway {
+  require(delegates.nonEmpty, "at least one delegate gateway required")
+
+  override def extract(conversation: String): LlmResult = {
+    val it = delegates.iterator
+    while (it.hasNext) {
+      try return it.next().extract(conversation)
+      catch { case scala.util.control.NonFatal(_) => /* fall through */ }
+    }
+    val promptTokens = conversation.split("\\s+").count(_.nonEmpty).toLong
+    LlmResult(Map.empty, promptTokens, "fallback_error")
+  }
+}
+
 /** Deterministic mock: "extracts" by scanning the conversation text with
   * fixed rules — stable across runs, no I/O. Token count is the
   * whitespace-token count (the tiktoken stand-in).

@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, LongType, TimestampType}
 
 /** Engine extensions, registered via
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` or
@@ -14,7 +15,69 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushdownNanosTimestampPredicate)
     e.injectPlannerStrategy(_ => TopKPerProbeStrategy)
+    GraftSqlFunctions.all.foreach(e.injectFunction)
   }
+}
+
+/** The engine's custom Catalyst expressions surfaced as named SQL
+  * functions, so `spark.sql("SELECT graft_char_ngrams(text, 3) ...")`
+  * works the same as the Column API. Each builder validates arity and
+  * returns the codegen'd expression directly — no UDF wrapper, the call
+  * stays inside whole-stage codegen.
+  */
+object GraftSqlFunctions {
+  import graft.expressions._
+
+  private type Registration =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def reg(name: String, usage: String, arity: Seq[Int])(
+      build: Seq[Expression] => Expression): Registration = {
+    val fi = FunctionIdentifier(name)
+    val info = new ExpressionInfo("graft", name, usage)
+    val checked = (args: Seq[Expression]) => {
+      if (!arity.contains(args.length))
+        throw new IllegalArgumentException(
+          s"$name expects ${arity.mkString(" or ")} arguments, got ${args.length}")
+      build(args)
+    }
+    (fi, info, checked)
+  }
+
+  val all: Seq[Registration] = Seq(
+    reg("graft_char_ngrams",
+      "graft_char_ngrams(str, n[, sorted]) - distinct character n-grams; " +
+        "pass sorted=true to emit them pre-sorted for graft_jaccard_geq",
+      Seq(2, 3)) {
+      case Seq(s, n) => CharNgrams(s, n)
+      case Seq(s, n, Literal(b: Boolean, BooleanType)) => CharNgrams(s, n, b)
+      case _ => throw new IllegalArgumentException(
+        "graft_char_ngrams: third argument must be a boolean literal")
+    },
+    reg("graft_word_shingles",
+      "graft_word_shingles(tokens, w) - distinct w-word shingles", Seq(2)) {
+      case Seq(t, w) => WordShingles(t, w)
+    },
+    reg("graft_ngram_intersect",
+      "graft_ngram_intersect(a, b) - |a ∩ b| over distinct string arrays",
+      Seq(2)) {
+      case Seq(a, b) => IntersectCount(a, b)
+    },
+    reg("graft_jaccard_geq",
+      "graft_jaccard_geq(a_sorted, b_sorted, t) - Jaccard(a,b) >= t via one " +
+        "sorted-merge pass with a monotonic early exit", Seq(3)) {
+      case Seq(a, b, t) => JaccardGeq(a, b, t)
+    },
+    reg("graft_dot",
+      "graft_dot(a, b) - sequential-order dot product of numeric arrays",
+      Seq(2)) {
+      case Seq(a, b) => DotProduct(a, b)
+    },
+    reg("graft_parse_schedule_time",
+      "graft_parse_schedule_time(s) - seconds since midnight from a " +
+        "'h[:mm]AM/PM' schedule string (reference parse rules)", Seq(1)) {
+      case Seq(s) => ParseScheduleTime(s)
+    })
 }
 
 /** Rewrites comparisons against the ns→µs-converted events timestamp into

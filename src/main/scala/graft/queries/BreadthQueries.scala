@@ -242,6 +242,33 @@ object BreadthQueries {
         AND p.p_ts >= e.err_ts - INTERVAL 1 HOUR AND p.p_ts <= e.err_ts
       ORDER BY err_id, p_id""")),
 
+    // The custom Catalyst expressions exercised through their SQL names
+    // (GraftSqlFunctions via SparkSessionExtensions.injectFunction): the
+    // whole query is a spark.sql string, proving the SQL API surface —
+    // not just the Column API — reaches the codegen'd expressions.
+    QueryDef("s11_sql_functions", (s, dir) => {
+      t("documents")(s, dir).createOrReplaceTempView("graft_docs_v")
+      s.sql("""
+        SELECT doc_id,
+               CAST(size(graft_char_ngrams(text, 3)) AS BIGINT) AS n3,
+               CAST(graft_ngram_intersect(
+                      graft_char_ngrams(text, 3),
+                      graft_char_ngrams('language model training data', 3))
+                    AS BIGINT) AS probe_hits,
+               graft_jaccard_geq(
+                 graft_char_ngrams(text, 3, true),
+                 graft_char_ngrams('language model training data', 3, true),
+                 0.05D) AS sim_flag
+        FROM graft_docs_v ORDER BY doc_id""")
+    }, Some(s"""
+      SELECT doc_id,
+             len(${Sql.charNgrams("text", "3")}) AS n3,
+             len(list_intersect(${Sql.charNgrams("text", "3")},
+                                ${Sql.charNgrams("'language model training data'", "3")})) AS probe_hits,
+             ${Sql.jaccard(Sql.charNgrams("text", "3"),
+                           Sql.charNgrams("'language model training data'", "3"))} >= 0.05 AS sim_flag
+      FROM documents ORDER BY doc_id""")),
+
     // Window value family: first/last/nth over an explicit full frame
     // (full frame makes last/nth deterministic), plus percent-of-group —
     // the denominator summed in DECIMAL (order-free) and divided in

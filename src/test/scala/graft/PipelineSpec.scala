@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.llm.{LlmExtract, MockLlmGateway}
+import graft.llm.{FallbackLlmGateway, LlmExtract, LlmGateway, MockLlmGateway}
 import graft.operators.Warehouse
 import graft.pipeline.Pipelines
 import graft.sources._
@@ -49,6 +49,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[String]("intent_rating") == "purchase")
     assert(row.getAs[Long]("tokens") == 4L)
     assert(row.getAs[String]("model") == "mock-model")
+  }
+
+  test("X1 fallback chain: first failure falls through; total failure → sentinel row") {
+    class Failing extends LlmGateway {
+      var calls = 0
+      def extract(c: String) = { calls += 1; sys.error("model down") }
+    }
+    val primary = new Failing
+    // primary fails → secondary answers, marked with its own model name
+    val chained = new FallbackLlmGateway(Seq(primary, new MockLlmGateway))
+    val ok = chained.extract("please purchase something nice")
+    assert(primary.calls == 1 && ok.model == "mock-model")
+
+    // every delegate fails → reference sentinel: null fields,
+    // model=fallback_error, tokens counted on the prompt
+    val allFail = new FallbackLlmGateway(Seq(new Failing, new Failing))
+    val convos = Seq(("T1", "three word convo")).toDF("ticket_id", "convo")
+    val row = LlmExtract.extract(convos, "ticket_id", "convo", allFail).collect().head
+    assert(row.getAs[String]("model") == "fallback_error")
+    assert(row.getAs[Long]("tokens") == 3L)
+    LlmExtract.DefaultFields.foreach(f =>
+      assert(row.isNullAt(row.fieldIndex(f)), s"$f should be null"))
   }
 
   test("full lifecycle: dims → tickets upsert → convo analysis → metrics") {
