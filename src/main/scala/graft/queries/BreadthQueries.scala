@@ -242,6 +242,43 @@ object BreadthQueries {
         AND p.p_ts >= e.err_ts - INTERVAL 1 HOUR AND p.p_ts <= e.err_ts
       ORDER BY err_id, p_id""")),
 
+    // Native session_window sessionization — the operator a 100 TB
+    // sessionization actually uses (one (user) shuffle, sessions merged
+    // inside the aggregate; streaming-capable with a watermark). Oracle is
+    // the first-principles islands formulation; boundary rule (exact-gap
+    // event merges, silence must EXCEED the gap to split) pinned by
+    // SessionWindowBoundarySpec.
+    QueryDef("session_window_native", (s, dir) => {
+      t("events")(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("sw.start").cast("timestamp_ntz").as("session_start"),
+          col("sw.end").cast("timestamp_ntz").as("session_end_padded"),
+          col("n_events"))
+        .orderBy(col("user_id"), col("session_start"))
+    }, Some("""
+      WITH o AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+               lag(CAST(ts AS TIMESTAMP)) OVER
+                 (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        FROM events),
+      f AS (
+        SELECT user_id, ts,
+               CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS newf
+        FROM o),
+      i AS (
+        SELECT user_id, ts,
+               sum(newf) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM f)
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end_padded,
+             count(*) AS n_events
+      FROM i GROUP BY user_id, session_id
+      ORDER BY user_id, session_start""")),
+
     // The custom Catalyst expressions exercised through their SQL names
     // (GraftSqlFunctions via SparkSessionExtensions.injectFunction): the
     // whole query is a spark.sql string, proving the SQL API surface —
