@@ -242,6 +242,44 @@ object BreadthQueries {
         AND p.p_ts >= e.err_ts - INTERVAL 1 HOUR AND p.p_ts <= e.err_ts
       ORDER BY err_id, p_id""")),
 
+    // §2.4 conditional-aggregate family: count_if / bool_or / bool_and /
+    // counted CASE — one hash aggregate, partial-agg friendly (each is a
+    // plain commutative accumulator).
+    QueryDef("a12_conditional_agg", (s, dir) => {
+      t("events")(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          count_if(col("value") > 50.0).as("n_hi"),
+          bool_or(col("value") > 99.9).as("any_top"),
+          bool_and(col("value") >= 0.0).as("all_nonneg"),
+          sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n_even_user"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type,
+             CAST(count_if(value > 50.0) AS BIGINT) AS n_hi,
+             bool_or(value > 99.9) AS any_top,
+             bool_and(value >= 0.0) AS all_nonneg,
+             CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_even_user
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // §2.1/§2.6 positional explode: token stream with ordinals — the
+    // LATERAL VIEW posexplode shape (flatten with provenance). Narrow
+    // generate stage, no shuffle until the final sort.
+    QueryDef("s12_posexplode", (s, dir) => {
+      val toks = graft.functions.TextAnalysisFns.tokens(col("text"))
+      t("documents")(s, dir)
+        .where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "token")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("ord"), col("token"))
+        .orderBy(col("doc_id"), col("ord"))
+    }, Some(s"""
+      WITH d AS (
+        SELECT doc_id, ${Sql.tokens("text")} AS toks
+        FROM documents WHERE doc_id % 10 = 0)
+      SELECT doc_id, generate_subscripts(toks, 1) AS ord, unnest(toks) AS token
+      FROM d ORDER BY doc_id, ord""")),
+
     // Native session_window sessionization — the operator a 100 TB
     // sessionization actually uses (one (user) shuffle, sessions merged
     // inside the aggregate; streaming-capable with a watermark). Oracle is
