@@ -242,6 +242,97 @@ object BreadthQueries {
         AND p.p_ts >= e.err_ts - INTERVAL 1 HOUR AND p.p_ts <= e.err_ts
       ORDER BY err_id, p_id""")),
 
+    // Per-group top-k through the custom TypedImperativeAggregate
+    // (TopKAgg): partial states carry ≤2k pairs per group, so the shuffle
+    // is O(groups × k) — the window-row_number oracle shuffles and sorts
+    // every row. Same rows, structurally cheaper plan.
+    QueryDef("topk_per_segment", (s, dir) => {
+      val cust = t("customer")(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      t("orders")(s, dir)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.expressions.TopKAgg.topK(
+          struct(col("o_totalprice"), col("o_orderkey")), 3).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.score").as("price"), col("e.id").as("o_orderkey"))
+        .orderBy(col("c_mktsegment"), col("rank"))
+    }, Some("""
+      SELECT c_mktsegment, CAST(rn AS BIGINT) AS rank,
+             o_totalprice AS price, o_orderkey
+      FROM (
+        SELECT c_mktsegment, o_totalprice, o_orderkey,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey)
+      WHERE rn <= 3 ORDER BY c_mktsegment, rank""")),
+
+    // CDC log compaction: keep each key's latest record (ts desc,
+    // event_id desc tiebreak) — the standing materialization step between
+    // an append-only change log and a queryable table. One window shuffle;
+    // at scale this is the compaction pass of every incremental pipeline.
+    QueryDef("compact_latest", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t("events")(s, dir)
+        .withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+        .select(col("user_id"), col("event_id").as("latest_event_id"),
+          col("event_type").as("latest_type"), col("value").as("latest_value"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id, event_id AS latest_event_id,
+             event_type AS latest_type, value AS latest_value
+      FROM events
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                          event_id DESC) = 1
+      ORDER BY user_id""")),
+
+    // Fixed-width histogram over a numeric column — bucket index from
+    // exact integer floor math (identical in both engines; no
+    // width_bucket builtin dependence). Map-side combinable single agg.
+    QueryDef("histogram_value", (s, dir) => {
+      val nBuckets = 20
+      val bucket = least(greatest(floor(col("value") / 5.0), lit(0.0)),
+        lit((nBuckets - 1).toDouble)).cast("long")
+      t("events")(s, dir)
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo"), max(col("value")).as("hi"))
+        .orderBy(col("bucket"))
+    }, Some("""
+      SELECT CAST(least(greatest(floor(value / 5.0), 0.0), 19.0) AS BIGINT)
+               AS bucket,
+             count(*) AS n, min(value) AS lo, max(value) AS hi
+      FROM events GROUP BY 1 ORDER BY bucket""")),
+
+    // Correlated scalar subquery in the SELECT list, written as SQL text
+    // on BOTH engines: Catalyst decorrelates it into a left outer
+    // aggregate join (visible in .explain — no per-row re-execution),
+    // which is exactly how it must run at scale.
+    QueryDef("scalar_subquery_select", (s, dir) => {
+      t("customer")(s, dir).createOrReplaceTempView("graft_cust_v")
+      t("orders")(s, dir).createOrReplaceTempView("graft_orders_v")
+      s.sql("""
+        SELECT c_custkey,
+               (SELECT count(*) FROM graft_orders_v o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders,
+               (SELECT CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                FROM graft_orders_v o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F') AS max_final_price
+        FROM graft_cust_v c ORDER BY c_custkey""")
+    }, Some("""
+      SELECT c_custkey,
+             (SELECT count(*) FROM orders o
+              WHERE o.o_custkey = c.c_custkey) AS n_orders,
+             (SELECT CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderstatus = 'F') AS max_final_price
+      FROM customer c ORDER BY c_custkey""")),
+
     // §2.4 conditional-aggregate family: count_if / bool_or / bool_and /
     // counted CASE — one hash aggregate, partial-agg friendly (each is a
     // plain commutative accumulator).

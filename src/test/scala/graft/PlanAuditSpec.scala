@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the physical-plan properties QUERIES.md's scale notes claim, so a
+  * regression (a filter that stops pushing, a dim that stops
+  * broadcasting, a scan that re-widens) fails a spec instead of silently
+  * costing a full extra 100 TB scan.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect() // finalize AQE so the executed plan is the real one
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    p.toString
+  }
+
+  private def scansOf(name: String): Seq[FileSourceScanExec] = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    // query stages hide their children from collect — walk the string for
+    // joins, but scans are reachable via collectLeaves on each stage
+    def leaves(sp: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      sp.collectLeaves().flatMap {
+        case s: FileSourceScanExec => Seq(s)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => leaves(q.plan)
+        case _ => Nil
+      }
+    leaves(p)
+  }
+
+  test("q1: shipdate range predicate reaches the lineitem parquet scan") {
+    val scans = scansOf("q1_agg")
+    assert(scans.nonEmpty)
+    val li = scans.find(_.tableIdentifier.isEmpty).getOrElse(scans.head)
+    assert(li.metadata("PushedFilters").contains("LessThanOrEqual(l_shipdate"),
+      s"no pushed shipdate filter: ${li.metadata("PushedFilters")}")
+    // projection pruning: only the 6 referenced columns are read
+    assert(li.requiredSchema.fieldNames.length <= 6,
+      s"scan reads too many columns: ${li.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q5: all dimension sides broadcast — no fact-side shuffle join") {
+    val plan = planOf("q5_region_revenue")
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!plan.contains("SortMergeJoin"),
+      s"dimension join degenerated to a shuffle join:\n${plan.take(600)}")
+  }
+
+  test("dedup_exact: document scan pruned to the needed columns") {
+    // (the LSH variants cache their self-join side, so their leaves are
+    // InMemoryTableScans; dedup_exact reads the file directly)
+    val scans = scansOf("dedup_exact")
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.length <= 3,
+        s"dedup scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
+
+  test("j11 NOT EXISTS plans as a broadcast anti join, not a subquery loop") {
+    val plan = planOf("j11_not_exists")
+    assert(plan.contains("LeftAnti"), s"no anti join:\n${plan.take(400)}")
+  }
+}
