@@ -117,3 +117,21 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
     (newCnt, updCnt)
   }
 }
+
+object Pipelines {
+  /** X4 runtime metrics, single-pass form: the reference logs row counts
+    * and durations per route (`api/logs/Tracker.py:33-54`) with separate
+    * COUNT queries; at scale a second pass over the input is a second
+    * 100 TB scan. `Observation` piggybacks the metrics on the job that
+    * already runs: attach before the sink, read after the action
+    * completes — zero extra jobs.
+    */
+  def observed(df: DataFrame, keyCol: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val tagged = df.observe(obs,
+      count(lit(1)).as("n_rows"),
+      count_if(col(keyCol).isNull).as("null_keys"))
+    (tagged, obs)
+  }
+}

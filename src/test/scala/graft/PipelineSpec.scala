@@ -51,6 +51,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(row.getAs[String]("model") == "mock-model")
   }
 
+  test("X4 single-pass metrics: Observation rides the sink job, no second scan") {
+    val df = Seq(("a", 1), (null: String, 2), ("c", 3)).toDF("id", "v")
+    val (tagged, obs) = Pipelines.observed(df, "id")
+    tagged.write.mode("overwrite").format("noop").save() // the one and only job
+    val m = obs.get
+    assert(m("n_rows") == 3L && m("null_keys") == 1L)
+  }
+
   test("X1 fallback chain: first failure falls through; total failure → sentinel row") {
     class Failing extends LlmGateway {
       var calls = 0
