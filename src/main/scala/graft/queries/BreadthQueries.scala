@@ -242,6 +242,60 @@ object BreadthQueries {
         AND p.p_ts >= e.err_ts - INTERVAL 1 HOUR AND p.p_ts <= e.err_ts
       ORDER BY err_id, p_id""")),
 
+    // §2.5 ordering breadth: explicit NULLS FIRST / NULLS LAST on a
+    // nullable sort key (both engines default differently — ASC defaults
+    // to NULLS LAST in DuckDB but NULLS FIRST in Spark, so the modifiers
+    // are load-bearing).
+    QueryDef("w5_nulls_order", (s, dir) => {
+      t("events")(s, dir)
+        .where(col("event_id") <= 500)
+        .select(col("event_id"),
+          nullif(col("event_type"), lit("click")).as("t_or_null"))
+        .orderBy(col("t_or_null").asc_nulls_first, col("event_id").asc)
+        .limit(200)
+    }, Some("""
+      SELECT event_id, nullif(event_type, 'click') AS t_or_null
+      FROM events WHERE event_id <= 500
+      ORDER BY t_or_null ASC NULLS FIRST, event_id ASC
+      LIMIT 200""")),
+
+    // §2.3 FULL OUTER join: users seen in events vs customers — both
+    // unmatched sides preserved. Aggregated first so the join is
+    // key-to-key (scale: two shuffles on the key, no row explosion).
+    QueryDef("j12_full_outer", (s, dir) => {
+      val ev = t("events")(s, dir).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      val cust = t("customer")(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      ev.join(cust, col("user_id") === col("c_custkey"), "full_outer")
+        .select(
+          coalesce(col("user_id"), col("c_custkey")).as("id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("c_mktsegment"), lit("<none>")).as("segment"))
+        .orderBy(col("id"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id)
+      SELECT coalesce(user_id, c_custkey) AS id,
+             coalesce(n_events, 0) AS n_events,
+             coalesce(c_mktsegment, '<none>') AS segment
+      FROM ev FULL OUTER JOIN customer ON user_id = c_custkey
+      ORDER BY id""")),
+
+    // §2.3 bounded CROSS join: region × region ordered pairs (5×5) —
+    // the legitimate cartesian case is a tiny dimension square.
+    QueryDef("j13_cross_join", (s, dir) => {
+      val r1 = t("region")(s, dir).select(col("r_regionkey").as("a"))
+      val r2 = t("region")(s, dir).select(col("r_regionkey").as("b"))
+      r1.crossJoin(r2)
+        .select(col("a"), col("b"), (col("a") * 5 + col("b")).as("pair_id"))
+        .orderBy(col("a"), col("b"))
+    }, Some("""
+      SELECT r1.r_regionkey AS a, r2.r_regionkey AS b,
+             r1.r_regionkey * 5 + r2.r_regionkey AS pair_id
+      FROM region r1 CROSS JOIN region r2
+      ORDER BY a, b""")),
+
     // Per-group top-k through the custom TypedImperativeAggregate
     // (TopKAgg): partial states carry ≤2k pairs per group, so the shuffle
     // is O(groups × k) — the window-row_number oracle shuffles and sorts
@@ -412,28 +466,32 @@ object BreadthQueries {
     // (GraftSqlFunctions via SparkSessionExtensions.injectFunction): the
     // whole query is a spark.sql string, proving the SQL API surface —
     // not just the Column API — reaches the codegen'd expressions.
+    // (head is bounded to 120 chars: the engine-side CharNgrams is one
+    // compiled pass, but the oracle's list formulation is O(len²) per doc
+    // — unbounded text made the sf0.1 DuckDB check run for minutes)
     QueryDef("s11_sql_functions", (s, dir) => {
       t("documents")(s, dir).createOrReplaceTempView("graft_docs_v")
       s.sql("""
         SELECT doc_id,
-               CAST(size(graft_char_ngrams(text, 3)) AS BIGINT) AS n3,
+               CAST(size(graft_char_ngrams(substring(text, 1, 120), 3)) AS BIGINT) AS n3,
                CAST(graft_ngram_intersect(
-                      graft_char_ngrams(text, 3),
+                      graft_char_ngrams(substring(text, 1, 120), 3),
                       graft_char_ngrams('language model training data', 3))
                     AS BIGINT) AS probe_hits,
                graft_jaccard_geq(
-                 graft_char_ngrams(text, 3, true),
+                 graft_char_ngrams(substring(text, 1, 120), 3, true),
                  graft_char_ngrams('language model training data', 3, true),
                  0.05D) AS sim_flag
         FROM graft_docs_v ORDER BY doc_id""")
     }, Some(s"""
+      WITH h AS (SELECT doc_id, text[1:120] AS head FROM documents)
       SELECT doc_id,
-             len(${Sql.charNgrams("text", "3")}) AS n3,
-             len(list_intersect(${Sql.charNgrams("text", "3")},
+             len(${Sql.charNgrams("head", "3")}) AS n3,
+             len(list_intersect(${Sql.charNgrams("head", "3")},
                                 ${Sql.charNgrams("'language model training data'", "3")})) AS probe_hits,
-             ${Sql.jaccard(Sql.charNgrams("text", "3"),
+             ${Sql.jaccard(Sql.charNgrams("head", "3"),
                            Sql.charNgrams("'language model training data'", "3"))} >= 0.05 AS sim_flag
-      FROM documents ORDER BY doc_id""")),
+      FROM h ORDER BY doc_id""")),
 
     // Window value family: first/last/nth over an explicit full frame
     // (full frame makes last/nth deterministic), plus percent-of-group —

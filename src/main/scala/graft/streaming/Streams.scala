@@ -123,4 +123,38 @@ object Streams {
       (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         wh.upsert(table, batch.toDF(), key, updateCols)
     }
+
+  /** Exactly-once foreachBatch: Structured Streaming re-delivers a whole
+    * micro-batch after a crash-before-checkpoint, so a sink with side
+    * effects beyond an idempotent MERGE must dedup on batchId itself.
+    * Committed batch ids are recorded in a `<table>__commits` warehouse
+    * table AFTER the batch effect lands; a replayed (batchId, effect)
+    * pair is skipped wholesale. This is the standard transactional
+    * foreachBatch recipe for sinks without native exactly-once.
+    */
+  def idempotentBatch(wh: graft.operators.Warehouse, table: String)
+                     (batchId: Long)(effect: => Unit): Boolean = {
+    val commits = s"${table}__commits"
+    val spark = org.apache.spark.sql.SparkSession.active
+    import spark.implicits._
+    val already = wh.exists(commits) &&
+      !wh.read(commits).where(org.apache.spark.sql.functions.col("batch_id") === batchId).isEmpty
+    if (already) false
+    else {
+      effect
+      wh.append(commits, Seq(batchId).toDF("batch_id"))
+      true
+    }
+  }
+
+  /** upsertSink with batch-replay protection via [[idempotentBatch]]. */
+  def idempotentUpsertSink(stream: DataFrame, wh: graft.operators.Warehouse,
+                           table: String, key: String, updateCols: Seq[String]) =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        idempotentBatch(wh, table)(batchId) {
+          wh.upsert(table, batch.toDF(), key, updateCols)
+        }
+        ()
+    }
 }

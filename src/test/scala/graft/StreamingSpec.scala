@@ -110,6 +110,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent foreachBatch: replayed batchId applies its effect once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-idem-wh").toString
+    val wh = new graft.operators.Warehouse(spark, dir)
+    def applyBatch(id: Long, rows: Seq[(String, Int)]): Boolean =
+      Streams.idempotentBatch(wh, "t")(id) {
+        wh.upsert("t", rows.toDF("id", "v"), "id", Seq("v"))
+      }
+    assert(applyBatch(0, Seq(("a", 1))))
+    assert(applyBatch(1, Seq(("a", 5), ("b", 2))))
+    // crash-before-checkpoint: the engine re-delivers batch 1 — with
+    // DIFFERENT recomputed content semantics the effect must still be
+    // skipped because batch 1 already committed
+    assert(!applyBatch(1, Seq(("a", 999), ("c", 7))))
+    val got = wh.read("t").orderBy("id").as[(String, Int)].collect().toSeq
+    assert(got == Seq(("a", 5), ("b", 2)))
+  }
+
   test("streaming upsert sink: foreachBatch merges into warehouse table") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-wh").toString
