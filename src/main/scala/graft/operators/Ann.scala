@@ -24,6 +24,22 @@ object Ann {
     when(an === 0.0 || bn === 0.0, lit(0.0))
       .otherwise(VecFns.dot(av, bv) / (an * bn))
 
+  /** Per-query top-k over (query_id, neighbor_id, cosine) via the bounded
+    * TypedImperativeAggregate (TopKAgg: score DESC, id ASC — the same
+    * total order as the row_number window it replaces, proven equivalent
+    * in AnnSpec/TopKAggSpec). The window formulation shuffles and sorts
+    * EVERY scored candidate; this folds candidates into ≤2k entries of
+    * partial state per (partition, query), so the shuffle carries
+    * O(queries × k).
+    */
+  private def topKByScore(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAgg.topK(
+        struct(col("cosine").cast("double"), col("neighbor_id").cast("long")), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("query_id"), col("__e.id").as("neighbor_id"),
+        col("__e.score").as("cosine"), (col("__pos") + 1).cast("int").as("rank"))
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (self-match excluded), ties broken by corpus id.
     */
@@ -36,10 +52,7 @@ object Ann {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosinePre(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+    topKByScore(scored, k)
   }
 
   /** All pairs (id_a < id_b) with cosine ≥ threshold — exact, O(N²); the
@@ -78,9 +91,7 @@ object Ann {
       .distinct()
     val scored = cand.select(col("query_id"), col("neighbor_id"),
       VecFns.cosine(col("qv"), col("cv")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKByScore(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed). */
@@ -180,8 +191,6 @@ object Ann {
         when(col("qn") === 0.0 || col("cn") === 0.0, lit(0.0))
           .otherwise(VecFns.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
           .as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+    topKByScore(scored, k)
   }
 }
