@@ -6,7 +6,7 @@ import java.util.UUID
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetWriter
 import org.apache.parquet.hadoop.api.WriteSupport
 import org.apache.parquet.hadoop.metadata.CompressionCodecName
@@ -99,7 +99,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(new Configuration())
+    val fs = new Path(path).getFileSystem(new Configuration())
     val dest = new Path(path)
     fs.mkdirs(dest)
     if (truncate) {
@@ -115,7 +115,7 @@ class GraftSinkBatchWrite(path: String, schema: StructType, truncate: Boolean)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = FileSystem.get(new Configuration())
+    val fs = new Path(path).getFileSystem(new Configuration())
     fs.delete(stagingDir, true)
   }
 }
@@ -156,7 +156,7 @@ class GraftSinkDataWriter(path: String, jobId: String, schema: StructType,
 
   override def abort(): Unit = {
     writer.close()
-    val fs = FileSystem.get(new Configuration())
+    val fs = filePath.getFileSystem(new Configuration())
     fs.delete(filePath, false) // best-effort; staging cleanup is the backstop
   }
 
