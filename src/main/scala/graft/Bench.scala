@@ -59,7 +59,9 @@ object Bench {
       "win_moving_avg", "dedup_exact", "dedup_minhash_lsh",
       "dedup_ngram_jaccard", "dedup_simhash", "ann_topk_bruteforce",
       "ann_topk_ivf", "ann_topk_lsh", "text_quality", "tfidf_top_terms",
-      "stream_sessionize", "k4_merge_upsert", "pipeline_doc_filter")
+      "stream_sessionize", "k4_merge_upsert", "pipeline_doc_filter",
+      "session_window_native", "topk_per_segment", "scalar_subquery_select",
+      "asof_prev_purchase")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${jsonOf(results.filter(r => headline(r._1)))},"sf":"$sfDir"}"""
 
