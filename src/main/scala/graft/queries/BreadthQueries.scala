@@ -242,6 +242,91 @@ object BreadthQueries {
         AND p.p_ts >= e.err_ts - INTERVAL 1 HOUR AND p.p_ts <= e.err_ts
       ORDER BY err_id, p_id""")),
 
+    // §2.6 string-family second wave: split_part, left/right, ascii/chr,
+    // repeat, trim variants, prefix/suffix/contains predicates, sha2-256,
+    // edit distance — all narrow codegen projections.
+    QueryDef("f23_string_family2", (s, dir) => {
+      val nm = col("c_name")
+      t("customer")(s, dir).select(
+        col("c_custkey"),
+        split(nm, "#").getItem(1).as("name_num"),
+        substring(nm, 1, 8).as("l8"),
+        nm.substr(length(nm) - 1, lit(2)).as("r2"),
+        ascii(nm).as("first_code"),
+        chr(ascii(nm) + lit(1)).as("next_char"),
+        repeat(lit("ab"), 2).as("rep"),
+        ltrim(rtrim(concat(lit("  "), nm, lit("  ")))).as("trimmed"),
+        nm.startsWith("Customer").as("is_cust"),
+        nm.endsWith("1").as("ends_one"),
+        nm.contains("000").as("has_zeros"),
+        sha2(nm, 256).as("digest"),
+        levenshtein(nm, lit("Customer#000000001")).as("edit_dist")
+      ).orderBy(col("c_custkey"))
+    }, Some("""
+      SELECT c_custkey,
+             split_part(c_name, '#', 2) AS name_num,
+             left(c_name, 8) AS l8,
+             right(c_name, 2) AS r2,
+             ascii(c_name) AS first_code,
+             chr(ascii(c_name) + 1) AS next_char,
+             repeat('ab', 2) AS rep,
+             ltrim(rtrim('  ' || c_name || '  ')) AS trimmed,
+             starts_with(c_name, 'Customer') AS is_cust,
+             ends_with(c_name, '1') AS ends_one,
+             contains(c_name, '000') AS has_zeros,
+             sha256(c_name) AS digest,
+             levenshtein(c_name, 'Customer#000000001') AS edit_dist
+      FROM customer ORDER BY c_custkey""")),
+
+    // §2.4 explicit GROUPING SETS (completes rollup/cube): two
+    // single-dimension slices plus the grand total in ONE aggregate —
+    // map-side grouping-set expansion keeps partial aggregation.
+    QueryDef("grouping_sets_orders", (s, dir) => {
+      t("orders")(s, dir).createOrReplaceTempView("graft_gso_v")
+      s.sql("""
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        FROM graft_gso_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    }, Some("""
+      SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             coalesce(o_orderpriority, 'ALL') AS priority,
+             count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")),
+
+    // IGNORE NULLS window values: first/last/nth non-null observation per
+    // user over a sparsely-populated column — the gap-filling primitive
+    // behind last-observation-carried-forward.
+    QueryDef("win_ignore_nulls", (s, dir) => {
+      val frame = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t("events")(s, dir)
+        .withColumn("sparse",
+          when(col("event_type") === "purchase", col("value")))
+        .select(col("event_id"),
+          first(col("sparse"), ignoreNulls = true).over(frame).as("first_obs"),
+          last(col("sparse"), ignoreNulls = true).over(frame).as("last_obs"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH e AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'purchase' THEN value END AS sparse
+        FROM events)
+      SELECT event_id,
+             first_value(sparse IGNORE NULLS) OVER w AS first_obs,
+             last_value(sparse IGNORE NULLS) OVER w AS last_obs
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY event_id""")),
+
     // §2.5 ordering breadth: explicit NULLS FIRST / NULLS LAST on a
     // nullable sort key (both engines default differently — ASC defaults
     // to NULLS LAST in DuckDB but NULLS FIRST in Spark, so the modifiers
