@@ -38,6 +38,16 @@ object TimeFns {
   def inWindow(c: Column, start: Column, end: Column): Column =
     c >= start && c < end
 
+  /** Backfill month window (`is_initial` path): calendar month of the
+    * given date, [month-start 00:00:00, month-end 23:59:59].
+    * Reference: `utils/tickets_util.py:6-8` (`set_filter` DATE_CREATED).
+    */
+  def monthWindowStart(d: Column): Column = date_trunc("month", d)
+  def monthWindowEnd(d: Column): Column =
+    last_day(d.cast("date")).cast("timestamp") +
+      expr("INTERVAL 23 HOURS") + expr("INTERVAL 59 MINUTES") +
+      expr("INTERVAL 59 SECONDS")
+
   /** F6 — schedule date+time combine.
     * Reference: `extraction_helpers.py:164-216`:
     *  - date parsed with coerce (unparseable → null row result)
