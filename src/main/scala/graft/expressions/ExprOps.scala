@@ -217,4 +217,26 @@ object ExprOps {
                  else hh
     hour24 * 3600 + mm * 60
   }
+
+  /** Rolling polynomial fingerprint over a token array — one compiled
+    * loop per row, replacing the interpreted transform+aggregate HOF
+    * chain. Bit-identical to
+    * `aggregate(transform(toks, t -> (ascii(t)*131 + length(t))::long),
+    *            0L, (acc, v) -> (acc*31 + v) % 1000000007)`:
+    * ascii = codepoint of the first character (Spark Ascii semantics,
+    * empty → 0), length = character count, fold strictly left-to-right.
+    */
+  def rollingFingerprint(tokens: ArrayData): Long = {
+    val n = tokens.numElements()
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val chars = t.numChars()
+      val a = if (chars > 0) t.substring(0, 1).toString.codePointAt(0) else 0
+      h = (h * 31L + (a.toLong * 131L + chars.toLong)) % 1000000007L
+      i += 1
+    }
+    h
+  }
 }

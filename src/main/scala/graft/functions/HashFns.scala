@@ -66,7 +66,14 @@ object HashFns {
     * token value v = ascii(first char)*131 + length; h = fold(h*31 + v) mod p.
     */
   val FingerprintMod = 1000000007L
-  def rollingFingerprint(tokens: Column): Column = {
+  def rollingFingerprint(tokens: Column): Column =
+    graft.expressions.RollingFingerprint(tokens)
+
+  /** The HOF formulation the codegen expression replaced — kept as the
+    * bit-identity witness for ExpressionsSpec (interpreted lambda per
+    * token; 10-100× slower in the hot path).
+    */
+  def rollingFingerprintHof(tokens: Column): Column = {
     val vals = transform(tokens, t => (ascii(t) * 131 + length(t)).cast("long"))
     aggregate(vals, lit(0L), (acc, v) => (acc * 31L + v) % FingerprintMod)
   }

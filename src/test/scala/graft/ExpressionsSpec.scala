@@ -125,6 +125,20 @@ class ExpressionsSpec extends AnyFunSuite {
       .as[Boolean].head())
   }
 
+  test("RollingFingerprint ≡ transform+aggregate HOF, incl. unicode and empties") {
+    val docs = Seq(
+      "the quick brown fox", "", "a", "über café naïve 日本語 text",
+      "x " * 50, "MiXeD CaSe And 123 numbers!") ++
+      Seq.fill(40)(rnd.shuffle(Seq("alpha", "beta", "γάμμα", "", "delta-7", "é"))
+        .take(rnd.nextInt(6)).mkString(" "))
+    val df = docs.toDF("text")
+      .select(graft.functions.TextAnalysisFns.tokens($"text").as("toks"))
+    val got = df.select(
+      graft.functions.HashFns.rollingFingerprint($"toks").as("fast"),
+      graft.functions.HashFns.rollingFingerprintHof($"toks").as("ref")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("cosine guards: zero vector → 0.0") {
     val df = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
     assert(df.select(VecFns.cosine($"a", $"b")).as[Double].head() == 0.0)
