@@ -78,6 +78,31 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(("a", 1), ("b", 99), ("c", 3)))
   }
 
+  test("Warehouse partitioned: pruned reads + dynamic-partition replace") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-part").toString
+    val wh = new Warehouse(spark, dir)
+    wh.overwritePartitioned("ev",
+      Seq(("2024-01-01", 1L, 10.0), ("2024-01-01", 2L, 20.0),
+          ("2024-01-02", 3L, 30.0)).toDF("dt", "id", "v"), Seq("dt"))
+
+    // a dt predicate through the warehouse read becomes a PARTITION
+    // filter on the scan (directory pruning, not a data filter)
+    val q = wh.read("ev").where(col("dt") === "2024-01-01")
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "dt predicate must prune partitions")
+    assert(q.count() == 2)
+
+    // replace one partition wholesale; the other carries over
+    wh.replacePartitions("ev",
+      Seq(("2024-01-02", 9L, 99.0)).toDF("dt", "id", "v"), Seq("dt"))
+    val after = wh.read("ev").orderBy("id")
+      .select("dt", "id").as[(String, Long)].collect().toSeq
+    assert(after == Seq(("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-02", 9L)))
+  }
+
   // ---- A6 convo -----------------------------------------------------
 
   test("A6 conversation assembly: ordered, rendered, joined") {
