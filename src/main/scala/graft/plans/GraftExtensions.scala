@@ -77,6 +77,15 @@ object GraftSqlFunctions {
       "graft_parse_schedule_time(s) - seconds since midnight from a " +
         "'h[:mm]AM/PM' schedule string (reference parse rules)", Seq(1)) {
       case Seq(s) => ParseScheduleTime(s)
+    },
+    reg("graft_top_k",
+      "graft_top_k(struct(score, id), k) - bounded per-group top-k " +
+        "aggregate (score DESC, id ASC); k must be a positive int literal",
+      Seq(2)) {
+      case Seq(child, Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+        TopKAgg(child, k).toAggregateExpression()
+      case _ => throw new IllegalArgumentException(
+        "graft_top_k: second argument must be an int literal")
     })
 }
 

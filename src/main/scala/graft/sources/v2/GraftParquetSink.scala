@@ -155,7 +155,9 @@ class GraftSinkDataWriter(path: String, jobId: String, schema: StructType,
   }
 
   override def abort(): Unit = {
-    writer.close()
+    // a writer that already failed mid-write may throw on close; abort
+    // must not mask the original task failure
+    try writer.close() catch { case _: Throwable => }
     val fs = filePath.getFileSystem(new Configuration())
     fs.delete(filePath, false) // best-effort; staging cleanup is the backstop
   }

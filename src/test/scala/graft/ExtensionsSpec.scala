@@ -8,6 +8,24 @@ class ExtensionsSpec extends AnyFunSuite {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("graft_top_k is callable as a SQL aggregate and matches the window form") {
+    import spark.implicits._
+    Seq((1L, 5.0, 10L), (1L, 7.0, 11L), (1L, 7.0, 9L), (2L, 1.0, 20L))
+      .toDF("g", "score", "id").createOrReplaceTempView("graft_tk_v")
+    val rows = spark.sql("""
+      SELECT g, e.id AS id
+      FROM (SELECT g, graft_top_k(struct(score, id), 2) AS top
+            FROM graft_tk_v GROUP BY g)
+      LATERAL VIEW explode(top) AS e
+      ORDER BY g, e.score DESC, e.id""").as[(Long, Long)].collect().toSeq
+    assert(rows == Seq((1L, 9L), (1L, 11L), (2L, 20L))) // tie at 7.0 → lower id first
+    // non-literal k is rejected with a clear error
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_top_k(struct(score, id), CAST(id AS INT)) FROM graft_tk_v GROUP BY g").collect()
+    }
+    assert(err.getMessage.contains("int literal"))
+  }
+
   test("nanos predicate rule: ts range filter pushes to the parquet scan") {
     val df = Tables.load(spark, dir, "events")
       .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
