@@ -242,6 +242,50 @@ object BreadthQueries {
         AND p.p_ts >= e.err_ts - INTERVAL 1 HOUR AND p.p_ts <= e.err_ts
       ORDER BY err_id, p_id""")),
 
+    // TPC-H Q6 shape: forecasting revenue change — tight range filters
+    // (all pushable to the scan) over a single fact table, one scalar out.
+    QueryDef("q6_forecast_revenue", (s, dir) => {
+      t("lineitem")(s, dir)
+        .where(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz") &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+    }, Some("""
+      SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate < TIMESTAMP '1996-01-01'
+        AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""")),
+
+    // TPC-H Q14 shape: conditional revenue share — promo-branded revenue
+    // as a percentage of total, both sums in DECIMAL, one double division
+    // at the end (identical rational on both engines).
+    QueryDef("q14_promo_share", (s, dir) => {
+      val li = t("lineitem")(s, dir)
+        .where(col("l_shipdate") >= lit("1995-09-01").cast("timestamp_ntz") &&
+          col("l_shipdate") < lit("1995-10-01").cast("timestamp_ntz"))
+      val pt = t("part")(s, dir).select(col("p_partkey"), col("p_name"))
+      li.join(broadcast(pt), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_name").startsWith("red"),
+              (col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .otherwise(lit(0.0)).cast("decimal(18,4)")).as("__promo"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,4)")).as("__total"))
+        .select((lit(100.0) * col("__promo").cast("double") /
+          col("__total").cast("double")).as("promo_share"))
+    }, Some("""
+      SELECT 100.0 * CAST(sum(CASE WHEN starts_with(p_name, 'red')
+                   THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+                   ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                             AS DECIMAL(18,4))) AS DOUBLE) AS promo_share
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        AND l_shipdate < TIMESTAMP '1995-10-01'""")),
+
     // §2.6 string-family second wave: split_part, left/right, ascii/chr,
     // repeat, trim variants, prefix/suffix/contains predicates, sha2-256,
     // edit distance — all narrow codegen projections.
