@@ -242,6 +242,62 @@ object BreadthQueries {
         AND p.p_ts >= e.err_ts - INTERVAL 1 HOUR AND p.p_ts <= e.err_ts
       ORDER BY err_id, p_id""")),
 
+    // Null-safe equality join (<=> ≡ IS NOT DISTINCT FROM): NULL keys
+    // match each other instead of dropping — the semantics a dimension
+    // join needs when "unknown" is itself a key value.
+    QueryDef("j14_null_safe_eq", (s, dir) => {
+      val ev = t("events")(s, dir)
+        .select(col("event_id"),
+          when(col("event_type") =!= "click", col("event_type")).as("k"))
+        .where(col("event_id") <= 2000)
+      val dim = ev.sparkSession.createDataFrame(Seq(
+        (Option("purchase"), 10L), (Option("error"), 20L),
+        (Option.empty[String], 99L))).toDF("k", "code")
+      ev.join(dim, ev("k") <=> dim("k"), "inner")
+        .select(col("event_id"), col("code"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH ev AS (
+        SELECT event_id,
+               CASE WHEN event_type <> 'click' THEN event_type END AS k
+        FROM events WHERE event_id <= 2000),
+      dim(k, code) AS (VALUES ('purchase', 10), ('error', 20), (NULL, 99))
+      SELECT event_id, CAST(code AS BIGINT) AS code
+      FROM ev JOIN dim ON ev.k IS NOT DISTINCT FROM dim.k
+      ORDER BY event_id""")),
+
+    // Safe-cast / safe-divide family (the reference leans on BigQuery
+    // SAFE_CAST throughout its MERGE staging): malformed input → NULL,
+    // never a failed job. Test strings built by the same CASE on both
+    // engines; note DuckDB TRY_CAST('42.7' AS INT) ROUNDS where Spark
+    // nulls — only integral/garbage/overflow forms are portable.
+    QueryDef("f24_try_family", (s, dir) => {
+      val tag = col("event_id") % 4
+      val str = when(tag === 0, lit("123")).when(tag === 1, lit("12x"))
+        .when(tag === 2, lit("")).otherwise(lit("99999999999"))
+      val dts = when(col("event_id") % 3 === 0, lit("2024-02-29 10:00:00"))
+        .otherwise(lit("2024-13-01 00:00:00"))
+      t("events")(s, dir).select(
+        col("event_id"),
+        str.try_cast("int").as("as_int"),
+        dts.try_cast("timestamp_ntz").as("as_ts"),
+        try_divide(col("value"), (col("event_id") % 5).cast("double")).as("ratio")
+      ).orderBy(col("event_id"))
+    }, Some("""
+      WITH x AS (
+        SELECT event_id, value,
+               CASE event_id % 4 WHEN 0 THEN '123' WHEN 1 THEN '12x'
+                                 WHEN 2 THEN '' ELSE '99999999999' END AS str,
+               CASE WHEN event_id % 3 = 0 THEN '2024-02-29 10:00:00'
+                    ELSE '2024-13-01 00:00:00' END AS dts
+        FROM events)
+      SELECT event_id,
+             TRY_CAST(str AS INTEGER) AS as_int,
+             TRY_CAST(dts AS TIMESTAMP) AS as_ts,
+             CASE WHEN event_id % 5 = 0 THEN NULL
+                  ELSE value / CAST(event_id % 5 AS DOUBLE) END AS ratio
+      FROM x ORDER BY event_id""")),
+
     // TPC-H Q6 shape: forecasting revenue change — tight range filters
     // (all pushable to the scan) over a single fact table, one scalar out.
     QueryDef("q6_forecast_revenue", (s, dir) => {
