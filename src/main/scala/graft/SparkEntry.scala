@@ -26,7 +26,10 @@ object SparkEntry {
       ev, "user_id", Seq(col("ts"), col("event_id")), col("__rendered"), "\n\n")
     val analysis = llm.LlmExtract.extract(
       convos.select(col("user_id").cast("string").as("ticket_id"), col("convo")),
-      "ticket_id", "convo", new llm.MockLlmGateway)
+      "ticket_id", "convo",
+      // the reference's model-fallback chain shape; deterministic mock
+      // as the (sole) backing model in the test environment
+      new llm.FallbackLlmGateway(Seq(new llm.MockLlmGateway)))
     val customers = Tables.load(spark, dir, "customer")
     analysis.join(customers,
         col("ticket_id") === col("c_custkey").cast("string"), "left")
