@@ -2,14 +2,15 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AdvancedQueries, AnalyticsQueries, BreadthQueries, DedupVectorQueries, QueryDef, RelationalQueries, TextSimQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, BreadthQueries, DedupVectorQueries, QueryDef, RelationalQueries, SemiStructuredQueries, TextSimQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   val all: Seq[QueryDef] =
     RelationalQueries.defs ++ TextSimQueries.defs ++ DedupVectorQueries.defs ++
-      AnalyticsQueries.defs ++ AdvancedQueries.defs ++ BreadthQueries.defs
+      AnalyticsQueries.defs ++ AdvancedQueries.defs ++ BreadthQueries.defs ++
+      SemiStructuredQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the §3.2 convo-analysis lifecycle shape end-to-end: conversation
