@@ -1,9 +1,10 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming forms of the reference's micro-batch semantics
   * (SURVEY.md §2.8). The reference is scheduler-driven batch with a 6-hour
@@ -111,6 +112,67 @@ object Streams {
       col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
       col(rightTs) <= col(leftTs)
     l.join(r, cond)
+  }
+
+  /** intervalJoin with LEFT OUTER semantics: left events with no match in
+    * the lookback window are still emitted, null-padded — but only once the
+    * right-side watermark has passed the window, proving no match can
+    * still arrive. Same horizon-bounded state as the inner form; the
+    * correctness subtlety is that outer results are WITHHELD until the
+    * watermark closes the candidate window (they surface a micro-batch
+    * later), which the spec pins down.
+    */
+  def leftOuterIntervalJoin(left: DataFrame, right: DataFrame,
+                            keys: Seq[(String, String)],
+                            leftTs: String, rightTs: String,
+                            lookback: String = "1 hour",
+                            watermark: String = "30 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val cond = keys.map { case (lk, rk) => col(lk) === col(rk) }.reduce(_ && _) &&
+      col(rightTs) >= col(leftTs) - expr(s"INTERVAL $lookback") &&
+      col(rightTs) <= col(leftTs)
+    l.join(r, cond, "leftOuter")
+  }
+
+  final case class UserTotals(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Arbitrary stateful processing v2 (Spark 4 `transformWithState`): a
+    * per-user running aggregate kept in a typed ValueState, emitting the
+    * updated totals every micro-batch — the stateful-enrichment shape
+    * (lifetime counters riding an event stream) that
+    * mapGroupsWithState forces into coarse user-managed state, here with
+    * fine-grained state primitives (value/list/map states, TTL, timers)
+    * on the RocksDB store. Money is accumulated in integer cents: state
+    * survives across batches, so float addition order would otherwise
+    * depend on batch boundaries.
+    */
+  class RunningUserTotals extends StatefulProcessor[Long, Event, UserTotals] {
+    @transient private var totals: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Long)](
+        "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserTotals] = {
+      var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
+      for (e <- rows) {
+        n += 1
+        cents += math.rint(e.value * 100).toLong
+      }
+      totals.update((n, cents))
+      Iterator.single(UserTotals(key, n, cents))
+    }
+  }
+
+  /** Per-user lifetime totals via transformWithState (requires the
+    * RocksDB state store provider — the only one with the multi-column-
+    * family layout the v2 state API needs).
+    */
+  def runningUserTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningUserTotals, TimeMode.None(), OutputMode.Update())
   }
 
   /** Streaming upsert sink: foreachBatch applying the K4 staged merge into

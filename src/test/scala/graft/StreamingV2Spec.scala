@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+
+/** Round-3 streaming additions: the Spark 4 transformWithState API
+  * (arbitrary stateful processing v2 on the RocksDB store), stream-stream
+  * LEFT OUTER interval join with watermark-gated null emission, and
+  * Trigger.AvailableNow (the drain-everything-then-stop trigger — the
+  * streaming form of the reference's scheduler-driven catch-up batch).
+  */
+class StreamingV2Spec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("transformWithState: per-user lifetime totals survive across batches") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    // the v2 state API needs the multi-column-family state layout — RocksDB only
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val out = Streams.runningUserTotals(mem.toDS())
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("tws_out").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.25),
+        Event(2, ts("2024-01-01 10:01:00"), 1, "click", 2.50),
+        Event(3, ts("2024-01-01 10:02:00"), 2, "view", 3.00))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts("2024-01-01 10:10:00"), 1, "click", 0.25))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .as[Streams.UserTotals].collect().map(u => (u.user_id, u.n_events, u.total_cents))
+      // batch 1 emits both users' totals; batch 2 re-emits user 1 with
+      // state carried over — not recomputed from the batch alone
+      assert(rows.toSet == Set((1L, 2L, 375L), (2L, 1L, 300L), (1L, 3L, 400L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("left-outer interval join: unmatched left emitted null-padded after watermark") {
+    implicit val sq = spark.sqlContext
+    val lMem = MemoryStream[Event]
+    val rMem = MemoryStream[Event]
+    val l = lMem.toDF().select(col("event_id").as("l_id"), col("ts").as("l_ts"),
+      col("user_id").as("l_uid"))
+    val r = rMem.toDF().select(col("event_id").as("r_id"), col("ts").as("r_ts"),
+      col("user_id").as("r_uid"))
+    val joined = Streams.leftOuterIntervalJoin(l, r,
+      Seq("l_uid" -> "r_uid"), "l_ts", "r_ts", "1 hour", "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("loj_out").start()
+    try {
+      // user 1 has a right-side match 10 min earlier; user 2 has none
+      lMem.addData(Event(100, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+                   Event(101, ts("2024-01-01 10:05:00"), 2, "click", 1.0))
+      rMem.addData(Event(200, ts("2024-01-01 09:50:00"), 1, "buy", 5.0))
+      q.processAllAvailable()
+      // advance BOTH watermarks past 10:05 + lookback, then force the
+      // eviction micro-batch: outer results surface one batch after the
+      // watermark closes the candidate window
+      lMem.addData(Event(102, ts("2024-01-01 12:00:00"), 9, "click", 1.0))
+      rMem.addData(Event(201, ts("2024-01-01 12:00:00"), 9, "buy", 1.0))
+      q.processAllAvailable()
+      lMem.addData(Event(103, ts("2024-01-01 12:30:00"), 9, "click", 1.0))
+      rMem.addData(Event(202, ts("2024-01-01 12:30:00"), 9, "buy", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("loj_out")
+        .select(col("l_id"), col("r_id")).as[(Long, Option[Long])].collect().toMap
+      assert(rows(100L).contains(200L))       // matched pair joined
+      assert(rows.get(101L).exists(_.isEmpty)) // unmatched left null-padded
+    } finally q.stop()
+  }
+
+  test("Trigger.AvailableNow: drains a file source then self-terminates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
+    Seq(
+      Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+      Event(2, ts("2024-01-01 10:50:00"), 2, "click", 2.0),
+      Event(3, ts("2024-01-01 11:10:00"), 1, "view", 3.0)
+    ).toDS().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[Event]].schema)
+      .parquet(dir)
+    val agg = Streams.windowedCounts(stream, "1 hour", "30 minutes")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("avnow_out")
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000)) // self-terminates once drained
+    val rows = spark.table("avnow_out")
+      .select("window_start", "event_type", "n_events")
+      .as[(Timestamp, String, Long)].collect().toSet
+    assert(rows == Set(
+      (ts("2024-01-01 10:00:00"), "click", 2L),
+      (ts("2024-01-01 11:00:00"), "view", 1L)))
+  }
+}
