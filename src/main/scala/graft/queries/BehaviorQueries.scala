@@ -1,0 +1,152 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 behavioral-analytics breadth: NULL-handling scalar family,
+  * windowed distinct counting (Spark lacks DISTINCT aggregates in window
+  * frames — the dense_rank workaround is plan-identical to one window
+  * shuffle), time-series densification (sparse → gap-filled daily series,
+  * the standard feature-engineering precursor), funnel conversion, and
+  * cohort retention. All integer/timestamp-exact; week truncation is
+  * Monday-based in both engines.
+  */
+object BehaviorQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // NULL-handling scalar family: nullif, coalesce, nvl2, NULL-ignoring
+    // greatest/least (both engines skip NULL args — only all-NULL yields
+    // NULL), isnull predicate.
+    QueryDef("f28_null_family", (s, dir) => {
+      t("customer")(s, dir)
+        .withColumn("n", expr("nullif(c_nationkey % 5, 0)"))
+        .select(
+          col("c_custkey"),
+          coalesce(col("n"), lit(-1)).as("n_coalesce"),
+          expr("nvl2(n, 'has', 'none')").as("nvl2_val"),
+          expr("greatest(n, 2)").as("g2"),
+          expr("least(n, 2)").as("l2"),
+          expr("isnull(n)").as("n_isnull"))
+        .orderBy(col("c_custkey"))
+    }, Some("""
+      WITH c AS (
+        SELECT c_custkey, nullif(c_nationkey % 5, 0) AS n FROM customer)
+      SELECT c_custkey,
+             coalesce(n, -1) AS n_coalesce,
+             CASE WHEN n IS NOT NULL THEN 'has' ELSE 'none' END AS nvl2_val,
+             greatest(n, 2) AS g2,
+             least(n, 2) AS l2,
+             n IS NULL AS n_isnull
+      FROM c ORDER BY c_custkey""")),
+
+    // Windowed distinct count: Spark windows reject DISTINCT aggregates,
+    // so the portable form is max(dense_rank) — dense_rank over the value
+    // ordering numbers the distinct values, its partition max IS the
+    // distinct count. One shuffle on the partition key; the oracle uses
+    // DuckDB's native count(DISTINCT) OVER to prove equivalence.
+    QueryDef("win_count_distinct", (s, dir) => {
+      val byType = Window.partitionBy(col("event_type"))
+      val dr = dense_rank().over(byType.orderBy(col("user_id")))
+      t("events")(s, dir)
+        .select(col("event_id"), col("event_type"),
+          max(dr.cast("long")).over(byType).as("n_users"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, event_type,
+             CAST(count(DISTINCT user_id) OVER (PARTITION BY event_type) AS BIGINT) AS n_users
+      FROM events ORDER BY event_id""")),
+
+    // Time-series densification: per-user sparse daily counts → a dense
+    // gap-filled series over each user's [min_day, max_day] span
+    // (sequence + explode, zero-filled left join). The generated rows are
+    // bounded by span × users, never by the event count — the shape that
+    // holds when the event table is 100 TB but the calendar is small.
+    QueryDef("densify_daily", (s, dir) => {
+      val ev = t("events")(s, dir).where(col("user_id") <= 20)
+        .withColumn("day", to_date(col("ts")))
+      val daily = ev.groupBy(col("user_id"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val days = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      days.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day").cast("timestamp").as("day_ts"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy(col("user_id"), col("day_ts"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        FROM events WHERE user_id <= 20),
+      daily AS (SELECT user_id, day, count(*) AS n FROM ev GROUP BY 1, 2),
+      span AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM ev GROUP BY 1),
+      days AS (
+        SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        FROM span)
+      SELECT days.user_id, CAST(days.day AS TIMESTAMP) AS day_ts,
+             coalesce(daily.n, 0) AS n_events
+      FROM days LEFT JOIN daily ON days.user_id = daily.user_id AND days.day = daily.day
+      ORDER BY days.user_id, day_ts""")),
+
+    // Funnel conversion: first click → first purchase at-or-after it,
+    // converted iff within 24 h. The conditional-min inside the aggregate
+    // (not a correlated subquery) keeps it one join + one agg at scale.
+    QueryDef("funnel_conversion", (s, dir) => {
+      val ev = t("events")(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val buys = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("b_uid"), col("ts").as("buy_ts"))
+      clicks.join(buys, col("user_id") === col("b_uid"), "left")
+        .groupBy(col("user_id"), col("first_click"))
+        .agg(min(when(col("buy_ts") >= col("first_click"), col("buy_ts"))).as("first_buy"))
+        .select(col("user_id"), col("first_click"),
+          coalesce(col("first_buy") <= col("first_click") + expr("INTERVAL 24 HOURS"),
+            lit(false)).as("converted"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH fc AS (
+        SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      fb AS (
+        SELECT fc.user_id, fc.first_click,
+               min(CASE WHEN CAST(e.ts AS TIMESTAMP) >= fc.first_click
+                        THEN CAST(e.ts AS TIMESTAMP) END) AS first_buy
+        FROM fc LEFT JOIN events e
+          ON e.user_id = fc.user_id AND e.event_type = 'purchase'
+        GROUP BY 1, 2)
+      SELECT user_id, first_click,
+             coalesce(first_buy <= first_click + INTERVAL 24 HOURS, false) AS converted
+      FROM fb ORDER BY user_id""")),
+
+    // Cohort retention: cohort = week of first activity (trunc is
+    // monotonic, so min-then-trunc ≡ trunc-then-min); count distinct
+    // users per (cohort, week offset). Integer week offsets via exact
+    // day-diff division — both offsets are Monday-aligned multiples of 7.
+    QueryDef("cohort_retention", (s, dir) => {
+      val ev = t("events")(s, dir)
+        .select(col("user_id"), trunc(to_date(col("ts")), "week").as("wk"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ev.join(cohorts, "user_id")
+        .groupBy(col("cohort"), expr("datediff(wk, cohort) DIV 7").as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .select(col("cohort").cast("timestamp").as("cohort_wk"),
+          col("week_offset"), col("n_users"))
+        .orderBy(col("cohort_wk"), col("week_offset"))
+    }, Some("""
+      WITH ev AS (
+        SELECT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+        FROM events),
+      cohorts AS (SELECT user_id, min(wk) AS cohort FROM ev GROUP BY 1)
+      SELECT CAST(cohort AS TIMESTAMP) AS cohort_wk,
+             CAST(date_diff('day', cohort, wk) // 7 AS BIGINT) AS week_offset,
+             count(DISTINCT ev.user_id) AS n_users
+      FROM ev JOIN cohorts USING (user_id)
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+  )
+}
