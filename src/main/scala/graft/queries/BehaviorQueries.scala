@@ -19,6 +19,35 @@ object BehaviorQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Gopher-style repetition signal: fraction of duplicate word 2-grams
+    // per document (1 − distinct/total). High values flag the
+    // boilerplate/spam documents a training-data filter drops. Counts are
+    // integers; the fraction is one double division, identical on both
+    // sides.
+    QueryDef("text_repetition", (s, dir) => {
+      val toks = graft.functions.TextAnalysisFns.tokens(col("text"))
+      val total = greatest(size(toks) - 1, lit(0)).cast("long")
+      val dist = size(graft.functions.SimFns.wordShingles(toks, 2)).cast("long")
+      t("documents")(s, dir)
+        .select(col("doc_id"), total.as("n_2grams"), dist.as("n_distinct"),
+          when(total === 0, lit(0.0))
+            .otherwise(lit(1.0) - dist.cast("double") / total.cast("double"))
+            .as("dup_frac"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      val sh = Sql.wordShingles("toks", 2)
+      s"""
+      WITH tk AS (SELECT doc_id, $toks AS toks FROM documents)
+      SELECT doc_id,
+             CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_2grams,
+             CAST(len($sh) AS BIGINT) AS n_distinct,
+             CASE WHEN greatest(len(toks) - 1, 0) = 0 THEN 0.0
+                  ELSE 1.0 - len($sh) / CAST(greatest(len(toks) - 1, 0) AS DOUBLE)
+             END AS dup_frac
+      FROM tk ORDER BY doc_id"""
+    }),
+
     // NULL-handling scalar family: nullif, coalesce, nvl2, NULL-ignoring
     // greatest/least (both engines skip NULL args — only all-NULL yields
     // NULL), isnull predicate.

@@ -1,0 +1,175 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 classic decision-support shapes (TPC-H Q10/Q15/Q17/Q18/Q22
+  * analogs, adapted to the columns the test tables actually carry — no
+  * partsupp, no commitdate). These are the canonical Catalyst
+  * decorrelation and aggregate-join exhibits: correlated scalar
+  * subqueries, HAVING over a pre-join aggregate, scalar-max selection,
+  * NOT EXISTS + scalar-subquery filters. Money math goes through DECIMAL
+  * with one final cast; averages are computed as decimal-sum ÷ count with
+  * the identical double expression on both sides (native avg() float
+  * accumulation order is engine-dependent).
+  */
+object TpchShapeQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Q10 shape: revenue lost to returns, per customer, top 20. The
+    // returnflag filter reaches the lineitem scan; customer/orders are
+    // the broadcast sides of the fact join.
+    QueryDef("q10_returns_revenue", (s, dir) => {
+      val li = t("lineitem")(s, dir).where(col("l_returnflag") === "R")
+      val ord = t("orders")(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val cust = t("customer")(s, dir)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,8)")).as("rev"))
+        .orderBy(col("rev").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          col("rev").cast("double").as("revenue"))
+    }, Some("""
+      SELECT c_custkey, c_name, c_mktsegment,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_mktsegment
+      ORDER BY sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) DESC,
+               c_custkey
+      LIMIT 20""")),
+
+    // Q15 shape: supplier(s) with the maximum quarterly revenue — the
+    // scalar-max selection. The max is a 1-row aggregate broadcast into
+    // the filter (never collected to the driver); DECIMAL keeps the
+    // equality comparison exact where float revenue would make "equal to
+    // max" engine-dependent.
+    QueryDef("q15_top_supplier", (s, dir) => {
+      val revs = t("lineitem")(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") <  lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,8)")).as("rev"))
+      val mx = revs.agg(max(col("rev")).as("mx"))
+      val sup = t("supplier")(s, dir).select(col("s_suppkey"), col("s_name"))
+      revs.join(broadcast(mx), col("rev") === col("mx"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("rev").cast("double").as("total_rev"))
+        .orderBy(col("s_suppkey"))
+    }, Some("""
+      WITH revs AS (
+        SELECT l_suppkey,
+               sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS rev
+        FROM lineitem
+        WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1996-01-01 00:00:00'
+          AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_rev
+      FROM revs JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev = (SELECT max(rev) FROM revs)
+      ORDER BY s_suppkey""")),
+
+    // Q17 shape: revenue impact of small-quantity orders — the classic
+    // correlated scalar subquery (per-part average quantity) that
+    // Catalyst decorrelates into an aggregate join. The 0.2×avg threshold
+    // is decimal-sum ÷ count in the same order on both sides.
+    QueryDef("q17_small_qty_revenue", (s, dir) => {
+      t("lineitem")(s, dir).createOrReplaceTempView("q17_lineitem_v")
+      t("part")(s, dir).createOrReplaceTempView("q17_part_v")
+      s.sql("""
+        SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0
+                    AS DOUBLE) AS avg_yearly
+        FROM q17_lineitem_v l JOIN q17_part_v p ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                          / count(*))
+            FROM q17_lineitem_v l2 WHERE l2.l_partkey = l.l_partkey)""")
+    }, Some("""
+      SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0
+                  AS DOUBLE) AS avg_yearly
+      FROM lineitem l JOIN part p ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#4'
+        AND l_quantity < (
+          SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                        / count(*))
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""")),
+
+    // Q18 shape: large-volume orders — HAVING over a pre-join aggregate;
+    // the aggregate side is computed FIRST (one lineitem shuffle), then
+    // joined to orders/customer. sum_qty stays DECIMAL through the
+    // threshold compare.
+    QueryDef("q18_large_orders", (s, dir) => {
+      val big = t("lineitem")(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sum_qty"))
+        .where(col("sum_qty") > 150)
+      val ord = t("orders")(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_totalprice"))
+      val cust = t("customer")(s, dir).select(col("c_custkey"), col("c_name"))
+      big.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT c_custkey, c_name, o_orderkey,
+             CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_totalprice,
+             CAST(sum_qty AS DOUBLE) AS sum_qty
+      FROM (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 150) big
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""")),
+
+    // Q22 shape: well-funded customers gone DORMANT (no order since
+    // 2000 — at this SF every customer has ordered at least once, so the
+    // classic never-ordered predicate is vacuous) — NOT EXISTS with an
+    // extra predicate (planned as an anti join) gated by a
+    // scalar-subquery average (decimal-sum ÷ count, broadcast into the
+    // filter), grouped by a derived code.
+    QueryDef("q22_idle_customers", (s, dir) => {
+      t("customer")(s, dir).createOrReplaceTempView("q22_customer_v")
+      t("orders")(s, dir).createOrReplaceTempView("q22_orders_v")
+      s.sql("""
+        SELECT c_nationkey % 5 AS code, count(*) AS n_cust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        FROM q22_customer_v c
+        WHERE c_acctbal > (
+            SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+            FROM q22_customer_v c2 WHERE c2.c_acctbal > 0.0)
+          AND NOT EXISTS (
+            SELECT 1 FROM q22_orders_v o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_nationkey % 5
+        ORDER BY code""")
+    }, Some("""
+      SELECT c_nationkey % 5 AS code, count(*) AS n_cust,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+      FROM customer c
+      WHERE c_acctbal > (
+          SELECT CAST(sum(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+          FROM customer c2 WHERE c2.c_acctbal > 0.0)
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND CAST(o.o_orderdate AS TIMESTAMP) >= TIMESTAMP '2000-01-01 00:00:00')
+      GROUP BY c_nationkey % 5
+      ORDER BY code"""))
+  )
+}

@@ -74,4 +74,23 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = planOf("j11_not_exists")
     assert(plan.contains("LeftAnti"), s"no anti join:\n${plan.take(400)}")
   }
+
+  test("j15 LATERAL LIMIT decorrelates to a rank-limited window join") {
+    val plan = planOf("j15_lateral_topn")
+    // WindowGroupLimit = the top-n is bounded BEFORE the window shuffle
+    // (partial rank-limit per map task); without it every order row is
+    // shuffled and ranked just to keep 2 per customer
+    assert(plan.contains("WindowGroupLimit"),
+      s"no rank-limit pushdown:\n${plan.take(600)}")
+    assert(!plan.contains("CartesianProduct"),
+      "lateral degenerated to a per-row cartesian")
+  }
+
+  test("win_count_distinct: both windows share one partition exchange") {
+    val plan = planOf("win_count_distinct")
+    // dense_rank + partition max reuse the event_type hashpartitioning —
+    // a second exchange would double the wide stage at scale
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
+  }
 }
