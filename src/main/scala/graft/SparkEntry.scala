@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AdvancedQueries, AnalyticsQueries, BehaviorQueries, BreadthQueries, DedupVectorQueries, QueryDef, RelationalQueries, SemiStructuredQueries, TextSimQueries, TpchShapeQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, BehaviorQueries, BreadthQueries, DedupVectorQueries, QueryDef, RelationalQueries, SemiStructuredQueries, SqlSurfaceQueries, TextSimQueries, TpchShapeQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     RelationalQueries.defs ++ TextSimQueries.defs ++ DedupVectorQueries.defs ++
       AnalyticsQueries.defs ++ AdvancedQueries.defs ++ BreadthQueries.defs ++
-      SemiStructuredQueries.defs ++ BehaviorQueries.defs ++ TpchShapeQueries.defs
+      SemiStructuredQueries.defs ++ BehaviorQueries.defs ++ TpchShapeQueries.defs ++
+      SqlSurfaceQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the §3.2 convo-analysis lifecycle shape end-to-end: conversation

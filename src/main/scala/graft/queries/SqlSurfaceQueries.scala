@@ -1,0 +1,104 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 SQL-surface breadth: recursive CTEs (new in Spark 4), collated
+  * grouping (Spark 4 collations vs DuckDB NOCASE), XML parsing (Spark's
+  * built-in XML functions; DuckDB has none, so the oracle derives the
+  * expected values from the base columns — the query proves the
+  * construct→parse round trip is lossless), and GROUP BY ALL / ORDER BY
+  * ALL (same SQL text runs on both engines).
+  */
+object SqlSurfaceQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Recursive CTE: every customer's ancestor chain in the implicit
+    // binary hierarchy node → node DIV 2 (depth ⌊log2 n⌋ ≈ 11 levels at
+    // this SF — recursion depth is the DAG depth, not the row count).
+    // Spark executes it as iterated UnionLoop steps; integer division is
+    // DIV (Spark) / // (DuckDB) — plain '/' would be double division in
+    // Spark.
+    QueryDef("rec_cte_ancestors", (s, dir) => {
+      t("customer")(s, dir).createOrReplaceTempView("rec_customer_v")
+      s.sql("""
+        WITH RECURSIVE anc(node, a) AS (
+          SELECT c_custkey, c_custkey DIV 2 FROM rec_customer_v WHERE c_custkey >= 2
+          UNION ALL
+          SELECT node, a DIV 2 FROM anc WHERE a >= 2)
+        SELECT node, count(*) AS n_anc, CAST(sum(a) AS BIGINT) AS anc_sum
+        FROM anc GROUP BY node ORDER BY node""")
+    }, Some("""
+      WITH RECURSIVE anc(node, a) AS (
+        SELECT c_custkey, c_custkey // 2 FROM customer WHERE c_custkey >= 2
+        UNION ALL
+        SELECT node, a // 2 FROM anc WHERE a >= 2)
+      SELECT node, count(*) AS n_anc, CAST(sum(a) AS BIGINT) AS anc_sum
+      FROM anc GROUP BY node ORDER BY node""")),
+
+    // Collated grouping: case-mangled segment keys grouped under a
+    // case-insensitive collation. Spark hashes the UTF8_LCASE sort key,
+    // so 'BUILDING' and 'building' land in ONE group; the representative
+    // the engine surfaces is case-arbitrary, so lower() normalizes it.
+    // The oracle groups by lower(k) — same partition of the rows.
+    QueryDef("f29_collation", (s, dir) => {
+      t("customer")(s, dir).createOrReplaceTempView("coll_customer_v")
+      s.sql("""
+        SELECT lower(k COLLATE UTF8_LCASE) AS seg, count(*) AS n
+        FROM (
+          SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                      ELSE lower(c_mktsegment) END AS k
+          FROM coll_customer_v)
+        GROUP BY k COLLATE UTF8_LCASE
+        ORDER BY seg""")
+    }, Some("""
+      SELECT lower(k) AS seg, count(*) AS n
+      FROM (
+        SELECT CASE WHEN c_custkey % 2 = 0 THEN upper(c_mktsegment)
+                    ELSE lower(c_mktsegment) END AS k
+        FROM customer)
+      GROUP BY lower(k)
+      ORDER BY seg""")),
+
+    // XML construct→parse round trip: both from_xml (schema'd struct) and
+    // xpath extraction. DuckDB has no XML functions, so the oracle states
+    // the expected values directly from the base columns — a mismatch
+    // means Spark's XML path lost or mangled a value.
+    QueryDef("f30_xml_extract", (s, dir) => {
+      t("orders")(s, dir)
+        .withColumn("x", format_string("<o><k>%d</k><p>%s</p></o>",
+          col("o_orderkey"), col("o_orderpriority")))
+        .select(
+          col("o_orderkey"),
+          expr("from_xml(x, 'k BIGINT, p STRING').k").as("xml_key"),
+          expr("from_xml(x, 'k BIGINT, p STRING').p").as("xml_pri"),
+          expr("xpath_long(x, '/o/k')").as("xpath_key"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT o_orderkey,
+             o_orderkey AS xml_key,
+             o_orderpriority AS xml_pri,
+             o_orderkey AS xpath_key
+      FROM orders ORDER BY o_orderkey""")),
+
+    // GROUP BY ALL / ORDER BY ALL: the exact same SQL text runs on both
+    // engines (both infer the grouping keys from the non-aggregate select
+    // items and order by every output column).
+    QueryDef("a15_group_by_all", (s, dir) => {
+      t("customer")(s, dir).createOrReplaceTempView("gba_customer_v")
+      s.sql("""
+        SELECT c_mktsegment AS seg, c_nationkey % 5 AS code, count(*) AS n,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+        FROM gba_customer_v
+        GROUP BY ALL ORDER BY ALL""")
+    }, Some("""
+      SELECT c_mktsegment AS seg, c_nationkey % 5 AS code, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
+      FROM customer
+      GROUP BY ALL ORDER BY ALL"""))
+  )
+}

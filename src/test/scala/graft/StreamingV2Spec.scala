@@ -86,6 +86,25 @@ class StreamingV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static join: each micro-batch enriched from the static dim") {
+    implicit val sq = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("d_uid", "tier")
+    val mem = MemoryStream[Event]
+    val joined = mem.toDF().join(broadcast(dim), col("user_id") === col("d_uid"), "left")
+      .select(col("event_id"), col("tier"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ss_out").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 2, "view", 1.0),
+        Event(3, ts("2024-01-01 10:02:00"), 9, "view", 1.0)) // no dim row
+      q.processAllAvailable()
+      val rows = spark.table("ss_out").as[(Long, Option[String])].collect().toMap
+      assert(rows == Map(1L -> Some("gold"), 2L -> Some("silver"), 3L -> None))
+    } finally q.stop()
+  }
+
   test("Trigger.AvailableNow: drains a file source then self-terminates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
     Seq(
