@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.{BooleanType, LongType, TimestampType}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => PushdownNanosTimestampPredicate)
+    e.injectOptimizerRule(_ => ApproxCountDistinctRewrite)
     e.injectPlannerStrategy(_ => TopKPerProbeStrategy)
     GraftSqlFunctions.all.foreach(e.injectFunction)
   }
