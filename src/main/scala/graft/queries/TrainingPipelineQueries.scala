@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextAnalysisFns
+
+/** Round-3 LLM-training-data operators over `documents`: sliding-window
+  * chunking (the tokenize-and-split step before packing), contiguous
+  * sequence packing by token budget, and benchmark decontamination
+  * (n-gram overlap against a held-out eval source). All integer/md5
+  * exact — no float anywhere.
+  */
+object TrainingPipelineQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  /** chunk size / stride (overlap = size − stride) */
+  private val C = 20
+  private val S = 15
+  /** packing token budget per training sequence */
+  private val B = 256
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Sliding-window chunking: starts at 0, S, 2S, …; the last start is
+    // the first one whose window reaches the end (n_starts =
+    // 1 + ceil(max(len−C,0)/S), all integer math). Chunks shorter than C
+    // only at the tail. One generate-and-explode stage — no UDF, no
+    // driver loop; each chunk carries its md5 for downstream exact dedup.
+    QueryDef("text_chunking", (s, dir) => {
+      t("documents")(s, dir)
+        .select(col("doc_id"), TextAnalysisFns.tokens(col("text")).as("toks"))
+        .where(size(col("toks")) > 0)
+        .withColumn("n_starts",
+          expr(s"(greatest(size(toks) - $C, 0) + ${S - 1}) DIV $S + 1"))
+        .select(col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, n_starts - 1), i -> slice(toks, i*$S + 1, $C))")))
+        .select(col("doc_id"), col("pos").cast("int").as("chunk_idx"),
+          size(col("col")).cast("long").as("n_toks"),
+          md5(concat_ws(" ", col("col"))).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents),
+      n AS (SELECT doc_id, toks,
+                   (greatest(len(toks) - $C, 0) + ${S - 1}) // $S + 1 AS ns
+            FROM tk WHERE len(toks) > 0),
+      ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+                    toks[CAST(i*$S + 1 AS INT):CAST(i*$S + $C AS INT)] AS chunk
+             FROM n, UNNEST(generate_series(0, ns - 1)) AS t(i))
+      SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_toks,
+             md5(array_to_string(chunk, ' ')) AS chunk_hash
+      FROM ch ORDER BY doc_id, chunk_idx""")),
+
+    // Contiguous sequence packing: documents in doc_id order, sequence id
+    // = floor(preceding-cumulative-tokens / budget) — a doc is never
+    // split; a bin closes when the budget is crossed. The global ordered
+    // window is the per-shard form: at 100 TB you partition the window by
+    // a shard key first (the pack is embarrassingly parallel across
+    // shards), which drops straight out of the same expression with a
+    // partitionBy added.
+    QueryDef("text_packing", (s, dir) => {
+      val cum = Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t("documents")(s, dir)
+        .select(col("doc_id"), TextAnalysisFns.wordCount(col("text")).as("n_toks"))
+        .withColumn("prev_cum", coalesce(sum(col("n_toks")).over(cum), lit(0L)))
+        .groupBy(expr(s"prev_cum DIV $B").as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"))
+        .orderBy(col("seq_id"))
+    }, Some(s"""
+      WITH c AS (SELECT doc_id, CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_toks
+                 FROM documents),
+      w AS (SELECT doc_id, n_toks,
+                   coalesce(sum(n_toks) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+            FROM c)
+      SELECT CAST(prev_cum // $B AS BIGINT) AS seq_id, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS total_toks
+      FROM w GROUP BY 1 ORDER BY 1""")),
+
+    // Benchmark decontamination: flag every training document (source ≠
+    // src0) sharing at least one exact word-8-gram with the held-out
+    // eval source. Explode-to-grams + distinct eval side + equi join —
+    // the blocking structure is the same as MinHash-LSH candidate
+    // generation, so it scales as one shuffle on the gram key, not a
+    // cross join of corpora.
+    QueryDef("decontamination", (s, dir) => {
+      val tk = t("documents")(s, dir)
+        .select(col("doc_id"), col("source"),
+          graft.functions.SimFns.wordShingles(
+            TextAnalysisFns.tokens(col("text")), 8).as("grams"))
+      val sh = tk.select(col("doc_id"), col("source"),
+        explode(col("grams")).as("g"))
+      val evalGrams = sh.where(col("source") === "src0").select(col("g")).distinct()
+      val flagged = sh.where(col("source") =!= "src0")
+        .join(evalGrams, "g").select(col("doc_id")).distinct()
+        .withColumn("hit", lit(true))
+      tk.where(col("source") =!= "src0").select(col("doc_id"))
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("hit"), lit(false)).as("contaminated"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      val sh = Sql.wordShingles("toks", 8)
+      s"""
+      WITH tk AS (SELECT doc_id, source, $toks AS toks FROM documents),
+      sh AS (SELECT doc_id, source, unnest($sh) AS g FROM tk),
+      ev AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+      fl AS (SELECT DISTINCT doc_id FROM sh
+             WHERE source <> 'src0' AND g IN (SELECT g FROM ev))
+      SELECT t.doc_id, fl.doc_id IS NOT NULL AS contaminated
+      FROM (SELECT doc_id FROM documents WHERE source <> 'src0') t
+      LEFT JOIN fl ON t.doc_id = fl.doc_id
+      ORDER BY t.doc_id"""
+    })
+  )
+}
