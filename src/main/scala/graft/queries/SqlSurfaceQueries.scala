@@ -85,6 +85,24 @@ object SqlSurfaceQueries {
              o_orderkey AS xpath_key
       FROM orders ORDER BY o_orderkey""")),
 
+    // SQL pipe syntax (Spark 4): the linear |> form of scan → filter →
+    // aggregate → sort. Same logical plan as the nested form — the oracle
+    // is the classic SQL spelling of the identical query.
+    QueryDef("s13_pipe_syntax", (s, dir) => {
+      t("orders")(s, dir).createOrReplaceTempView("pipe_orders_v")
+      s.sql("""
+        FROM pipe_orders_v
+        |> WHERE o_orderstatus <> 'F'
+        |> AGGREGATE count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+           GROUP BY o_orderpriority
+        |> ORDER BY o_orderpriority""")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders WHERE o_orderstatus <> 'F'
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
     // GROUP BY ALL / ORDER BY ALL: the exact same SQL text runs on both
     // engines (both infer the grouping keys from the non-aggregate select
     // items and order by every output column).
