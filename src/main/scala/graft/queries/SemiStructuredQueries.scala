@@ -129,6 +129,28 @@ object SemiStructuredQueries {
              array_to_string(map_keys(m), ',') AS keys_csv
       FROM mm ORDER BY c_custkey""")),
 
+    // Binary (multimodal payload) columns flowing through the engine with
+    // exact parity: cast→bytes, octet length, hex, base64 round trip.
+    // The multimodal pipeline treats media as opaque binary + typed
+    // metadata (graft.multimodal); this proves the binary column type
+    // itself survives scans, projections, and codecs bit-exactly.
+    QueryDef("multimodal_binary_roundtrip", (s, dir) => {
+      t("documents")(s, dir).select(
+          col("doc_id"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"),
+          hex(substring(col("text"), 1, 8).cast("binary")).as("hex8"),
+          base64(substring(col("text"), 1, 16).cast("binary")).as("b64_16"),
+          octet_length(unbase64(base64(col("text").cast("binary"))))
+            .cast("long").as("rt_bytes"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             hex(encode(substr(text, 1, 8))) AS hex8,
+             to_base64(encode(substr(text, 1, 16))) AS b64_16,
+             CAST(octet_length(from_base64(to_base64(encode(text)))) AS BIGINT) AS rt_bytes
+      FROM documents ORDER BY doc_id""")),
+
     // Native ordered string aggregation: Spark 4 listagg WITHIN GROUP
     // (ORDER BY) ≡ DuckDB string_agg(... ORDER BY ...). The declarative
     // counterpart of the A6 collect_list+sort pattern — the sort happens

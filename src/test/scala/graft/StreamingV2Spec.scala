@@ -86,6 +86,49 @@ class StreamingV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState: state recovered across query restart from checkpoint") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-tws-ckpt").toString
+    // memory sink refuses checkpoint recovery; foreachBatch is the
+    // recoverable sink shape (same as the engine's upsert sinks)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    def sink(ds: org.apache.spark.sql.Dataset[Streams.UserTotals]) =
+      ds.writeStream.outputMode("update").option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[Streams.UserTotals], _: Long) =>
+            buf.synchronized {
+              buf ++= b.collect().map(u => (u.user_id, u.n_events, u.total_cents))
+            }
+            ()
+        }
+    try {
+      val mem = MemoryStream[Event]
+      val q1 = sink(Streams.runningUserTotals(mem.toDS())).start()
+      mem.addData(Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.00))
+      q1.processAllAvailable()
+      q1.stop()
+      // a NEW query resumes from the checkpoint over the same source
+      // (offsets continue past the committed batch): the user-1 total
+      // carries the pre-restart state, not a from-zero recount
+      mem.addData(Event(2, ts("2024-01-01 10:05:00"), 1, "click", 0.50))
+      val q2 = sink(Streams.runningUserTotals(mem.toDS())).start()
+      try {
+        q2.processAllAvailable()
+        val rows = buf.synchronized(buf.toSet)
+        assert(rows.contains((1L, 2L, 150L)),
+          s"state not recovered across restart: $rows")
+      } finally q2.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static join: each micro-batch enriched from the static dim") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("d_uid", "tier")
