@@ -72,10 +72,14 @@ object SqlSurfaceQueries {
       t("orders")(s, dir)
         .withColumn("x", format_string("<o><k>%d</k><p>%s</p></o>",
           col("o_orderkey"), col("o_orderpriority")))
+        // one from_xml call projected twice — common-subexpression
+        // elimination does not cross codegen boundaries for from_xml, so
+        // materialize the struct column explicitly
+        .withColumn("s", expr("from_xml(x, 'k BIGINT, p STRING')"))
         .select(
           col("o_orderkey"),
-          expr("from_xml(x, 'k BIGINT, p STRING').k").as("xml_key"),
-          expr("from_xml(x, 'k BIGINT, p STRING').p").as("xml_pri"),
+          col("s.k").as("xml_key"),
+          col("s.p").as("xml_pri"),
           expr("xpath_long(x, '/o/k')").as("xpath_key"))
         .orderBy(col("o_orderkey"))
     }, Some("""

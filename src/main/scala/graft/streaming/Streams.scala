@@ -3,8 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming forms of the reference's micro-batch semantics
   * (SURVEY.md §2.8). The reference is scheduler-driven batch with a 6-hour
@@ -163,6 +163,68 @@ object Streams {
       totals.update((n, cents))
       Iterator.single(UserTotals(key, n, cents))
     }
+  }
+
+  /** Sessionization on the v2 state API: same gap semantics as
+    * [[sessionize]], but the inactivity timeout is an explicit EVENT-TIME
+    * TIMER (registerTimer / handleExpiredTimer) instead of
+    * GroupStateTimeout — each input batch re-arms the timer to
+    * session_end + gap, and the watermark crossing it fires the close.
+    * Old timers are deleted on re-arm so exactly one is outstanding per
+    * open session.
+    */
+  class SessionizerV2(gapMs: Long) extends StatefulProcessor[Long, Event, SessionOut] {
+    @transient private var sess: ValueState[(Long, Long, Long)] = _ // start,last,n
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[SessionOut]
+      var cur: Option[(Long, Long, Long)] = if (sess.exists()) Some(sess.get()) else None
+      for (e <- sorted) {
+        val t = e.ts.getTime
+        cur match {
+          case Some((start, last, n)) if t - last <= gapMs =>
+            cur = Some((start, math.max(last, t), n + 1))
+          case Some((start, last, n)) =>
+            closed ::= SessionOut(key, new Timestamp(start), new Timestamp(last), n)
+            cur = Some((t, t, 1))
+          case None =>
+            cur = Some((t, t, 1))
+        }
+      }
+      cur.foreach { case s @ (_, last, _) =>
+        sess.update(s)
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(last + gapMs)
+      }
+      closed.reverseIterator
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (sess.exists()) {
+        val (start, last, n) = sess.get()
+        // stale-timer guard (re-arm deletes them, but close only on the
+        // timer that matches the current session end)
+        if (expiredTimerInfo.getExpiryTimeInMs() >= last + gapMs) {
+          sess.clear()
+          Iterator.single(SessionOut(key, new Timestamp(start), new Timestamp(last), n))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
+  /** [[SessionizerV2]] wired up: event-time mode (timers fire on the
+    * watermark), append output.
+    */
+  def sessionizeV2(events: Dataset[Event], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionizerV2(gapMinutes * 60L * 1000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Per-user lifetime totals via transformWithState (requires the

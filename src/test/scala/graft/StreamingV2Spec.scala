@@ -129,6 +129,42 @@ class StreamingV2Spec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeV2: event-time timers close sessions like GroupStateTimeout") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val events = mem.toDS().withWatermark("ts", "10 minutes").as[Event]
+    val q = Streams.sessionizeV2(events, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessv2_out").start()
+    try {
+      // the same feed as the flatMapGroupsWithState sessionize spec —
+      // both implementations must close the same sessions
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 7, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 7, "view", 1.0),
+        Event(3, ts("2024-01-01 11:00:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(9, ts("2024-01-01 13:00:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts("2024-01-01 15:00:00"), 8, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessv2_out")
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(rows.contains((7L, ts("2024-01-01 10:00:00"), 2L)))
+      assert(rows.contains((7L, ts("2024-01-01 11:00:00"), 1L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static join: each micro-batch enriched from the static dim") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("d_uid", "tier")
