@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: a standing per-key aggregate table
+  * updated by DELTA batches instead of recomputed from history — the
+  * materialized-view form of the reference's run-metrics accumulation
+  * (`ExtractionLogger.py:95-123` recounts against the full table every
+  * run; this keeps the running totals and folds in each batch).
+  *
+  * Only works for aggregates with mergeable partials (count, sum, min,
+  * max — anything forming a commutative monoid per column). At 100 TB
+  * the difference is structural: each refresh shuffles only the delta's
+  * partial aggregate (one small hash agg + one key-to-key outer join
+  * against the standing table), never the accumulated history.
+  */
+object IncrementalAgg {
+
+  /** How a maintained column merges: existing ⊕ delta. */
+  sealed trait Merge { def apply(e: Column, d: Column): Column }
+  case object Add extends Merge {
+    def apply(e: Column, d: Column): Column =
+      coalesce(e, lit(0)) + coalesce(d, lit(0))
+  }
+  case object Min extends Merge {
+    def apply(e: Column, d: Column): Column = least(e, d) // NULL-ignoring
+  }
+  case object Max extends Merge {
+    def apply(e: Column, d: Column): Column = greatest(e, d)
+  }
+
+  /** Merge a delta's per-key partial aggregates into the standing table.
+    * Both sides carry `keys` plus the maintained columns; keys present on
+    * only one side pass through (full-outer + presence markers, same
+    * construction as Upsert.merge — key nullability is NOT a presence
+    * signal).
+    */
+  def applyDelta(existing: DataFrame, delta: DataFrame,
+                 keys: Seq[String], merges: Map[String, Merge]): DataFrame = {
+    val e = existing.withColumn("__e_present", lit(true)).alias("e")
+    val d = delta.withColumn("__d_present", lit(true)).alias("d")
+    val cond = keys.map(k => col(s"e.$k") <=> col(s"d.$k")).reduce(_ && _)
+    val joined = e.join(d, cond, "full_outer")
+    val keyCols = keys.map(k => coalesce(col(s"e.$k"), col(s"d.$k")).as(k))
+    val valCols = merges.toSeq.map { case (c, m) =>
+      when(col("e.__e_present").isNotNull && col("d.__d_present").isNotNull,
+        m(col(s"e.$c"), col(s"d.$c")))
+        .when(col("e.__e_present").isNull, col(s"d.$c"))
+        .otherwise(col(s"e.$c")).as(c)
+    }
+    joined.select(keyCols ++ valCols: _*)
+  }
+
+  /** Warehouse-backed refresh: aggregate the batch to per-key partials
+    * with `partialAgg`, fold them into `table` (bootstrap on first run),
+    * snapshot-swap. Returns the new standing table.
+    */
+  def refresh(wh: Warehouse, table: String, batch: DataFrame,
+              keys: Seq[String], merges: Map[String, Merge])
+             (partialAgg: DataFrame => DataFrame): DataFrame = {
+    val partial = partialAgg(batch)
+    val merged =
+      if (wh.exists(table)) applyDelta(wh.read(table), partial, keys, merges)
+      else partial
+    wh.overwrite(table, merged)
+    wh.read(table)
+  }
+}

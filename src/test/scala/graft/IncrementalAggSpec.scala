@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{IncrementalAgg, Warehouse}
+import graft.operators.IncrementalAgg.{Add, Max, Min}
+
+/** Delta-maintained standing aggregates ≡ recompute-from-scratch, for any
+  * batch split — the merge is a monoid fold over partials.
+  */
+class IncrementalAggSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val merges = Map("n" -> (Add: IncrementalAgg.Merge),
+    "total" -> Add, "lo" -> Min, "hi" -> Max)
+
+  private def partial(df: DataFrame): DataFrame =
+    df.groupBy("user").agg(
+      count(lit(1)).as("n"), sum(col("v")).as("total"),
+      min(col("v")).as("lo"), max(col("v")).as("hi"))
+
+  private def rowsOf(df: DataFrame) =
+    df.orderBy("user").as[(String, Long, Long, Long, Long)].collect().toSeq
+
+  test("three delta refreshes equal one full recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-incr-wh").toString
+    val wh = new Warehouse(spark, dir)
+    val b1 = Seq(("a", 3L), ("a", 5L), ("b", 10L)).toDF("user", "v")
+    val b2 = Seq(("b", 1L), ("c", 7L)).toDF("user", "v")
+    val b3 = Seq(("a", 100L)).toDF("user", "v")
+    for (b <- Seq(b1, b2, b3))
+      IncrementalAgg.refresh(wh, "totals", b, Seq("user"), merges)(partial)
+    val scratch = partial(b1.union(b2).union(b3))
+    assert(rowsOf(wh.read("totals")) == rowsOf(scratch))
+  }
+
+  test("merge is split-invariant: any batching yields the same table") {
+    val all = Seq(("a", 3L), ("a", 5L), ("b", 10L), ("b", 1L), ("c", 7L), ("a", 100L))
+    val expected = rowsOf(partial(all.toDF("user", "v")))
+    for (cut1 <- 1 until all.length; cut2 <- cut1 until all.length) {
+      val parts = Seq(all.slice(0, cut1), all.slice(cut1, cut2), all.slice(cut2, all.length))
+        .filter(_.nonEmpty).map(_.toDF("user", "v"))
+      val folded = parts.map(partial).reduce(
+        IncrementalAgg.applyDelta(_, _, Seq("user"), merges))
+      assert(rowsOf(folded) == expected, s"split at ($cut1, $cut2) diverged")
+    }
+  }
+
+  test("delta-only keys bootstrap; existing-only keys pass through") {
+    val e = Seq(("a", 1L, 10L, 10L, 10L)).toDF("user", "n", "total", "lo", "hi")
+    val d = Seq(("b", 2L, 5L, 2L, 3L)).toDF("user", "n", "total", "lo", "hi")
+    val out = rowsOf(IncrementalAgg.applyDelta(e, d, Seq("user"), merges))
+    assert(out == Seq(("a", 1L, 10L, 10L, 10L), ("b", 2L, 5L, 2L, 3L)))
+  }
+}
