@@ -136,6 +136,88 @@ object TpchShapeQueries {
       JOIN customer ON o_custkey = c_custkey
       ORDER BY o_orderkey""")),
 
+    // Q12 shape: conditional counts over a fact join — per line status,
+    // how many lines belong to high- vs low-priority orders within a ship
+    // window. Both branch counts come out of ONE pass (commutative
+    // conditional sums, map-side partials intact).
+    QueryDef("q12_priority_lines", (s, dir) => {
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t("lineitem")(s, dir)
+        .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+               col("l_shipdate") <  lit("1998-01-01").cast("timestamp"))
+        .join(t("orders")(s, dir).select(col("o_orderkey"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_lines"),
+             sum(when(hi, 0L).otherwise(1L)).as("low_lines"))
+        .orderBy(col("l_linestatus"))
+    }, Some("""
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS high_lines,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                           THEN 0 ELSE 1 END) AS BIGINT) AS low_lines
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE CAST(l_shipdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01 00:00:00'
+        AND CAST(l_shipdate AS TIMESTAMP) <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // Q19 shape: disjunction of conjunctive brand/size/quantity clauses —
+    // the OR-of-ANDs predicate Catalyst splits so the common p_partkey
+    // equi-key still drives a hash join (the ORs become a post-join
+    // filter, with the brand/size disjunction pushable to the part scan).
+    QueryDef("q19_disjunctive_revenue", (s, dir) => {
+      val li = t("lineitem")(s, dir)
+      val p = t("part")(s, dir).select(col("p_partkey"), col("p_brand"), col("p_size"))
+      val clause = (
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 15)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(5, 20) &&
+          col("l_quantity").between(10, 30)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(10, 40) &&
+          col("l_quantity").between(20, 50)))
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .where(clause)
+        .agg(count(lit(1)).as("n_lines"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast("decimal(28,8)")).cast("double").as("revenue"))
+    }, Some("""
+      SELECT count(*) AS n_lines,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8)))
+                  AS DOUBLE) AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand='Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 15)
+         OR (p_brand='Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+         OR (p_brand='Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 50)""")),
+
+    // Q20 shape: the semi-join chain — suppliers who shipped more than a
+    // threshold quantity of red parts. The part filter narrows via
+    // left_semi (never widening the fact row), the HAVING threshold
+    // applies to the per-supplier aggregate, and supplier names come from
+    // a broadcast join at the end.
+    QueryDef("q20_red_part_suppliers", (s, dir) => {
+      val redParts = t("part")(s, dir)
+        .where(col("p_name").like("red%")).select(col("p_partkey"))
+      val agged = t("lineitem")(s, dir)
+        .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("red_qty"))
+        .where(col("red_qty") > 1500)
+      agged.join(broadcast(t("supplier")(s, dir).select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("red_qty").cast("double").as("red_qty"))
+        .orderBy(col("s_suppkey"))
+    }, Some("""
+      SELECT s_suppkey, s_name, CAST(red_qty AS DOUBLE) AS red_qty
+      FROM (
+        SELECT l_suppkey, sum(CAST(l_quantity AS DECIMAL(18,4))) AS red_qty
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 1500) a
+      JOIN supplier ON l_suppkey = s_suppkey
+      ORDER BY s_suppkey""")),
+
     // Q22 shape: well-funded customers gone DORMANT (no order since
     // 2000 — at this SF every customer has ordered at least once, so the
     // classic never-ordered predicate is vacuous) — NOT EXISTS with an
