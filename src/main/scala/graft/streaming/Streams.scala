@@ -198,7 +198,9 @@ object Streams {
       }
       cur.foreach { case s @ (_, last, _) =>
         sess.update(s)
-        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        // materialize before deleting: the timer iterator reads the same
+        // column family deleteTimer mutates
+        getHandle.listTimers().toSeq.foreach(getHandle.deleteTimer)
         getHandle.registerTimer(last + gapMs)
       }
       closed.reverseIterator
