@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-3 profiling wave: higher statistical moments (skewness /
+  * kurtosis) from exact DECIMAL raw moments, cumulative-distribution and
+  * ratio-to-report windows, array set-operation cardinalities, and the
+  * bitwise scalar family.
+  *
+  * Float-safety rules for the moments: every aggregate is a DECIMAL raw
+  * moment (order-free addition); the final skew/kurt chain uses ONLY
+  * +,−,×,÷ and sqrt — all IEEE correctly-rounded, so both engines produce
+  * the same float64 bit pattern. pow(x, 1.5) is libm (NOT portable) and
+  * is spelled v*sqrt(v) instead.
+  */
+object ProfilingQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Grouped skewness / kurtosis (population form) from raw moments.
+    // The moments are computed over integer CENTS (skew/kurt are
+    // scale-invariant) and every double→DECIMAL cast happens BELOW 2^53:
+    // Spark's cast goes through Double.toString (the SHORTEST round-trip
+    // repr — above 2^53 it drops the exact binary integer), DuckDB casts
+    // the exact binary value, so a 19-digit x⁴ diverges at the tail.
+    // x, x², x³ are integral doubles < 2^53 (cast exact in both engines);
+    // the 4th moment is the DECIMAL square of the exact second power.
+    // The 19-20-digit moment sums go DECIMAL→VARCHAR→DOUBLE: DuckDB's
+    // direct decimal→double is NOT correctly rounded above ~2^63 (two-
+    // halves int128 conversion), but its strtod is — and Spark is
+    // correctly rounded on both paths, so the string route agrees.
+    QueryDef("stats_moments", (s, dir) => {
+      val x = (col("value").cast("decimal(12,2)") * 100).cast("double")
+      val x2d = (x * x).cast("decimal(38,0)")
+      def d(c: org.apache.spark.sql.Column) = c.cast("string").cast("double")
+      val agged = t("events")(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          d(sum(x.cast("decimal(38,0)"))).as("s1"),
+          d(sum(x2d)).as("s2"),
+          d(sum((x * x * x).cast("decimal(38,0)"))).as("s3"),
+          d(sum(x2d * x2d)).as("s4"))
+      val m = col("s1") / col("n")
+      val m2 = col("s2") / col("n") - m * m
+      val m3 = col("s3") / col("n") - lit(3.0) * m * (col("s2") / col("n")) +
+        lit(2.0) * m * m * m
+      val m4 = col("s4") / col("n") - lit(4.0) * m * (col("s3") / col("n")) +
+        lit(6.0) * m * m * (col("s2") / col("n")) - lit(3.0) * m * m * m * m
+      agged.select(col("event_type"), col("n"),
+          (m3 / (m2 * sqrt(m2))).as("skew"),
+          (m4 / (m2 * m2)).as("kurt"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH c AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(12,2)) * 100 AS DOUBLE) AS x
+        FROM events),
+      r AS (
+        SELECT event_type,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(CAST(sum(CAST(x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s1,
+               CAST(CAST(sum(CAST(x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s2,
+               CAST(CAST(sum(CAST(x * x * x AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE) AS s3,
+               CAST(CAST(sum(CAST(x * x AS DECIMAL(38,0)) * CAST(x * x AS DECIMAL(38,0)))
+                         AS VARCHAR) AS DOUBLE) AS s4
+        FROM c GROUP BY event_type),
+      m AS (
+        SELECT event_type, n, s1 / n AS m,
+               s2 / n - (s1 / n) * (s1 / n) AS m2,
+               s3 / n - 3.0 * (s1 / n) * (s2 / n) + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+               s4 / n - 4.0 * (s1 / n) * (s3 / n) + 6.0 * (s1 / n) * (s1 / n) * (s2 / n)
+                      - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+        FROM r)
+      SELECT event_type, n, m3 / (m2 * sqrt(m2)) AS skew, m4 / (m2 * m2) AS kurt
+      FROM m ORDER BY event_type""")),
+
+    // cume_dist (tie-stable: (# rows ≤ current)/n is the same integer
+    // ratio in both engines) + ratio-to-report (share of the partition
+    // total, DECIMAL denominator).
+    QueryDef("win_cume_ratio", (s, dir) => {
+      val byFlag = Window.partitionBy(col("l_returnflag"))
+      t("lineitem")(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          cume_dist().over(byFlag.orderBy(col("l_quantity"))).as("cume"),
+          (col("l_quantity") /
+            sum(col("l_quantity").cast("decimal(18,4)")).over(byFlag).cast("double"))
+            .as("qty_share"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber, l_returnflag,
+             cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cume,
+             l_quantity / CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
+               OVER (PARTITION BY l_returnflag) AS DOUBLE) AS qty_share
+      FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+
+    // Array set-operation cardinalities over generated int arrays
+    // (union / intersect / except reduced to sizes — array OUTPUTS stay
+    // forbidden, element order differs across engines).
+    QueryDef("f31_array_setops", (s, dir) => {
+      t("lineitem")(s, dir)
+        .withColumn("a", sequence(lit(1), col("l_linenumber")))
+        .withColumn("b", sequence(lit(2), col("l_linenumber") + 2))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          size(array_union(col("a"), col("b"))).cast("long").as("n_union"),
+          size(array_intersect(col("a"), col("b"))).cast("long").as("n_intersect"),
+          size(array_except(col("a"), col("b"))).cast("long").as("n_except"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some("""
+      WITH g AS (
+        SELECT l_orderkey, l_linenumber,
+               generate_series(1, l_linenumber) AS a,
+               generate_series(2, l_linenumber + 2) AS b
+        FROM lineitem)
+      SELECT l_orderkey, l_linenumber,
+             CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
+             CAST(len(list_intersect(a, b)) AS BIGINT) AS n_intersect,
+             CAST(len(list_filter(list_distinct(a), x -> NOT list_contains(b, x)))
+                  AS BIGINT) AS n_except
+      FROM g ORDER BY l_orderkey, l_linenumber""")),
+
+    // Bitwise scalar family: count/shift/xor/and/or — integer-exact.
+    // (DuckDB's ^ is exponentiation, so xor() there vs ^ here.)
+    QueryDef("f32_bitops", (s, dir) => {
+      t("lineitem")(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          expr("bit_count(l_partkey)").as("pop"),
+          expr("shiftleft(l_linenumber, 2)").cast("long").as("shl"),
+          expr("shiftright(l_partkey, 3)").as("shr"),
+          expr("l_partkey ^ l_suppkey").as("bxor"),
+          expr("l_partkey & l_suppkey").as("band"),
+          expr("l_partkey | l_suppkey").as("bor"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some("""
+      SELECT l_orderkey, l_linenumber,
+             bit_count(l_partkey) AS pop,
+             CAST(l_linenumber << 2 AS BIGINT) AS shl,
+             l_partkey >> 3 AS shr,
+             xor(l_partkey, l_suppkey) AS bxor,
+             l_partkey & l_suppkey AS band,
+             l_partkey | l_suppkey AS bor
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+  )
+}
