@@ -54,6 +54,38 @@ object AnalyticsQueries {
         ON e.user_id = p.user_id AND e.ets >= p.pts
       ORDER BY e.event_id""")),
 
+    // Forward as-of: per error event, the user's NEXT purchase at-or-
+    // after it — AsOfJoin.forward (backward-fill over the following
+    // frame), oracle is DuckDB's ASOF with the inequality reversed.
+    QueryDef("asof_next_purchase", (s, dir) => {
+      val ev = t("events")(s, dir)
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val wDedup = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .withColumn("__rn", row_number().over(wDedup)).where(col("__rn") === 1)
+        .select(col("user_id"), col("ts").as("pts"),
+          col("event_id").as("next_purchase_id"),
+          col("value").as("next_purchase_value"))
+      AsOfJoin.forward(errors, purchases, Seq("user_id"), "ts", "pts",
+          Seq("next_purchase_id", "next_purchase_value"))
+        .select(col("event_id"), col("next_purchase_id"), col("next_purchase_value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS pts,
+               event_id AS next_purchase_id, value AS next_purchase_value
+        FROM events WHERE event_type = 'purchase'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id) = 1),
+      e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ets
+            FROM events WHERE event_type = 'error')
+      SELECT e.event_id, p.next_purchase_id, p.next_purchase_value
+      FROM e ASOF LEFT JOIN p
+        ON e.user_id = p.user_id AND e.ets <= p.pts
+      ORDER BY e.event_id""")),
+
     // Bounded-window range join: per error event, count + value of the
     // same user's purchases in the preceding hour. The binned equi-join
     // plan (RangeJoin) vs the oracle's plain inequality join.

@@ -90,13 +90,17 @@ object ProfilingQueries {
           (col("l_quantity") /
             sum(col("l_quantity").cast("decimal(18,4)")).over(byFlag).cast("double"))
             .as("qty_share"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // lineitem — order by the full output tuple so the sort is total
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("cume"), col("qty_share"))
     }, Some("""
       SELECT l_orderkey, l_linenumber, l_returnflag,
              cume_dist() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cume,
              l_quantity / CAST(sum(CAST(l_quantity AS DECIMAL(18,4)))
                OVER (PARTITION BY l_returnflag) AS DOUBLE) AS qty_share
-      FROM lineitem ORDER BY l_orderkey, l_linenumber""")),
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, l_returnflag, cume, qty_share""")),
 
     // Array set-operation cardinalities over generated int arrays
     // (union / intersect / except reduced to sizes — array OUTPUTS stay
@@ -134,7 +138,10 @@ object ProfilingQueries {
           expr("l_partkey ^ l_suppkey").as("bxor"),
           expr("l_partkey & l_suppkey").as("band"),
           expr("l_partkey | l_suppkey").as("bor"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // total order over the full output tuple — (l_orderkey,
+        // l_linenumber) alone has duplicate groups in this table
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("bxor"),
+          col("band"), col("pop"), col("shr"))
     }, Some("""
       SELECT l_orderkey, l_linenumber,
              bit_count(l_partkey) AS pop,
@@ -143,6 +150,7 @@ object ProfilingQueries {
              xor(l_partkey, l_suppkey) AS bxor,
              l_partkey & l_suppkey AS band,
              l_partkey | l_suppkey AS bor
-      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+      FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, bxor, band, pop, shr"""))
   )
 }
