@@ -79,6 +79,29 @@ object GraftSqlFunctions {
         "'h[:mm]AM/PM' schedule string (reference parse rules)", Seq(1)) {
       case Seq(s) => ParseScheduleTime(s)
     },
+    reg("graft_rolling_fingerprint",
+      "graft_rolling_fingerprint(tokens) - order-sensitive rolling-hash " +
+        "document fingerprint over a token array", Seq(1)) {
+      case Seq(t) => RollingFingerprint(t)
+    },
+    reg("graft_sort_join_last",
+      "graft_sort_join_last(arr_of_struct, sep) - sort a struct array by " +
+        "all fields and join the LAST field with sep, in one fused pass",
+      Seq(2)) {
+      case Seq(a, sep) => SortJoinLastField(a, sep)
+    },
+    reg("graft_max_lev_ratio",
+      "graft_max_lev_ratio(s, names) - best Levenshtein ratio (0-100) of " +
+        "s against a foldable array of names", Seq(2)) {
+      case Seq(s, namesExpr) if namesExpr.foldable =>
+        val arr = namesExpr.eval(null)
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        val names = (0 until arr.numElements())
+          .map(i => arr.getUTF8String(i).toString)
+        MaxLevRatio(s, names)
+      case _ => throw new IllegalArgumentException(
+        "graft_max_lev_ratio: second argument must be a foldable string array")
+    },
     reg("graft_top_k",
       "graft_top_k(struct(score, id), k) - bounded per-group top-k " +
         "aggregate (score DESC, id ASC); k must be a positive int literal",

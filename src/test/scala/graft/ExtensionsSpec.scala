@@ -26,6 +26,26 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("int literal"))
   }
 
+  test("rolling fingerprint, sort-join, max-lev-ratio callable by SQL name") {
+    import spark.implicits._
+    Seq(("b a c", "Quezon")).toDF("s", "loc").createOrReplaceTempView("sqlfn_v")
+    val structArr =
+      "array(struct(2, 'b'), struct(1, 'a'), struct(3, 'c'))"
+    val row = spark.sql(s"""
+      SELECT graft_rolling_fingerprint(split(s, ' ')) AS fp,
+             graft_sort_join_last($structArr, '-') AS sj,
+             graft_max_lev_ratio(loc, array('quezon city', 'manila')) AS ratio
+      FROM sqlfn_v""").head()
+    // same values as the Column API forms
+    val exp = Seq(("b a c", "Quezon")).toDF("s", "loc").select(
+      graft.expressions.RollingFingerprint(split($"s", " ")),
+      graft.expressions.SortJoinLastField(
+        org.apache.spark.sql.functions.expr(structArr),
+        org.apache.spark.sql.functions.lit("-")),
+      graft.expressions.MaxLevRatio($"loc", Seq("quezon city", "manila"))).head()
+    assert(row == exp && row.getString(1) == "a-b-c")
+  }
+
   test("nanos predicate rule: ts range filter pushes to the parquet scan") {
     val df = Tables.load(spark, dir, "events")
       .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
