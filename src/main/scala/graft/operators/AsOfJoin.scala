@@ -12,15 +12,24 @@ import org.apache.spark.sql.functions._
   * join (candidate explosion, then a per-left-row argmax — two wide
   * stages) or broadcasting the whole right side (dies when the right side
   * is a fact table). This is the union-and-fill plan instead: tag both
-  * sides, union them, and fill the right payload directionally with
-  * `last`/`first(payload, ignoreNulls)` over one (key, time)-ordered
-  * window.
+  * sides, union them, and run `last(payload, ignoreNulls)` over ONE
+  * (key, time)-ordered running window. Both directions use the same
+  * running (unboundedPreceding, currentRow) frame — forward simply scans
+  * time DESCENDING. (A (currentRow, unboundedFollowing) frame would be
+  * the obvious forward spelling, but Spark executes unbounded-following
+  * frames by re-scanning to the partition end for every row — O(n²) per
+  * key group.)
   *
   * Scale shape: cost is ONE shuffle of |left| + |right| rows and zero
   * candidate blow-up; the window sort partitions by the join key, so the
   * plan parallelizes per key group and skew tooling (salting by key)
   * composes. At 100 TB this is the same shape databases use for
   * merge-based ASOF — no stage materializes more rows than its input.
+  *
+  * NULL times follow SQL comparison semantics (`l.t >= r.t` with a NULL
+  * is false): left rows with NULL time are emitted with NULL payload,
+  * right rows with NULL time can match nothing and are dropped — both
+  * routed explicitly, never through the window sort.
   *
   * Contract: `right` must be unique per (keys, time) — pre-aggregate ties
   * away (otherwise "the" as-of row is ill-defined) — and the payload
@@ -29,7 +38,7 @@ import org.apache.spark.sql.functions._
   * by a neighboring row's value (columns from different rows mixed).
   * Wrap nullable payloads in a struct column first. Rows of `left` whose
   * key has no qualifying right row get NULL payload (left-outer
-  * semantics). Equal timestamps match: the right row sorts toward the
+  * semantics). Equal timestamps match: the right row sorts before the
   * left row at the same instant, mirroring DuckDB's `ASOF JOIN` on
   * `l.t >= r.t` (backward) / `l.t <= r.t` (forward).
   */
@@ -45,8 +54,8 @@ object AsOfJoin {
               payload: Seq[String]): DataFrame =
     unionAndFill(left, right, keys, leftTime, rightTime, payload, forward = true)
 
-  /** One body for both directions; they differ only in which side sorts
-    * first at equal times, the frame direction, and first-vs-last fill.
+  /** One body for both directions; they differ ONLY in the time sort
+    * direction of the running window.
     */
   private def unionAndFill(left: DataFrame, right: DataFrame, keys: Seq[String],
                            leftTime: String, rightTime: String,
@@ -54,36 +63,41 @@ object AsOfJoin {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.mkString(",")} collide with left columns")
+    require(!(leftCols ++ right.columns).exists(Set("__t", "__side")),
+      "__t/__side are reserved working column names")
     val leftOnly = leftCols.filterNot(keys.contains)
     val ordered = (keys ++ Seq("__t", "__side") ++ leftOnly ++ payload).map(col)
-    // at equal __t the RIGHT row must sort toward the left row's frame:
-    // before it (backward, side 0 < 1) or after it (forward, 1 > 0)
-    val (leftTag, rightTag) = if (forward) (0, 1) else (1, 0)
 
+    // NULL-time routing (see scaladoc): these rows never enter the sort
+    val leftNullTime = left.where(col(leftTime).isNull)
     val l = payload
-      .foldLeft(left.withColumn("__t", col(leftTime)).withColumn("__side", lit(leftTag))) {
+      .foldLeft(left.where(col(leftTime).isNotNull)
+        .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
         (d, p) => d.withColumn(p, lit(null))
       }
       .select(ordered: _*)
     val r = leftOnly
-      .foldLeft(right
+      .foldLeft(right.where(col(rightTime).isNotNull)
         .select((keys.map(col) :+ col(rightTime).as("__t")) ++ payload.map(col): _*)
-        .withColumn("__side", lit(rightTag))) {
+        .withColumn("__side", lit(0))) {
         (d, p) => d.withColumn(p, lit(null))
       }
       .select(ordered: _*)
 
-    val base = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__side").asc)
-    val w = if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-            else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def fill(c: org.apache.spark.sql.Column) =
-      if (forward) first(c, ignoreNulls = true) else last(c, ignoreNulls = true)
+    // scan toward the left row: time asc (backward) or desc (forward); at
+    // equal times the right row (side 0) sorts first so it is in frame
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(if (forward) col("__t").desc else col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // one Window node: same spec for every payload column (CollapseWindow)
     val filled = payload.foldLeft(l.unionByName(r)) { (d, p) =>
-      d.withColumn(p, fill(col(p)).over(w))
+      d.withColumn(p, last(col(p), ignoreNulls = true).over(w))
     }
-    filled.where(col("__side") === leftTag)
+    val joined = filled.where(col("__side") === 1)
       .select((leftCols ++ payload).map(col): _*)
+    val nullPad = payload
+      .foldLeft(leftNullTime) { (d, p) => d.withColumn(p, lit(null)) }
+      .select((leftCols ++ payload).map(col): _*)
+    joined.unionByName(nullPad)
   }
 }

@@ -93,12 +93,22 @@ object GraftSqlFunctions {
     reg("graft_max_lev_ratio",
       "graft_max_lev_ratio(s, names) - best Levenshtein ratio (0-100) of " +
         "s against a foldable array of names", Seq(2)) {
-      case Seq(s, namesExpr) if namesExpr.foldable =>
-        val arr = namesExpr.eval(null)
-          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-        val names = (0 until arr.numElements())
-          .map(i => arr.getUTF8String(i).toString)
-        MaxLevRatio(s, names)
+      case Seq(s, namesExpr)
+          if namesExpr.foldable &&
+            namesExpr.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+            namesExpr.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+              .elementType == org.apache.spark.sql.types.StringType =>
+        namesExpr.eval(null) match {
+          case arr: org.apache.spark.sql.catalyst.util.ArrayData =>
+            val names = (0 until arr.numElements()).map { i =>
+              if (arr.isNullAt(i)) throw new IllegalArgumentException(
+                "graft_max_lev_ratio: names array must not contain NULLs")
+              arr.getUTF8String(i).toString
+            }
+            MaxLevRatio(s, names)
+          case _ => throw new IllegalArgumentException(
+            "graft_max_lev_ratio: names array must not be NULL")
+        }
       case _ => throw new IllegalArgumentException(
         "graft_max_lev_ratio: second argument must be a foldable string array")
     },

@@ -44,6 +44,15 @@ class ExtensionsSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.lit("-")),
       graft.expressions.MaxLevRatio($"loc", Seq("quezon city", "manila"))).head()
     assert(row == exp && row.getString(1) == "a-b-c")
+    // guarded inputs raise the intended error, not a raw NPE/CCE
+    for (bad <- Seq("CAST(NULL AS ARRAY<STRING>)", "array('a', NULL)", "array(1, 2)")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_max_lev_ratio(loc, $bad) FROM sqlfn_v").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("graft_max_lev_ratio")), s"$bad: $e")
+    }
   }
 
   test("nanos predicate rule: ts range filter pushes to the parquet scan") {

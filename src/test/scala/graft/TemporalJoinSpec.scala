@@ -52,6 +52,47 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(byId(6L) == (None, None))             // key never present
   }
 
+  test("as-of forward ≡ range-join + argmin, inclusive at equal time") {
+    val got = AsOfJoin.forward(leftDf, rightDf, Seq("key"), "lt", "rt",
+      Seq("rid", "rv")).select("id", "rid", "rv")
+
+    val matched = leftDf.join(rightDf, Seq("key"))
+      .where(col("rt") >= col("lt"))
+      .withColumn("__rn", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("rt").asc)))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("rid"), col("rv"))
+    val naiveAll = leftDf.select(col("id")).join(matched, Seq("id"), "left")
+      .select("id", "rid", "rv")
+
+    assert(got.orderBy("id").collect().toSeq ==
+      naiveAll.orderBy("id").collect().toSeq)
+    val byId = got.collect().map(r => r.getLong(0) ->
+      (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(byId(1L) == (Some(101L), Some(1.0)))  // equal time matches
+    assert(byId(2L) == (Some(103L), Some(3.0)))  // earliest at-or-after
+    assert(byId(3L) == (Some(103L), Some(3.0)))
+    assert(byId(4L) == (Some(104L), Some(4.0)))
+    assert(byId(5L) == (None, None))             // key match, all earlier
+    assert(byId(6L) == (None, None))             // key never present
+  }
+
+  test("as-of NULL times: NULL left → NULL payload; NULL right never matches") {
+    val l = Seq((1L, "a", Some(100L)), (2L, "a", None))
+      .toDF("id", "key", "t_us")
+      .withColumn("lt", timestamp_micros(col("t_us"))).drop("t_us")
+    val r = Seq((101L, "a", Some(50L), 1.0), (102L, "a", Some(150L), 2.0),
+        (103L, "a", None, 99.0)) // NULL-time right row: must match NOTHING
+      .toDF("rid", "key", "t_us", "rv")
+      .withColumn("rt", timestamp_micros(col("t_us"))).drop("t_us")
+    def byId(df: DataFrame) = df.select("id", "rid").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    val b = byId(AsOfJoin.backward(l, r, Seq("key"), "lt", "rt", Seq("rid", "rv")))
+    assert(b == Map(1L -> Some(101L), 2L -> None))
+    val f = byId(AsOfJoin.forward(l, r, Seq("key"), "lt", "rt", Seq("rid", "rv")))
+    assert(f == Map(1L -> Some(102L), 2L -> None))
+  }
+
   test("range recentPairs ≡ inequality join, boundary semantics") {
     val l = leftDf
     val r = rightDf
