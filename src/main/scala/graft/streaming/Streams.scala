@@ -229,6 +229,39 @@ object Streams {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  final case class TypeCount(user_id: Long, event_type: String, n: Long)
+
+  /** Per-user per-event-type lifetime counts in a MapState — the keyed
+    * sub-map primitive of the v2 state API (a ValueState[Map] would
+    * rewrite the whole map every batch; MapState updates only the touched
+    * event-type entries). Emits the updated (type, n) pairs each batch.
+    */
+  class PerTypeCounts extends StatefulProcessor[Long, Event, TypeCount] {
+    @transient private var counts: org.apache.spark.sql.streaming.MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getMapState[String, Long](
+        "counts", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[TypeCount] = {
+      val touched = scala.collection.mutable.LinkedHashSet.empty[String]
+      for (e <- rows) {
+        val prev = if (counts.containsKey(e.event_type)) counts.getValue(e.event_type) else 0L
+        counts.updateValue(e.event_type, prev + 1)
+        touched += e.event_type
+      }
+      touched.iterator.map(t => TypeCount(key, t, counts.getValue(t)))
+    }
+  }
+
+  /** [[PerTypeCounts]] wired up (RocksDB store required, as for all
+    * transformWithState operators).
+    */
+  def perTypeCounts(events: Dataset[Event]): Dataset[TypeCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new PerTypeCounts, TimeMode.None(), OutputMode.Update())
+  }
+
   /** Per-user lifetime totals via transformWithState (requires the
     * RocksDB state store provider — the only one with the multi-column-
     * family layout the v2 state API needs).

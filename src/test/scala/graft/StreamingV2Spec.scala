@@ -129,6 +129,36 @@ class StreamingV2Spec extends AnyFunSuite {
     }
   }
 
+  test("MapState: per-user per-type counts update only touched entries") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = Streams.perTypeCounts(mem.toDS()).writeStream
+      .outputMode("update").format("memory").queryName("mapstate_out").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:01:00"), 1, "click", 1.0),
+        Event(3, ts("2024-01-01 10:02:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("mapstate_out")
+        .as[Streams.TypeCount].collect().map(c => (c.user_id, c.event_type, c.n)).toSet
+      // batch 1 emits click=2 and view=1; batch 2 re-emits ONLY the
+      // touched click entry, counted on top of the persisted map
+      assert(rows == Set((1L, "click", 2L), (1L, "view", 1L), (1L, "click", 3L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sessionizeV2: event-time timers close sessions like GroupStateTimeout") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
