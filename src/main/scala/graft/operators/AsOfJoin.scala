@@ -29,7 +29,11 @@ import org.apache.spark.sql.functions._
   * NULL times follow SQL comparison semantics (`l.t >= r.t` with a NULL
   * is false): left rows with NULL time are emitted with NULL payload,
   * right rows with NULL time can match nothing and are dropped — both
-  * routed explicitly, never through the window sort.
+  * routed explicitly, never through the window sort. NULL join keys get
+  * SQL equi-join semantics too (NULL never matches NULL — a window
+  * partitionBy would group NULL keys together): left rows with any NULL
+  * key go to the null-padded output, right rows with any NULL key are
+  * dropped.
   *
   * Contract: `right` must be unique per (keys, time) — pre-aggregate ties
   * away (otherwise "the" as-of row is ill-defined) — and the payload
@@ -68,16 +72,18 @@ object AsOfJoin {
     val leftOnly = leftCols.filterNot(keys.contains)
     val ordered = (keys ++ Seq("__t", "__side") ++ leftOnly ++ payload).map(col)
 
-    // NULL-time routing (see scaladoc): these rows never enter the sort
-    val leftNullTime = left.where(col(leftTime).isNull)
+    // NULL-time and NULL-key routing (see scaladoc): these rows never
+    // enter the sort — SQL semantics, a NULL key or time matches nothing
+    val anyKeyNull = keys.map(col(_).isNull).reduce(_ || _)
+    val leftNullTime = left.where(col(leftTime).isNull || anyKeyNull)
     val l = payload
-      .foldLeft(left.where(col(leftTime).isNotNull)
+      .foldLeft(left.where(col(leftTime).isNotNull && !anyKeyNull)
         .withColumn("__t", col(leftTime)).withColumn("__side", lit(1))) {
         (d, p) => d.withColumn(p, lit(null))
       }
       .select(ordered: _*)
     val r = leftOnly
-      .foldLeft(right.where(col(rightTime).isNotNull)
+      .foldLeft(right.where(col(rightTime).isNotNull && !anyKeyNull)
         .select((keys.map(col) :+ col(rightTime).as("__t")) ++ payload.map(col): _*)
         .withColumn("__side", lit(0))) {
         (d, p) => d.withColumn(p, lit(null))

@@ -38,12 +38,21 @@ object IncrementalAgg {
     */
   def applyDelta(existing: DataFrame, delta: DataFrame,
                  keys: Seq[String], merges: Map[String, Merge]): DataFrame = {
+    require(!(existing.columns ++ delta.columns)
+        .exists(Set("__e_present", "__d_present")),
+      "__e_present/__d_present are reserved working column names")
     val e = existing.withColumn("__e_present", lit(true)).alias("e")
     val d = delta.withColumn("__d_present", lit(true)).alias("d")
     val cond = keys.map(k => col(s"e.$k") <=> col(s"d.$k")).reduce(_ && _)
     val joined = e.join(d, cond, "full_outer")
     val keyCols = keys.map(k => coalesce(col(s"e.$k"), col(s"d.$k")).as(k))
-    val valCols = merges.toSeq.map { case (c, m) =>
+    // caller-stable output order: existing-schema order, then any
+    // delta-only maintained columns (Map iteration order is
+    // insertion-stable only up to 4 entries — never rely on it)
+    val orderedCols =
+      (existing.columns ++ delta.columns).distinct.toSeq.filter(merges.contains)
+    val valCols = orderedCols.map { c =>
+      val m = merges(c)
       when(col("e.__e_present").isNotNull && col("d.__d_present").isNotNull,
         m(col(s"e.$c"), col(s"d.$c")))
         .when(col("e.__e_present").isNull, col(s"d.$c"))

@@ -59,7 +59,10 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  // in-gap late event may precede the stored start: extend
+                  // the session both ways so watermark-admissible
+                  // out-of-order input matches the batch sessionize result
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
                 case Some(s) =>
                   closed ::= SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))
@@ -188,7 +191,9 @@ object Streams {
         val t = e.ts.getTime
         cur match {
           case Some((start, last, n)) if t - last <= gapMs =>
-            cur = Some((start, math.max(last, t), n + 1))
+            // min(start, t): an in-gap late event can precede the stored
+            // session start (same rule as the batch/V1 forms)
+            cur = Some((math.min(start, t), math.max(last, t), n + 1))
           case Some((start, last, n)) =>
             closed ::= SessionOut(key, new Timestamp(start), new Timestamp(last), n)
             cur = Some((t, t, 1))

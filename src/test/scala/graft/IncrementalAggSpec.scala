@@ -54,4 +54,20 @@ class IncrementalAggSpec extends AnyFunSuite {
     val out = rowsOf(IncrementalAgg.applyDelta(e, d, Seq("user"), merges))
     assert(out == Seq(("a", 1L, 10L, 10L, 10L), ("b", 2L, 5L, 2L, 3L)))
   }
+
+  test("reserved working names rejected; output order is existing-schema order") {
+    val e = Seq(("a", 1L)).toDF("user", "n")
+    val clash = Seq(("a", 1L, true)).toDF("user", "n", "__d_present")
+    intercept[IllegalArgumentException] {
+      IncrementalAgg.applyDelta(e, clash, Seq("user"), Map("n" -> Add))
+    }
+    // 5 maintained columns (past HashMap's 4-entry insertion stability):
+    // output must follow the existing schema's column order regardless of
+    // the Map's iteration order
+    val cols = Seq("m1", "m2", "m3", "m4", "m5")
+    val wide = Seq(("a", 1L, 2L, 3L, 4L, 5L)).toDF("user" +: cols: _*)
+    val m = cols.map(_ -> (Add: IncrementalAgg.Merge)).toMap
+    val out = IncrementalAgg.applyDelta(wide, wide, Seq("user"), m)
+    assert(out.columns.toSeq == "user" +: cols)
+  }
 }

@@ -195,6 +195,41 @@ class StreamingV2Spec extends AnyFunSuite {
     }
   }
 
+  test("sessionizeV2: in-gap late event moves the session start earlier") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val events = mem.toDS().withWatermark("ts", "2 hours").as[Event]
+    val q = Streams.sessionizeV2(events, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessv2_late_out").start()
+    try {
+      // batch 1 opens the session at 10:10; batch 2 delivers a
+      // watermark-admissible event at 10:00 — in gap, BEFORE the stored
+      // start. The emitted session must match the batch sessionize result
+      // for the same events: start 10:00, 2 events.
+      mem.addData(Event(1, ts("2024-01-01 10:10:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(2, ts("2024-01-01 10:00:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      // unrelated user far ahead: watermark passes 10:40, timer fires
+      mem.addData(Event(3, ts("2024-01-01 20:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessv2_late_out")
+        .select("user_id", "session_start", "session_end", "n_events")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(rows.contains((7L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-static join: each micro-batch enriched from the static dim") {
     implicit val sq = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "silver")).toDF("d_uid", "tier")

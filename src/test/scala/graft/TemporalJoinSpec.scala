@@ -93,6 +93,26 @@ class TemporalJoinSpec extends AnyFunSuite {
     assert(f == Map(1L -> Some(102L), 2L -> None))
   }
 
+  test("as-of NULL keys: SQL equi-join semantics, NULL never matches NULL") {
+    val l = Seq((1L, Some("a"), 100L), (2L, None: Option[String], 100L))
+      .toDF("id", "key", "t_us")
+      .withColumn("lt", timestamp_micros(col("t_us"))).drop("t_us")
+    val r = Seq((101L, Some("a"), 50L, 1.0),
+        (102L, None: Option[String], 50L, 2.0)) // NULL-key right: matches NOTHING
+      .toDF("rid", "key", "t_us", "rv")
+      .withColumn("rt", timestamp_micros(col("t_us"))).drop("t_us")
+    def byId(df: DataFrame) = df.select("id", "rid").collect()
+      .map(x => x.getLong(0) -> Option(x.get(1))).toMap
+    // NULL-key left row → null-padded output, NOT paired with the NULL-key
+    // right row (Window.partitionBy would group NULLs into one partition)
+    val b = byId(AsOfJoin.backward(l, r, Seq("key"), "lt", "rt", Seq("rid", "rv")))
+    assert(b == Map(1L -> Some(101L), 2L -> None))
+    val f = byId(AsOfJoin.forward(
+      l, r.withColumn("rt", timestamp_micros(lit(200L))),
+      Seq("key"), "lt", "rt", Seq("rid", "rv")))
+    assert(f == Map(1L -> Some(101L), 2L -> None))
+  }
+
   test("range recentPairs ≡ inequality join, boundary semantics") {
     val l = leftDf
     val r = rightDf
