@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.{TextFns, TimeFns}
 import graft.llm.{LlmExtract, LlmGateway}
 import graft.operators.{Convo, GeocodeJoin, Warehouse}
-import graft.sources.{LiveAgentApi, LiveAgentSource}
+import graft.sources.{LiveAgentApi, LiveAgentSource, RateLimiter, TicketRef}
 
 /** The three §3 lifecycles as composable jobs over a Warehouse, plus the
   * metrics job — the engine-side equivalents of the reference's FastAPI
@@ -13,7 +13,10 @@ import graft.sources.{LiveAgentApi, LiveAgentSource}
   * agents → tags → tickets → convo).
   */
 final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
-                      llm: LlmGateway) {
+                      llm: LlmGateway,
+                      ids: MessageEnrich.Ids =
+                        MessageEnrich.Ids("system-user", "special-user", "Brand"),
+                      limiter: Option[RateLimiter] = None) {
 
   /** §3.3 — dimension refresh: fetch + tz-normalize + truncate-overwrite. */
   def refreshAgents(): Long = {
@@ -56,21 +59,30 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
     t.count()
   }
 
-  /** Messages leg: flatten groups (S6), enrich sender/receiver via the
-    * agents dimension (J1/J4), extract reference codes (F1), append
-    * (append-only — duplicates on rerun preserved for parity, §2.8).
+  /** Messages leg, TicketMessageProcessor parity
+    * (`core/TicketMessageProcessor.py:262-291`): flatten groups (S6),
+    * refresh the users dimension from the ids seen in this batch
+    * (X3+J11+J2, [[refreshUsers]]), resolve sender/receiver via the J4
+    * CASE over the agents dimension ([[MessageEnrich.enrich]]), extract
+    * reference codes (F1), append (append-only — duplicates on rerun
+    * preserved for parity, §2.8).
     */
   def processMessages(groups: DataFrame): Long = {
-    val flat = LiveAgentSource.flattenMessageGroups(groups)
-    val agents = if (wh.exists("agents")) wh.read("agents") else null
-    val enriched =
-      if (agents != null && agents.columns.contains("id") && flat.columns.contains("message_userid"))
-        flat.join(broadcast(agents.select(col("id").as("__aid"),
-            col("name").as("agent_name"))),
-          col("message_userid") === col("__aid"), "left").drop("__aid")
-          .withColumn("agent_name",
-            coalesce(col("agent_name"), lit("Unknown Agent")))
-      else flat
+    // the reference keeps the inner body's plain name — every other inner
+    // field gets the message_ prefix (`core/Ticket.py:170-181`)
+    val flat0 = LiveAgentSource.flattenMessageGroups(groups)
+    val flat =
+      if (flat0.columns.contains("message_message") && !flat0.columns.contains("message"))
+        flat0.withColumnRenamed("message_message", "message")
+      else flat0
+    val agents =
+      if (wh.exists("agents")) wh.read("agents").select(col("id"), col("name"))
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("name", org.apache.spark.sql.types.StringType))))
+    refreshUsers(flat, agents)
+    val enriched = MessageEnrich.enrich(flat, agents, ids)
     val coded =
       if (enriched.columns.contains("message"))
         enriched.withColumn("reference_code",
@@ -78,6 +90,57 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
       else enriched
     wh.append("messages", coded)
     coded.count()
+  }
+
+  /** §3.1 middle leg, end-to-end (S5+S6+J3+J4): recent ticket keys →
+    * per-key message fetch under the rate limiter → flatten → enrich →
+    * append. The ticket metadata cache is the warehouse `tickets` table
+    * (the reference caches the same fields during the tickets fetch,
+    * `core/Ticket.py:64-71`).
+    */
+  def processTicketMessages(tickets: Seq[TicketRef],
+                            maxPagesPerTicket: Int = LiveAgentSource.MaxPages): Long = {
+    val cache =
+      if (wh.exists("tickets"))
+        Some(wh.read("tickets").select(col("id").as("ticket_id"),
+          col("owner_name"), col("agentid")))
+      else None
+    val groups = LiveAgentSource.fetchTicketMessages(spark, api, tickets,
+      limiter, maxPagesPerTicket, cache)
+    if (groups.isEmpty) return 0L
+    processMessages(groups)
+  }
+
+  /** X3 — users-dimension refresh from a message batch
+    * (`TicketMessageProcessor.py:24-37,63-194`): distinct candidate ids
+    * (userid ∪ message_userid ∪ agentid), minus ids already covered by
+    * the agents dimension or the standing users table (J11 cache-miss
+    * anti-join), point-fetched via `users/{id}` and upserted with J2 name
+    * resolution. The collect is the cache-miss id set of ONE batch window
+    * — bounded by construction (the fetch is per-id HTTP either way).
+    * Returns the number of newly fetched users.
+    */
+  def refreshUsers(flat: DataFrame, agents: DataFrame): Long = {
+    val idCols = Seq("userid", "message_userid", "agentid")
+      .filter(flat.columns.contains)
+    if (idCols.isEmpty) return 0L
+    val seen = idCols.map(c => flat.select(col(c).cast("string").as("id")))
+      .reduce(_ unionByName _).where(col("id").isNotNull).distinct()
+    val notAgent = seen.join(
+      agents.select(col("id").cast("string").as("id")), Seq("id"), "left_anti")
+    val misses =
+      if (wh.exists("users"))
+        notAgent.join(wh.read("users").select(col("id").cast("string").as("id")),
+          Seq("id"), "left_anti")
+      else notAgent
+    val missIds = misses.collect().map(_.getString(0)).toSeq.sorted
+    if (missIds.isEmpty) return 0L
+    val fetched = LiveAgentSource.fetchUsers(spark, api, missIds, limiter)
+    if (fetched.isEmpty) return 0L
+    val resolved = fetched.withColumn("name",
+      MessageEnrich.resolvedUserName(col("name"), col("email")))
+    wh.upsert("users", resolved, "id", ColumnContracts.UsersUpdateColumns)
+    resolved.count()
   }
 
   /** §3.2 — convo analysis: reassemble conversations (A6) → LLM extraction
@@ -88,7 +151,9 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
     */
   def processConvos(messages: DataFrame, refTable: DataFrame, refNameCol: String,
                     serviceable: DataFrame, svcNameCol: String,
-                    updateCols: Seq[String]): Long = {
+                    updateCols: Seq[String],
+                    runTs: java.sql.Timestamp =
+                      java.sql.Timestamp.valueOf("1970-01-01 00:00:00")): Long = {
     val convos = Convo.conversationText(messages)
     val analysis = LlmExtract.extract(
       convos.select(col("ticket_id").cast("string").as("ticket_id"), col("convo")),
@@ -96,14 +161,27 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
     val geo = GeocodeJoin.bestMatch(
         analysis.where(col("location") =!= "").select(col("ticket_id"), col("location")),
         refTable, "location", refNameCol, "ticket_id")
-      .select(col("ticket_id"), col(refNameCol).as("matched_location"),
+      .select(col("ticket_id"), col(refNameCol).as("address"),
         col("score"), col("accepted"))
     val tagged = GeocodeJoin.tagViable(
       analysis.join(geo, Seq("ticket_id"), "left"),
       serviceable, "location", svcNameCol)
-    wh.append("convo_analysis_history", tagged)
-    wh.upsert("convo_analysis", tagged, "ticket_id", updateCols)
-    tagged.count()
+    // post-extraction parity: stamp the run, convert the schedule fields
+    // (F6, extraction_helpers.py:164-216 — schedule_date becomes a
+    // DATETIME combining date + parsed time; schedule_time stays string),
+    // then drop the geocode working columns and anything *metadata*
+    // before load (Extractor.py:293-298).
+    val stamped = tagged
+      .withColumn("date_extracted", lit(runTs).cast("timestamp_ntz"))
+      .withColumn("schedule_date",
+        TimeFns.combineScheduleDateTime(col("schedule_date"), col("schedule_time"))
+          .cast("timestamp_ntz"))
+    val dropCols = Seq("score", "accepted", "input_address", "lat", "lng", "error") ++
+      stamped.columns.filter(_.toLowerCase.contains("metadata"))
+    val fin = stamped.drop(dropCols: _*)
+    wh.append("convo_analysis_history", fin)
+    wh.upsert("convo_analysis", fin, "ticket_id", updateCols)
+    fin.count()
   }
 
   /** Metrics job (A1 + A8/J9/J10): new vs existing key counts and grouped

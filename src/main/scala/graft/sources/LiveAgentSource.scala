@@ -56,10 +56,27 @@ final class FixtureApi(pages: Map[String, Seq[Seq[String]]]) extends LiveAgentAp
     }
 }
 
+/** A recent ticket to fetch messages for: key + the metadata fallback args
+  * the reference threads through the per-ticket fetch
+  * (`core/Ticket.py:75-107`).
+  */
+final case class TicketRef(ticketId: String, agentId: Option[String] = None,
+                           ownerName: Option[String] = None)
+
 object LiveAgentSource {
 
   val PageSize = 100 // constants.py:15 MAX_VALUE
   val MaxPages = 100
+
+  /** Minimal JSON string literal (for wrapping fetched objects). */
+  private def jstr(s: String): String =
+    if (s == null) "null"
+    else "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   /** `set_filter` analog (utils/tickets_util.py:5-15): the reference
     * serializes the window predicate into the API's `_filters` JSON —
@@ -87,6 +104,109 @@ object LiveAgentSource {
     import spark.implicits._
     if (rows.isEmpty) spark.emptyDataFrame
     else spark.read.json(rows.toDS())
+  }
+
+  /** S5 — keyed per-ticket message fetch (`core/Ticket.py:75-141`): page
+    * `tickets/{id}/messages` for each recent ticket under the rate
+    * limiter, then merge ticket metadata — a cache row wholesale when the
+    * ticket is cached, else the per-ticket fallback args
+    * (`Ticket.py:96-106`). A failed ticket is skipped, not fatal
+    * (`Ticket.py:130-132`).
+    *
+    * Fetching stays driver-side by design (API-bound, ~150 req/min); the
+    * returned DataFrame of message GROUPS (still nested) is where
+    * distributed processing starts — flatten with
+    * [[flattenMessageGroups]].
+    */
+  def fetchTicketMessages(spark: SparkSession, api: LiveAgentApi,
+                          tickets: Seq[TicketRef],
+                          limiter: Option[RateLimiter] = None,
+                          maxPagesPerTicket: Int = MaxPages,
+                          metadataCache: Option[DataFrame] = None): DataFrame = {
+    val wrapped = tickets.flatMap { t =>
+      val rows = Iterator.from(1).map { page =>
+        limiter.foreach(_.acquire())
+        try api.fetchPage(s"tickets/${t.ticketId}/messages", page, PageSize, Map.empty)
+        finally limiter.foreach(_.release())
+      }.takeWhile {
+        case Right(items) => items.nonEmpty
+        case Left(_)      => false // skip this ticket, keep the batch
+      }.take(maxPagesPerTicket).collect { case Right(items) => items }.flatten
+      // the ticket key + fallback args must survive spark.read.json: wrap
+      // each group object under a typed envelope
+      rows.map { json =>
+        s"""{"ticket_id":${jstr(t.ticketId)},"__fb_agentid":${jstr(t.agentId.orNull)},""" +
+          s""""__fb_owner":${jstr(t.ownerName.orNull)},"group":$json}"""
+      }.toSeq
+    }
+    if (wrapped.isEmpty) return spark.emptyDataFrame
+    import spark.implicits._
+    val raw = spark.read.json(wrapped.toDS())
+    val unwrapped = raw.select(
+      (Seq(col("ticket_id"), col("__fb_agentid"), col("__fb_owner")) ++
+        (raw.schema("group").dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            st.fieldNames.toSeq.map(f => col(s"group.$f").as(f))
+          case _ => Seq.empty
+        })): _*)
+    // metadata merge: a cache hit replaces owner_name/agentid wholesale
+    // (even with NULLs), a miss uses the fallback args — dict.get
+    // semantics from Ticket.py:96-106
+    val merged = metadataCache match {
+      case Some(cache) =>
+        val c = broadcast(cache.select(
+          col("ticket_id").cast("string").as("__c_tid"),
+          col("owner_name").as("__c_owner"), col("agentid").as("__c_agentid"))
+          .withColumn("__c_hit", lit(true)))
+        unwrapped.join(c, col("ticket_id") === col("__c_tid"), "left")
+          .withColumn("owner_name",
+            when(col("__c_hit"), col("__c_owner")).otherwise(col("__fb_owner")))
+          .withColumn("agentid",
+            when(col("__c_hit"), col("__c_agentid")).otherwise(col("__fb_agentid")))
+          .drop("__c_tid", "__c_owner", "__c_agentid", "__c_hit")
+      case None =>
+        unwrapped.withColumn("owner_name", col("__fb_owner"))
+          .withColumn("agentid", col("__fb_agentid"))
+    }
+    merged.drop("__fb_agentid", "__fb_owner")
+  }
+
+  /** S7/X3 — user point lookups (`core/User.py:16-20`,
+    * `TicketMessageProcessor.py:91-194`): `users/{id}` per cache-miss id,
+    * sequential under the limiter in `chunkSize` groups (the reference
+    * fetches chunks of 50 at concurrency 15 — concurrency is an async
+    * transport concern; the rate envelope is what the limiter preserves).
+    * A failed or empty lookup is skipped (logged-and-continue in the
+    * reference). Returns one row per RESOLVED id: the requested id plus
+    * the user object's fields.
+    */
+  def fetchUsers(spark: SparkSession, api: LiveAgentApi, userIds: Seq[String],
+                 limiter: Option[RateLimiter] = None,
+                 chunkSize: Int = 50): DataFrame = {
+    val wrapped = userIds.distinct.grouped(chunkSize).flatMap { chunk =>
+      chunk.flatMap { id =>
+        limiter.foreach(_.acquire())
+        val res = try api.fetchPage(s"users/$id", 1, 1, Map.empty)
+                  finally limiter.foreach(_.release())
+        res match {
+          case Right(items) => items.headOption.map(json =>
+            s"""{"id":${jstr(id)},"user":$json}""")
+          case Left(_) => None
+        }
+      }
+    }.toSeq
+    if (wrapped.isEmpty) return spark.emptyDataFrame
+    import spark.implicits._
+    val raw = spark.read.json(wrapped.toDS())
+    val userFields = raw.schema("user").dataType match {
+      case st: org.apache.spark.sql.types.StructType => st.fieldNames.toSet
+      case _ => Set.empty[String]
+    }
+    // the users-dimension contract columns; absent fields → NULL
+    val want = Seq("name", "email", "role", "avatar_url")
+    raw.select(col("id") +: want.map(f =>
+      if (userFields(f)) col(s"user.$f").as(f)
+      else lit(null).cast("string").as(f)): _*)
   }
 
   /** S4 — tickets scan post-processing: default missing columns, tags

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.llm.{FallbackLlmGateway, LlmExtract, LlmGateway, MockLlmGateway}
 import graft.operators.Warehouse
-import graft.pipeline.Pipelines
+import graft.pipeline.{MessageEnrich, Pipelines}
 import graft.sources._
 
 class PipelineSpec extends AnyFunSuite {
@@ -105,13 +105,139 @@ class PipelineSpec extends AnyFunSuite {
     val ref = Seq(Tuple1("quezon city"), Tuple1("makati")).toDF("ref_name")
     val svc = Seq(Tuple1("quezon city")).toDF("svc_name")
     val cnt = p.processConvos(messages, ref, "ref_name", svc, "svc_name",
-      updateCols = graft.pipeline.ColumnContracts.ConvoUpdateColumns.filter(Seq("summary","intent_rating","location").contains))
+      updateCols = graft.pipeline.ColumnContracts.ConvoUpdateColumns.filter(Seq("summary","intent_rating","location").contains),
+      runTs = java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
     assert(cnt == 1)
     assert(wh.read("convo_analysis").count() == 1)
     assert(wh.read("convo_analysis_history").count() == 1)
+    // post-processing parity (Extractor.py:293-298 + extraction_helpers
+    // convert_schedule_fields): geocode working columns dropped, address +
+    // run stamp kept, schedule_date typed as a datetime
+    val convoCols = wh.read("convo_analysis").columns.toSet
+    assert(!convoCols.contains("score") && !convoCols.contains("accepted"))
+    assert(convoCols.contains("address") && convoCols.contains("date_extracted"))
+    assert(wh.read("convo_analysis").schema("schedule_date").dataType.typeName
+      .startsWith("timestamp"))
 
     val (newK, updK) = p.metrics(Seq("T1", "T9").toDF("id"), "tickets", "id")
     assert(newK == 1 && updK == 1)
+  }
+
+  /** Driver-side API wrapper recording every endpoint hit — lets the specs
+    * assert WHICH fetches happened (cache-miss discipline), not just the
+    * resulting frames.
+    */
+  private class CountingApi(delegate: LiveAgentApi) extends LiveAgentApi {
+    val calls = scala.collection.mutable.ArrayBuffer[String]()
+    override def fetchPage(endpoint: String, page: Int, perPage: Int,
+                           filters: Map[String, String]) = {
+      calls += s"$endpoint#$page"
+      delegate.fetchPage(endpoint, page, perPage, filters)
+    }
+  }
+
+  test("S5 keyed fetch: pages per ticket, cache hit beats fallback, failed ticket skipped") {
+    val api = new CountingApi(new FixtureApi(Map(
+      "tickets/T1/messages" -> Seq(
+        Seq("""{"id":"g1","userid":"U1","messages":[{"mid":"m1","message":"hello"}]}"""),
+        Seq("""{"id":"g2","userid":"A1","messages":[{"mid":"m2","message":"hi"}]}""")),
+      "tickets/T3/messages" -> Seq(
+        Seq("""{"id":"g3","userid":"U2","messages":[{"mid":"m3","message":"yo"}]}""")))))
+    val cache = Seq(("T1", "Cache Owner", "A9")).toDF("ticket_id", "owner_name", "agentid")
+    val groups = LiveAgentSource.fetchTicketMessages(spark, api,
+      Seq(TicketRef("T1", agentId = Some("FBA"), ownerName = Some("FB Owner")),
+          TicketRef("T2", agentId = Some("FBA2"), ownerName = Some("FB2")), // 404 → skipped
+          TicketRef("T3", agentId = Some("A3"), ownerName = None)),
+      metadataCache = Some(cache))
+    assert(groups.count() == 3) // 2 T1 groups + 1 T3 group; T2 dropped, batch survives
+    // cache hit replaces metadata wholesale (Ticket.py:96-106)
+    val t1 = groups.where(col("ticket_id") === "T1").select("owner_name", "agentid")
+      .distinct().as[(String, String)].collect().toSeq
+    assert(t1 == Seq(("Cache Owner", "A9")))
+    // cache miss → per-ticket fallback args (None → NULL)
+    val t3 = groups.where(col("ticket_id") === "T3").select("owner_name", "agentid")
+      .as[(String, String)].collect().head
+    assert(t3 == ((null, "A3")))
+    // pagination: T1 paged until empty (pages 1,2,3-empty), T3 until empty (1,2-empty)
+    assert(api.calls.count(_.startsWith("tickets/T1/messages")) == 3)
+    assert(api.calls.count(_.startsWith("tickets/T3/messages")) == 2)
+  }
+
+  test("X3 user point fetch: resolved rows only, absent fields NULL") {
+    val api = new FixtureApi(Map(
+      "users/U1" -> Seq(Seq("""{"name":"  ","email":"u1@x.ph","role":"V"}""")),
+      "users/U2" -> Seq(Seq("""{"name":"Uma","email":"u2@x.ph"}"""))))
+    val users = LiveAgentSource.fetchUsers(spark, api, Seq("U1", "U2", "U404"))
+    assert(users.columns.toSeq == Seq("id", "name", "email", "role", "avatar_url"))
+    assert(users.count() == 2) // U404 failed lookup → skipped, not fatal
+    val u2 = users.where(col("id") === "U2").collect().head
+    assert(u2.getAs[String]("role") == null && u2.getAs[String]("avatar_url") == null)
+  }
+
+  test("X3+J11+J2 refreshUsers: only cache misses fetched, J2 name resolution, idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-users").toString
+    val wh = new Warehouse(spark, dir)
+    val api = new CountingApi(new FixtureApi(Map(
+      "users/U2" -> Seq(Seq("""{"name":" ","email":"u2@x.ph","role":"V"}""")))))
+    val p = new Pipelines(spark, wh, api, new MockLlmGateway)
+    wh.overwrite("users", Seq(("U1", "Known", "u1@x.ph", null: String, null: String))
+      .toDF("id", "name", "email", "role", "avatar_url"))
+    val agents = Seq(("A1", "Alice")).toDF("id", "name")
+    val flat = Seq(
+      ("A1", "A1"), // agent-authored → covered by agents dim, no fetch
+      ("U1", "A1"), // already in users table → no fetch
+      ("U2", "A1"), // genuine miss → fetched
+      (null: String, "A1")) // NULL id never fetched
+      .toDF("userid", "agentid")
+    assert(p.refreshUsers(flat, agents) == 1)
+    // exactly one point fetch: the miss (J11 anti-join against BOTH caches)
+    assert(api.calls.toSeq == Seq("users/U2#1"))
+    // J2: blank name → email
+    val u2 = wh.read("users").where(col("id") === "U2").collect().head
+    assert(u2.getAs[String]("name") == "u2@x.ph")
+    assert(wh.read("users").count() == 2)
+    // second pass: U2 now cached → zero fetches (reference preload semantics)
+    assert(p.refreshUsers(flat, agents) == 0L)
+    assert(api.calls.size == 1)
+  }
+
+  test("§3.1 end-to-end: recent keys → keyed fetch → flatten → enrich → append") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val wh = new Warehouse(spark, dir)
+    val api = new CountingApi(new FixtureApi(Map(
+      "agents" -> Seq(Seq("""{"id":"A1","name":"Alice"}""", """{"id":"55","name":"Raw Special"}""")),
+      "tickets/T1/messages" -> Seq(Seq(
+        """{"id":"g1","userid":"A1","messages":[{"mid":"m1","message":"Ref: ABC123 done"}]}""",
+        """{"id":"g2","userid":"C7","messages":[{"mid":"m2","message":"client asks"}]}""",
+        """{"id":"g3","userid":"55","messages":[{"mid":"m3","message":"auto"}]}""")),
+      "users/C7" -> Seq(Seq("""{"name":"Cara","email":"c@x.ph"}""")))))
+    val p = new Pipelines(spark, wh, api, new MockLlmGateway,
+      ids = MessageEnrich.Ids("sys00", "55", "BrandCo"))
+    p.refreshAgents()
+    wh.overwrite("tickets", Seq(("T1", "Owen Owner", "A1"))
+      .toDF("id", "owner_name", "agentid"))
+    assert(p.processTicketMessages(Seq(TicketRef("T1"))) == 3)
+
+    val msgs = wh.read("messages")
+    // ticket metadata merged from the warehouse cache, sender/receiver CASE applied
+    val bySender = msgs.select("message_mid", "sender_name", "sender_type",
+        "receiver_name", "receiver_type", "agent_name")
+      .as[(String, String, String, String, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(bySender("m1") == (("m1", "Alice", "agent", "Owen Owner", "client", "Alice")))
+    assert(bySender("m2") == (("m2", "Owen Owner", "client", "Alice", "agent", "Alice")))
+    // magic id wins over its agents-dimension row (precedence parity)
+    assert(bySender("m3") == (("m3", "BrandCo", "system", "Owen Owner", "client", "Alice")))
+    // the client author was point-fetched into the users dimension
+    assert(api.calls.toSeq.contains("users/C7#1"))
+    assert(wh.read("users").where(col("id") === "C7").count() == 1)
+    // F1 reference-code extraction rode along; the body keeps its plain
+    // name (Ticket.py:174), non-matching rows get the sentinel
+    assert(msgs.where(col("message").contains("ABC123"))
+      .select("reference_code").as[String].collect().head == "ABC123")
+    assert(msgs.where(col("message_mid") === "m2")
+      .select("reference_code").as[String].collect().head ==
+      graft.functions.TextFns.NoReferenceCode)
   }
 
   test("rate limiter: enforces launch spacing") {
