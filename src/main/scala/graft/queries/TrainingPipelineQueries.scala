@@ -21,6 +21,30 @@ object TrainingPipelineQueries {
   private val S = 15
   /** packing token budget per training sequence */
   private val B = 256
+  /** packing shard count (at scale: pick ~#cores × a few) */
+  private val NShards = 16
+
+  /** Sequence packing over `documents`. `shards = Some(n)` (the default
+    * query form) partitions the cumulative window by `doc_id % n` — each
+    * shard packs its own sequence space in parallel. `shards = None` is
+    * the global form: ONE total order, ONE WindowExec task — correct, but
+    * only for inputs small enough to sort on a single executor.
+    */
+  def packed(docs: org.apache.spark.sql.DataFrame,
+             shards: Option[Int]): org.apache.spark.sql.DataFrame = {
+    val sharded = docs
+      .select(col("doc_id"), TextAnalysisFns.wordCount(col("text")).as("n_toks"))
+      .withColumn("shard",
+        shards.map(n => (col("doc_id") % n).cast("int")).getOrElse(lit(0)))
+    val cum = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val packedDf = sharded
+      .withColumn("prev_cum", coalesce(sum(col("n_toks")).over(cum), lit(0L)))
+      .groupBy(col("shard"), expr(s"prev_cum DIV $B").as("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"))
+    if (shards.isDefined) packedDf.orderBy(col("shard"), col("seq_id"))
+    else packedDf.drop("shard").orderBy(col("seq_id"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -53,32 +77,27 @@ object TrainingPipelineQueries {
              md5(array_to_string(chunk, ' ')) AS chunk_hash
       FROM ch ORDER BY doc_id, chunk_idx""")),
 
-    // Contiguous sequence packing: documents in doc_id order, sequence id
-    // = floor(preceding-cumulative-tokens / budget) — a doc is never
-    // split; a bin closes when the budget is crossed. The global ordered
-    // window is the per-shard form: at 100 TB you partition the window by
-    // a shard key first (the pack is embarrassingly parallel across
-    // shards), which drops straight out of the same expression with a
-    // partitionBy added.
-    QueryDef("text_packing", (s, dir) => {
-      val cum = Window.orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      t("documents")(s, dir)
-        .select(col("doc_id"), TextAnalysisFns.wordCount(col("text")).as("n_toks"))
-        .withColumn("prev_cum", coalesce(sum(col("n_toks")).over(cum), lit(0L)))
-        .groupBy(expr(s"prev_cum DIV $B").as("seq_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"))
-        .orderBy(col("seq_id"))
-    }, Some(s"""
-      WITH c AS (SELECT doc_id, CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_toks
+    // Contiguous sequence packing, SHARDED: documents in doc_id order
+    // within a shard, sequence id = floor(preceding-cumulative-tokens /
+    // budget) — a doc is never split; a bin closes when the budget is
+    // crossed. The cumulative window partitions by the shard key, so the
+    // pack is embarrassingly parallel across shards (the 100 TB shape —
+    // a no-partition window would serialize the whole corpus through one
+    // task). [[packed]] keeps the global single-sequence-space form as an
+    // option for small inputs.
+    QueryDef("text_packing", (s, dir) =>
+      packed(t("documents")(s, dir), shards = Some(NShards))
+    , Some(s"""
+      WITH c AS (SELECT doc_id, CAST(doc_id % $NShards AS INT) AS shard,
+                        CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_toks
                  FROM documents),
-      w AS (SELECT doc_id, n_toks,
-                   coalesce(sum(n_toks) OVER (ORDER BY doc_id
+      w AS (SELECT shard, doc_id, n_toks,
+                   coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
             FROM c)
-      SELECT CAST(prev_cum // $B AS BIGINT) AS seq_id, count(*) AS n_docs,
+      SELECT shard, CAST(prev_cum // $B AS BIGINT) AS seq_id, count(*) AS n_docs,
              CAST(sum(n_toks) AS BIGINT) AS total_toks
-      FROM w GROUP BY 1 ORDER BY 1""")),
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // Benchmark decontamination: flag every training document (source ≠
     // src0) sharing at least one exact word-8-gram with the held-out

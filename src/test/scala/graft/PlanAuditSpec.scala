@@ -93,4 +93,16 @@ class PlanAuditSpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
   }
+
+  test("text_packing: cumulative window is sharded, never single-partition") {
+    val plan = planOf("text_packing")
+    // the pack must hash-partition by the shard key; Exchange
+    // SinglePartition feeding a Window would serialize the whole corpus
+    // through one task at scale
+    assert(plan.contains("Window"), "expected a Window node")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the packing plan:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(shard"),
+      s"expected shard hashpartitioning before the window:\n$plan")
+  }
 }
