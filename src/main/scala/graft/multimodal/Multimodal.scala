@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * typed metadata, plus the Spark-side plumbing for decode / feature
   * extraction — schema, partitioning, batch shape.
   *
-  * The actual media decode is STUBBED (this environment has no image/audio
-  * libraries): `decodeStub` derives a deterministic fake feature vector
-  * from the payload bytes. The plumbing around it — the schema contract,
-  * size-aware repartitioning, mapPartitions batch shape — is real and
-  * tested; swapping the stub for a JNI/FFmpeg decoder changes one
-  * function.
+  * IMAGE decode/resize is REAL (`javax.imageio`, JDK-native PNG/JPEG/BMP/
+  * GIF — [[extractImageFeatures]], [[resizeImages]]); a payload ImageIO
+  * cannot parse falls back to the deterministic byte-hash stub with a
+  * `decoded=false` flag, so a mixed or corrupt batch degrades row-wise
+  * instead of failing the task. AUDIO/VIDEO decode stays STUBBED (no
+  * codec libraries in this container): `decodeStub` derives a
+  * deterministic fake feature vector from payload bytes; swapping it for
+  * a JNI/FFmpeg decoder changes one function — the schema contract,
+  * size-aware repartitioning, and mapPartitions batch shape are the same
+  * ones the image path exercises for real.
   *
   * Scale design: media rows are heavily skewed by payload size, so the
   * partitioner is byte-budget-based (`repartitionByBytes`), not row-count
@@ -69,6 +73,105 @@ object Multimodal {
         }
       }
       .toDF("media_id", "features", "n_bytes")
+  }
+
+  /** Real image decode: ImageIO parse + [[FeatureDim]]-dim feature vector
+    * of 4×4-grid luminance means (row-major; partial edge cells use their
+    * true pixel counts). None when the payload isn't a decodable image.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
+    if (payload == null || payload.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val grid = 4 // 4×4 cells = FeatureDim
+      val sums = new Array[Double](FeatureDim)
+      val counts = new Array[Long](FeatureDim)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          val cell = math.min(grid - 1, y * grid / h) * grid +
+            math.min(grid - 1, x * grid / w)
+          sums(cell) += lum; counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val feats = Array.tabulate(FeatureDim)(i =>
+        if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+      Some((w, h, feats))
+    }
+  }
+
+  /** Image feature extraction with the REAL codec: one ImageIO decode per
+    * row inside the same typed mapPartitions batch shape as
+    * [[extractFeatures]]. Emits (media_id, width, height, features,
+    * decoded, n_bytes); undecodable payloads keep the pipeline moving on
+    * the stub features with `decoded=false` and geometry (0, 0).
+    */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val n = if (p == null) 0L else p.length.toLong
+          decodeImage(p) match {
+            case Some((w, h, f)) => (id, w, h, f, true, n)
+            case None            => (id, 0, 0, decodeStub(p), false, n)
+          }
+        }
+      }
+      .toDF("media_id", "width", "height", "features", "decoded", "n_bytes")
+  }
+
+  /** Real image resize: ImageIO decode → smooth-scaled draw onto a fresh
+    * RGB raster → PNG re-encode. None when the payload isn't an image.
+    */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    if (payload == null || payload.isEmpty || w <= 0 || h <= 0) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val out = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try g.drawImage(
+        img.getScaledInstance(w, h, java.awt.Image.SCALE_SMOOTH), 0, 0, null)
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      Some(bos.toByteArray)
+    }
+  }
+
+  /** Thumbnail projection with the REAL scaler; undecodable payloads fall
+    * back to [[resizeStub]] with `decoded=false` (same geometry contract).
+    */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          resizeImage(p, w, h) match {
+            case Some(png) => (id, png, w, h, true)
+            case None      => (id, resizeStub(p, w, h), w, h, false)
+          }
+        }
+      }
+      .toDF("media_id", "thumb", "width", "height", "decoded")
   }
 
   /** Deterministic stand-in for image resize: emits a fake thumbnail

@@ -64,6 +64,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(v10.distinct.length == v10.length)
   }
 
+  /** A real PNG: w×h horizontal gray gradient (left dark → right light). */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 255 / math.max(1, w - 1)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("real image decode: true geometry, gradient shows in grid features") {
+    val rows = Seq(
+      Row(1L, pngBytes(16, 8), Row("img", 16, 8, 0L)),
+      Row(2L, "not an image".getBytes, Row("img", 0, 0, 0L)),
+      Row(3L, null, Row("img", 0, 0, 0L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val got = Multimodal.extractImageFeatures(df).orderBy("media_id").collect()
+    val ok = got(0)
+    assert(ok.getAs[Boolean]("decoded") && ok.getAs[Int]("width") == 16 &&
+      ok.getAs[Int]("height") == 8)
+    val f = ok.getSeq[Float](ok.fieldIndex("features"))
+    assert(f.size == Multimodal.FeatureDim)
+    // row-major 4×4 grid over a left-to-right gradient: strictly brighter
+    // across each grid row, equal down each column
+    assert(f(0) < f(1) && f(1) < f(2) && f(2) < f(3))
+    assert(f.grouped(4).toSeq.distinct.size == 1)
+    // corrupt + null payloads degrade to the stub with decoded=false
+    assert(!got(1).getAs[Boolean]("decoded") && !got(2).getAs[Boolean]("decoded"))
+    assert(got(1).getSeq[Float](got(1).fieldIndex("features")).size == Multimodal.FeatureDim)
+  }
+
+  test("real image resize: thumb is a valid PNG with target geometry") {
+    val rows = Seq(
+      Row(1L, pngBytes(32, 16), Row("img", 32, 16, 0L)),
+      Row(2L, "junk".getBytes, Row("img", 0, 0, 0L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val got = Multimodal.resizeImages(df, 8, 4).orderBy("media_id").collect()
+    val thumb = got(0).getAs[Array[Byte]]("thumb")
+    assert(got(0).getAs[Boolean]("decoded"))
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(thumb))
+    assert(back.getWidth == 8 && back.getHeight == 4)
+    // gradient survives the scale: left edge darker than right edge
+    assert((back.getRGB(0, 0) & 0xFF) < (back.getRGB(7, 0) & 0xFF))
+    // junk payload falls back to the stub thumbnail, flagged
+    assert(!got(1).getAs[Boolean]("decoded"))
+    assert(got(1).getAs[Array[Byte]]("thumb").length == 32)
+  }
+
   test("byte-budget repartitioning: no partition exceeds ~budget") {
     val parts = Multimodal.repartitionByBytes(media, targetBytes = 1500)
     import org.apache.spark.sql.functions._
