@@ -30,4 +30,25 @@ object Splits {
         .when(b < trainPct + valPct, lit("val"))
         .otherwise(lit("test")))
   }
+
+  /** Deterministic corpus shuffle for training order: shard + position
+    * assigned from `md5(seed : key)` — a seeded pseudo-random permutation
+    * with the same scale properties as [[bucket]] (data-independent,
+    * engine-portable, reproducible across runs and re-shards, no global
+    * sort). The position window partitions BY SHARD, so no task ever
+    * orders more than one shard (~corpus/shards rows) — the global
+    * `ORDER BY rand()` it replaces is a single total sort of the corpus.
+    */
+  def deterministicShuffle(df: DataFrame, keyCol: String, seed: String,
+                           shards: Int): DataFrame = {
+    val k = md5(concat(lit(seed), lit(":"), col(keyCol).cast("string")))
+    val shard = (conv(substring(k, 1, 8), 16, 10).cast("bigint") % shards)
+      .cast("int")
+    df.withColumn("__shuf", k)
+      .withColumn("shard", shard)
+      .withColumn("pos", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard")).orderBy(col("__shuf"), col(keyCol))))
+      .drop("__shuf")
+  }
 }
