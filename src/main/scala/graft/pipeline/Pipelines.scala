@@ -66,8 +66,14 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
     * CASE over the agents dimension ([[MessageEnrich.enrich]]), extract
     * reference codes (F1), append (append-only — duplicates on rerun
     * preserved for parity, §2.8).
+    *
+    * `dedupe = true` is the SURVEY §7.3 opt-in hardening of the
+    * reference's duplicate-on-rerun behavior: drop batch rows whose
+    * `message_id` already landed (left_anti against the standing table —
+    * one key-projected scan, no full-table rewrite) and within-batch
+    * re-deliveries. Default stays reference-exact.
     */
-  def processMessages(groups: DataFrame): Long = {
+  def processMessages(groups: DataFrame, dedupe: Boolean = false): Long = {
     // the reference keeps the inner body's plain name — every other inner
     // field gets the message_ prefix (`core/Ticket.py:170-181`)
     val flat0 = LiveAgentSource.flattenMessageGroups(groups)
@@ -88,8 +94,16 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
         enriched.withColumn("reference_code",
           TextFns.extractReferenceCode(col("message")))
       else enriched
-    wh.append("messages", coded)
-    coded.count()
+    val out =
+      if (dedupe && coded.columns.contains("message_id")) {
+        val batch = coded.dropDuplicates("message_id")
+        if (wh.exists("messages"))
+          batch.join(wh.read("messages").select(col("message_id")),
+            Seq("message_id"), "left_anti")
+        else batch
+      } else coded
+    wh.append("messages", out)
+    out.count()
   }
 
   /** §3.1 middle leg, end-to-end (S5+S6+J3+J4): recent ticket keys →

@@ -240,6 +240,26 @@ class PipelineSpec extends AnyFunSuite {
       graft.functions.TextFns.NoReferenceCode)
   }
 
+  test("messages append: duplicate-on-rerun parity default; dedupe flag drops re-deliveries") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedupe").toString
+    val wh = new Warehouse(spark, dir)
+    val p = new Pipelines(spark, wh, fixtureApi, new MockLlmGateway)
+    val groups = Seq(("g1", "T1", Seq(("m1", "hello"), ("m1", "hello"), ("m2", "hi"))))
+      .toDF("id", "ticket_id", "messages")
+      .withColumn("messages", transform(col("messages"),
+        m => struct(m.getField("_1").as("id"), m.getField("_2").as("message"))))
+    // reference-exact default: re-runs append duplicates (§2.8)
+    assert(p.processMessages(groups) == 3)
+    assert(p.processMessages(groups) == 3)
+    assert(wh.read("messages").count() == 6)
+    // opt-in dedupe: within-batch re-delivery collapsed, standing ids skipped
+    assert(p.processMessages(groups, dedupe = true) == 0)
+    val fresh = new Pipelines(spark,
+      new Warehouse(spark, java.nio.file.Files.createTempDirectory("graft-dedupe2").toString),
+      fixtureApi, new MockLlmGateway)
+    assert(fresh.processMessages(groups, dedupe = true) == 2)
+  }
+
   test("rate limiter: enforces launch spacing") {
     val rl = new RateLimiter(2, 30)
     val t0 = System.nanoTime()
