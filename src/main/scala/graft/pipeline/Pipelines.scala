@@ -131,10 +131,14 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
     * the agents dimension or the standing users table (J11 cache-miss
     * anti-join), point-fetched via `users/{id}` and upserted with J2 name
     * resolution. The collect is the cache-miss id set of ONE batch window
-    * — bounded by construction (the fetch is per-id HTTP either way).
-    * Returns the number of newly fetched users.
+    * — bounded by construction (the fetch is per-id HTTP either way), and
+    * guarded by `maxPointFetches`: a pathological batch (a backfill
+    * missing its users preload) fails fast with the size instead of
+    * grinding the rate-limited endpoint for days. Returns the number of
+    * newly fetched users.
     */
-  def refreshUsers(flat: DataFrame, agents: DataFrame): Long = {
+  def refreshUsers(flat: DataFrame, agents: DataFrame,
+                   maxPointFetches: Long = 100000L): Long = {
     val idCols = Seq("userid", "message_userid", "agentid")
       .filter(flat.columns.contains)
     if (idCols.isEmpty) return 0L
@@ -147,6 +151,10 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
         notAgent.join(wh.read("users").select(col("id").cast("string").as("id")),
           Seq("id"), "left_anti")
       else notAgent
+    val missCount = misses.count()
+    require(missCount <= maxPointFetches,
+      s"refreshUsers: $missCount cache-miss ids exceed maxPointFetches=" +
+        s"$maxPointFetches — preload the users dimension before this batch")
     val missIds = misses.collect().map(_.getString(0)).toSeq.sorted
     if (missIds.isEmpty) return 0L
     val fetched = LiveAgentSource.fetchUsers(spark, api, missIds, limiter)
