@@ -94,6 +94,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges")
   }
 
+  test("lifecycle_msg_enrich: both agent-dim joins broadcast, no shuffle join") {
+    val plan = planOf("lifecycle_msg_enrich")
+    // the enrichment CASE rides two broadcast hash joins of the agents
+    // dim; a sort-merge join here would shuffle the full message fact side
+    // twice at scale
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"expected 2 broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "agents-dim join fell back to sort-merge")
+  }
+
+  test("corpus_shuffle: position window partitions by shard, never single-partition") {
+    val plan = planOf("corpus_shuffle")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the shuffle plan:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(shard"),
+      s"expected shard hashpartitioning before the window:\n$plan")
+  }
+
   test("text_packing: cumulative window is sharded, never single-partition") {
     val plan = planOf("text_packing")
     // the pack must hash-partition by the shard key; Exchange
