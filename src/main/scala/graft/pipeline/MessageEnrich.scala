@@ -52,7 +52,12 @@ object MessageEnrich {
       (df, c) => if (df.columns.contains(c)) df
                  else df.withColumn(c, lit(null).cast("string"))
     }
+    // the reference's dict cache keeps ONE row per agent id
+    // (`TicketMessageProcessor.py:53-57` — later rows overwrite); a
+    // duplicate id here would instead fan out every joined message, so
+    // collapse to one row per id before the joins
     val dim = agents.select(col("id").cast("string").as("id"), col("name"))
+      .dropDuplicates("id")
     val joined = withCols
       .join(broadcast(dim.select(col("id").as("__ma_id"), col("name").as("__ma_name"))),
         col("userid").cast("string") === col("__ma_id"), "left")

@@ -240,6 +240,16 @@ class PipelineSpec extends AnyFunSuite {
       graft.functions.TextFns.NoReferenceCode)
   }
 
+  test("enrich: duplicate agent-dim ids never fan out messages") {
+    val flat = Seq(("A1", "A1", "Own")).toDF("userid", "agentid", "owner_name")
+    val agents = Seq(("A1", "Alice"), ("A1", "Alice2")).toDF("id", "name")
+    val got = graft.pipeline.MessageEnrich.enrich(flat, agents,
+      graft.pipeline.MessageEnrich.Ids("s", "sp", "B"))
+    // dict-cache semantics: one row per agent id, so one output row
+    assert(got.count() == 1)
+    assert(got.select("sender_type").as[String].collect().head == "agent")
+  }
+
   test("messages append: duplicate-on-rerun parity default; dedupe flag drops re-deliveries") {
     val dir = java.nio.file.Files.createTempDirectory("graft-dedupe").toString
     val wh = new Warehouse(spark, dir)

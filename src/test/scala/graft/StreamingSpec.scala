@@ -127,6 +127,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(("a", 5), ("b", 2)))
   }
 
+  test("streaming messages leg: stream-static enrichment, broadcast join, append sink") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-enrich").toString
+    val wh = new graft.operators.Warehouse(spark, dir)
+    val agents = Seq(("A1", "Alice")).toDF("id", "name")
+    val mem = MemoryStream[(String, String, String, String)]
+    val flat = mem.toDF().toDF("message_id", "userid", "agentid", "owner_name")
+    // MessageEnrich is a pure frame → frame operator, so the same code runs
+    // on a streaming frame as a stream-static broadcast join — the
+    // streaming form of the §3.1 messages leg
+    val enriched = graft.pipeline.MessageEnrich.enrich(flat, agents,
+      graft.pipeline.MessageEnrich.Ids("sys", "sp", "BrandCo"))
+    val q = enriched.writeStream.outputMode("append").foreachBatch {
+      (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        wh.append("messages_stream", batch.toDF())
+    }.start()
+    try {
+      mem.addData(("m1", "A1", "A1", "Own"), ("m2", "C9", "A1", "Own"))
+      q.processAllAvailable()
+      mem.addData(("m3", "sp", "A1", "Own"))
+      q.processAllAvailable()
+      val got = wh.read("messages_stream")
+        .select("message_id", "sender_name", "sender_type", "receiver_name")
+        .as[(String, String, String, String)].collect()
+        .map(r => r._1 -> r).toMap
+      assert(got("m1") == (("m1", "Alice", "agent", "Own")))
+      assert(got("m2") == (("m2", "Own", "client", "Alice")))
+      assert(got("m3") == (("m3", "BrandCo", "system", "Own")))
+    } finally q.stop()
+  }
+
   test("streaming upsert sink: foreachBatch merges into warehouse table") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-wh").toString
