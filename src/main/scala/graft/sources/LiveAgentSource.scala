@@ -142,11 +142,18 @@ object LiveAgentSource {
     if (wrapped.isEmpty) return spark.emptyDataFrame
     import spark.implicits._
     val raw = spark.read.json(wrapped.toDS())
+    // envelope keys win over same-named group fields (the reference's
+    // base_info overwrites them when flattening, Ticket.py:149-166) — and
+    // a duplicate column name here would make every later reference
+    // ambiguous
+    val envelope = Set("ticket_id", "owner_name", "agentid",
+      "__fb_agentid", "__fb_owner")
     val unwrapped = raw.select(
       (Seq(col("ticket_id"), col("__fb_agentid"), col("__fb_owner")) ++
         (raw.schema("group").dataType match {
           case st: org.apache.spark.sql.types.StructType =>
-            st.fieldNames.toSeq.map(f => col(s"group.$f").as(f))
+            st.fieldNames.toSeq.filterNot(envelope)
+              .map(f => col(s"group.$f").as(f))
           case _ => Seq.empty
         })): _*)
     // metadata merge: a cache hit replaces owner_name/agentid wholesale

@@ -163,6 +163,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(api.calls.count(_.startsWith("tickets/T3/messages")) == 2)
   }
 
+  test("S5 keyed fetch: group fields clashing with the envelope lose to it") {
+    // the group object claims its own ticket_id/owner_name — base_info
+    // semantics: the envelope's values win, no ambiguous-column failure
+    val api = new FixtureApi(Map(
+      "tickets/T9/messages" -> Seq(Seq(
+        """{"id":"g1","ticket_id":"SPOOF","owner_name":"SPOOF","userid":"U1","messages":[]}"""))))
+    val groups = LiveAgentSource.fetchTicketMessages(spark, api,
+      Seq(TicketRef("T9", agentId = Some("A1"), ownerName = Some("Real Owner"))))
+    val row = groups.select("ticket_id", "owner_name").as[(String, String)]
+      .collect().head
+    assert(row == (("T9", "Real Owner")))
+  }
+
   test("X3 user point fetch: resolved rows only, absent fields NULL") {
     val api = new FixtureApi(Map(
       "users/U1" -> Seq(Seq("""{"name":"  ","email":"u1@x.ph","role":"V"}""")),
