@@ -115,10 +115,15 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
   def processTicketMessages(tickets: Seq[TicketRef],
                             maxPagesPerTicket: Int = LiveAgentSource.MaxPages): Long = {
     val cache =
-      if (wh.exists("tickets"))
-        Some(wh.read("tickets").select(col("id").as("ticket_id"),
-          col("owner_name"), col("agentid")))
-      else None
+      if (wh.exists("tickets")) {
+        val t = wh.read("tickets")
+        // processTickets defaults these columns, but a hand-loaded tickets
+        // table may lack them — no cache beats an AnalysisException
+        if (Seq("id", "owner_name", "agentid").forall(t.columns.contains))
+          Some(t.select(col("id").as("ticket_id"),
+            col("owner_name"), col("agentid")))
+        else None
+      } else None
     val groups = LiveAgentSource.fetchTicketMessages(spark, api, tickets,
       limiter, maxPagesPerTicket, cache)
     if (groups.isEmpty) return 0L
