@@ -87,4 +87,18 @@ object TextAnalysisFns {
   /** Document fingerprint — rolling hash over tokens (HashFns). */
   def fingerprint(text: Column): Column =
     HashFns.rollingFingerprint(tokens(text))
+
+  /** Fixed-width pseudo-lines: consecutive `n`-token windows re-joined
+    * with single spaces (the last window may be short); empty text →
+    * empty array. The "line" unit for line-level dedup on corpora without
+    * newline structure — on real text, split on '\n' instead.
+    */
+  def pseudoLines(text: Column, n: Int): Column = {
+    require(n > 0, "pseudo-line width must be positive")
+    val toks = tokens(text)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks), lit(n)),
+        s => array_join(slice(toks, s, lit(n)), " ")))
+  }
 }

@@ -168,6 +168,15 @@ object Ann {
     df.withColumn("__centroid",
       array_min(cellStructs(col(vecCol), centroids)).getField("cid"))
 
+  /** Public cell assignment: every row tagged with its nearest-centroid id
+    * as `cell` — the shared front half of [[ivfTopK]] and
+    * `Dedup.semantic`. Pure codegen expressions over one scan (the
+    * centroid table is literal), no shuffle.
+    */
+  def assignCells(df: DataFrame, vecCol: String, index: IvfIndex): DataFrame =
+    assignToCentroids(df, vecCol, index.centroids)
+      .withColumnRenamed("__centroid", "cell")
+
   /** IVF top-k: assign corpus to cells once, probe the `nprobe` cells
     * nearest each query, exact cosine rank within the probed subset. The
     * cell equi-join replaces the full-corpus scan — the IVF trade: recall

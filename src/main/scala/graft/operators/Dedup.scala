@@ -261,4 +261,76 @@ object Dedup {
             (col("a.nrm") * col("b.nrm"))).as("cosine"))
       .where(col("cosine") >= threshold)
   }
+
+  /** SemDeDup-style semantic dedup: cluster by nearest centroid
+    * ([[Ann.assignCells]]), then within each cluster mark a row duplicate
+    * iff some LOWER-id row of the same cell has cosine ≥ `threshold` to
+    * it (greedy keep-lowest-id — the partner itself may also be a dup;
+    * the rule is EXISTS against all lower ids, not just survivors, which
+    * keeps it one self-join instead of an iterative fixpoint).
+    *
+    * Scale: the cell equi-join bounds the quadratic to within-cell pairs;
+    * `nlist` grows with the corpus so cells stay near-constant size, and
+    * an oversized cell can be re-blocked with hyperplane LSH
+    * ([[embeddingCosine]]) — never corpus × corpus.
+    */
+  def semantic(df: DataFrame, idCol: String, vecCol: String,
+               index: Ann.IvfIndex, threshold: Double): DataFrame = {
+    import graft.functions.VecFns
+    val cells = Ann.assignCells(df, vecCol, index)
+      .select(col(idCol).as("id"), col(vecCol).as("vec"), col("cell"),
+        VecFns.norm(col(vecCol)).as("nrm"))
+    val a = cells.alias("a")
+    val b = cells.alias("b")
+    val dup = a.join(b, col("a.cell") === col("b.cell") &&
+        col("b.id") < col("a.id"))
+      .where(when(col("a.nrm") === 0.0 || col("b.nrm") === 0.0, lit(0.0))
+        .otherwise(VecFns.dot(col("a.vec"), col("b.vec")) /
+          (col("a.nrm") * col("b.nrm"))) >= threshold)
+      .select(col("a.id").as("id")).distinct()
+      .withColumn("__dup", lit(true))
+    cells.select(col("id"), col("cell"))
+      .join(dup, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
+  /** CCNet-style line-level dedup: a line occurring in MORE THAN ONE
+    * distinct document is boilerplate — dropped from every document; each
+    * document is reassembled from its surviving lines in original order.
+    * Returns one row per document: `n_lines`, `n_kept`, `kept_text`
+    * (space-joined survivors; empty string when nothing survives).
+    *
+    * The line unit is caller-chosen via `lineTokens`
+    * ([[TextAnalysisFns.pseudoLines]] fixed-token windows — the synthetic
+    * corpus has no newlines; on real text split on '\n' first).
+    *
+    * Scale: explode → hash-agg line doc-frequency (map-side combine on the
+    * line hash) → equi-join back → per-doc agg. Two shuffles on bounded
+    * keys, never doc × doc; the reassembly sort is per-doc (array_sort of
+    * that doc's collected lines), not a global order.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                lineTokens: Int): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(TextAnalysisFns.pseudoLines(col(textCol), lineTokens))
+        .as(Seq("pos", "line")))
+    val common = lines.groupBy(col("line"))
+      .agg(count_distinct(col("id")).as("__docs"))
+      .where(col("__docs") > 1)
+      .select(col("line"), lit(true).as("__common"))
+    lines.join(common, Seq("line"), "left")
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        // when() without otherwise yields NULL for common lines, and both
+        // count() and collect_list() skip NULLs — one pass, no second join
+        count(when(col("__common").isNull, lit(1))).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("__common").isNull, struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          " ").as("kept_text"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic stratified Bernoulli sampling for training-data curation:
@@ -32,5 +33,66 @@ object Sampling {
       when(col(strataCol) === k, lit(v)).otherwise(acc)
     }
     df.where(sampleBucket(col(strataCol), col(keyCol)) < rate)
+  }
+
+  /** Temperature sampling at α = ½: keep each row of group g with
+    * probability p_g = (num/den) · N·w_g / (Σw·n_g) where w_g = ⌊√n_g⌋ —
+    * the group-size flattening used to build multilingual / multi-source
+    * pre-training mixes (rare groups oversampled relative to their share,
+    * dominant groups downsampled; expected output ≈ (num/den)·N rows).
+    * p_g > 1 degenerates to keeping the whole group.
+    *
+    * The decision is ALL integer arithmetic — u < p_g tested as
+    * `hash24 · den · Σw · n_g  <  num · N · w_g · 2²⁴` — because a
+    * double Σ√n would make boundary rows depend on float summation
+    * order across engines and partitions. ⌊√n⌋ itself is exact for any
+    * realistic n (n < 2⁵², one IEEE sqrt), and the 24-bit hash keeps
+    * every product far inside BIGINT even at 10¹⁰-row groups.
+    *
+    * Scale: one tiny grouped count broadcast back, then a narrow filter —
+    * the only shuffle is the per-group count's.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
+                        seed: String, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0, "target fraction num/den must be positive")
+    // Σw and N as global windows over the per-group count frame (|groups|
+    // rows) — one tiny single-partition window instead of a second
+    // aggregate whose shared lineage would make the join self-ambiguous
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val counts = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
+      .withColumn("__totw", sum(col("__w")).over(all))
+      .withColumn("__nn", sum(col("__n")).over(all)) // NOT "__N": Spark resolves column names case-insensitively, so "__N" would REPLACE "__n"
+    val hash24 = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(keyCol).cast("string"))), 1, 6), 16, 10).cast("bigint")
+    df.join(broadcast(counts), Seq(groupCol))
+      .where(hash24 * lit(den.toLong) * col("__totw") * col("__n") <
+        lit(num.toLong) * col("__nn") * col("__w") * lit(1L << 24))
+      .select(df.columns.map(col): _*) // the join moved the key first
+  }
+
+  /** Epoch plan for a target token mixture: for each source, the number
+    * of full passes (epochs) needed to supply its share of `budget`
+    * tokens — epochs_s = ⌈budget·w_s / (Σw · tokens_s)⌉, exact integer
+    * ceil-division. `tokensCol` is a per-row token-count expression,
+    * `weight` an integer mixture-weight expression over the aggregated
+    * (source, n_docs, tokens) row. One grouped agg over the corpus; the
+    * plan table is |sources| rows.
+    */
+  def mixturePlan(df: DataFrame, sourceCol: String, tokensCol: Column,
+                  weight: Column, budget: Long): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    val per = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(tokensCol).as("tokens"))
+      .withColumn("weight", weight.cast("long"))
+    val tot = per.agg(sum(col("weight")).as("__totw"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("__num", lit(budget) * col("weight") +
+        col("__totw") * col("tokens") - 1)
+      .withColumn("__den", col("__totw") * col("tokens"))
+      .withColumn("epochs", expr("__num div __den"))
+      .drop("__totw", "__num", "__den")
   }
 }

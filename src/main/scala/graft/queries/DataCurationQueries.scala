@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{PiiFns, SimFns, TextAnalysisFns}
-import graft.operators.Splits
+import graft.operators.{Ann, Dedup, Sampling, Splits}
 
 /** Round-4 data-curation operators: PII redaction, deterministic corpus
   * shuffling, and the cross-document duplicate-n-gram quality signal —
@@ -117,6 +117,122 @@ object DataCurationQueries {
                AS dup_frac
       FROM grams JOIN gdf USING (g)
       GROUP BY doc_id ORDER BY doc_id"""
-    })
+    }),
+
+    // SemDeDup-style semantic dedup: iteration-0 IVF cells (centroids =
+    // the 8 lowest-id embeddings — SQL-derivable, same device as
+    // ann_topk_ivf's oracle) + greedy keep-lowest-id within each cell at
+    // the repo-standard cosine threshold. The Lloyd-trained clustering is
+    // covered by the Ann recall spec; THIS query pins the cell → pair →
+    // survivor plumbing to an exact cross-engine oracle.
+    QueryDef("dedup_semantic", (s, dir) => {
+      val emb = t("embeddings")(s, dir)
+      val index = Ann.ivfTrain(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+      Dedup.semantic(emb, "vec_id", "embedding", index, threshold = 0.3)
+        .orderBy(col("id"))
+    }, Some {
+      // ||v−c||² operation tree identical to Ann.distSqTo
+      def distSq(v: String, c: String): String =
+        s"(${Sql.dot(v, v)} - 2.0 * ${Sql.dot(v, c)} + ${Sql.dot(c, c)})"
+      s"""
+      WITH cent AS (
+        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings WHERE vec_id < 8),
+      corp AS (SELECT vec_id, embedding AS v FROM embeddings),
+      assign AS (
+        SELECT corp.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY corp.vec_id
+                 ORDER BY ${distSq("corp.v", "cent.cv")}, cent.cid) AS rn
+        FROM corp CROSS JOIN cent),
+      cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      dup AS (
+        SELECT DISTINCT a.vec_id
+        FROM cells a JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        JOIN embeddings ea ON ea.vec_id = a.vec_id
+        JOIN embeddings eb ON eb.vec_id = b.vec_id
+        WHERE ${Sql.cosine("ea.embedding", "eb.embedding")} >= 0.3)
+      SELECT c.vec_id AS id, CAST(c.cell AS INT) AS cell,
+             (d.vec_id IS NOT NULL) AS is_dup
+      FROM cells c LEFT JOIN dup d ON d.vec_id = c.vec_id
+      ORDER BY id"""
+    }),
+
+    // CCNet-style line-level dedup: 3-token pseudo-lines (the corpus has
+    // no newlines), lines in >1 distinct doc dropped everywhere, docs
+    // reassembled from survivors in order. The kept-text md5 pins the
+    // reassembly ORDER, not just the counts.
+    QueryDef("text_line_dedup", (s, dir) =>
+      Dedup.lineDedup(t("documents")(s, dir), "doc_id", "text", lineTokens = 3)
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("kept_text")).as("kept_hash"))
+        .orderBy(col("doc_id"))
+    , Some(s"""
+      WITH tk AS (SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents),
+      lines AS (
+        SELECT doc_id, s AS pos, array_to_string(toks[s:s+2], ' ') AS line
+        FROM tk, unnest(generate_series(1, len(toks), 3)) AS u(s)),
+      common AS (
+        SELECT line FROM lines GROUP BY line
+        HAVING count(DISTINCT doc_id) > 1)
+      SELECT l.doc_id, count(*) AS n_lines,
+             count(*) FILTER (c.line IS NULL) AS n_kept,
+             md5(coalesce(string_agg(l.line, ' ' ORDER BY l.pos)
+               FILTER (c.line IS NULL), '')) AS kept_hash
+      FROM lines l LEFT JOIN common c ON c.line = l.line
+      GROUP BY l.doc_id ORDER BY l.doc_id""")),
+
+    // Temperature sampling (α = ½) over the language groups — en is
+    // downsampled relative to its share, rare langs oversampled. The
+    // u < p_g decision is pure integer arithmetic (see
+    // Sampling.temperatureSample) so the oracle matches bit-for-bit with
+    // no float-sum order hazard.
+    QueryDef("sample_temperature", (s, dir) =>
+      Sampling.temperatureSample(
+          t("documents")(s, dir).select(col("doc_id"), col("lang")),
+          "doc_id", "lang", seed = "temp0", num = 1, den = 2)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    , Some("""
+      WITH g AS (
+        SELECT lang, count(*) AS n,
+               CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        FROM documents GROUP BY lang),
+      t AS (SELECT CAST(sum(w) AS BIGINT) AS totw,
+                   CAST(sum(n) AS BIGINT) AS nn FROM g)
+      SELECT d.doc_id, d.lang
+      FROM documents d JOIN g ON g.lang = d.lang CROSS JOIN t
+      WHERE CAST(concat('0x', substr(md5('temp0:' ||
+              CAST(d.doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+            * 2 * t.totw * g.n
+          < 1 * t.nn * g.w * 16777216
+      ORDER BY doc_id""")),
+
+    // Mixture/epoch plan: per-source token totals vs integer mixture
+    // weights (derived from the source id so the query is
+    // self-contained) → exact ceil-division epoch counts for a 1M-token
+    // target budget.
+    QueryDef("mix_plan", (s, dir) =>
+      Sampling.mixturePlan(t("documents")(s, dir), "source",
+          TextAnalysisFns.wordCount(col("text")).cast("long"),
+          regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1,
+          budget = 1000000L)
+        .select(col("source"), col("n_docs"), col("tokens"),
+          col("weight"), col("epochs"))
+        .orderBy(col("source"))
+    , Some(s"""
+      WITH per0 AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(${Sql.tokens("text")})) AS BIGINT) AS tokens
+        FROM documents GROUP BY source),
+      per AS (
+        SELECT source, n_docs, tokens,
+               CAST(regexp_extract(source, '(\\d+)', 1) AS BIGINT) % 4 + 1
+                 AS weight
+        FROM per0),
+      t AS (SELECT CAST(sum(weight) AS BIGINT) AS totw FROM per)
+      SELECT source, n_docs, tokens, weight,
+             (1000000 * weight + totw * tokens - 1) // (totw * tokens)
+               AS epochs
+      FROM per CROSS JOIN t ORDER BY source"""))
   )
 }

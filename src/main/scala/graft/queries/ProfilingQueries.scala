@@ -83,13 +83,33 @@ object ProfilingQueries {
     // ratio in both engines) + ratio-to-report (share of the partition
     // total, DECIMAL denominator).
     QueryDef("win_cume_ratio", (s, dir) => {
-      val byFlag = Window.partitionBy(col("l_returnflag"))
-      t("lineitem")(s, dir)
+      // Two-phase cume_dist: the naive window partitions by l_returnflag —
+      // THREE partitions for the whole fact table, a single-task
+      // serialization at scale. Instead: per-(flag, qty) counts/sums (one
+      // map-side-combined shuffle of ≤ |flags|·|distinct qty| rows), the
+      // running ratio over that TINY histogram, broadcast back to the
+      // fact. cume_dist ≡ running_count/total by definition (exact long
+      // counts, one double division — bit-identical to the native window),
+      // and the per-flag DECIMAL total is associativity-exact regardless
+      // of re-grouping. The fact table is never shuffled at all.
+      val li = t("lineitem")(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          cume_dist().over(byFlag.orderBy(col("l_quantity"))).as("cume"),
-          (col("l_quantity") /
-            sum(col("l_quantity").cast("decimal(18,4)")).over(byFlag).cast("double"))
-            .as("qty_share"))
+          col("l_quantity"))
+      val hist = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("__cnt"),
+          sum(col("l_quantity").cast("decimal(18,4)")).as("__qsum"))
+      val wRun = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+      val cum = hist.select(col("l_returnflag"), col("l_quantity"),
+        (sum(col("__cnt")).over(wRun).cast("double") /
+          sum(col("__cnt")).over(wAll).cast("double")).as("cume"),
+        sum(col("__qsum")).over(wAll).as("__tot"))
+      li.join(broadcast(cum), Seq("l_returnflag", "l_quantity"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("cume"),
+          (col("l_quantity") / col("__tot").cast("double")).as("qty_share"))
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic
         // lineitem — order by the full output tuple so the sort is total
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),

@@ -85,17 +85,29 @@ object TpchShapeQueries {
     // Catalyst decorrelates into an aggregate join. The 0.2×avg threshold
     // is decimal-sum ÷ count in the same order on both sides.
     QueryDef("q17_small_qty_revenue", (s, dir) => {
-      t("lineitem")(s, dir).createOrReplaceTempView("q17_lineitem_v")
-      t("part")(s, dir).createOrReplaceTempView("q17_part_v")
-      s.sql("""
-        SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0
-                    AS DOUBLE) AS avg_yearly
-        FROM q17_lineitem_v l JOIN q17_part_v p ON p_partkey = l_partkey
-        WHERE p_brand = 'Brand#4'
-          AND l_quantity < (
-            SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
-                          / count(*))
-            FROM q17_lineitem_v l2 WHERE l2.l_partkey = l.l_partkey)""")
+      // Selective-part-first rewrite of the correlated form: Catalyst
+      // decorrelates the scalar subquery into an aggregate over ALL of
+      // lineitem grouped by partkey — but the correlation only ever probes
+      // partkeys of one brand (~1/25 of part). Restricting lineitem to
+      // those partkeys FIRST (broadcast semi of the brand's keys) leaves
+      // the per-partkey average computed over exactly the same rows — the
+      // restriction is on the group key itself — while the avg aggregate
+      // shrinks 25×. Same double operation tree as the oracle:
+      // 0.2 * (CAST(sum(DECIMAL) AS DOUBLE) / count).
+      val parts = t("part")(s, dir)
+        .where(col("p_brand") === "Brand#4").select(col("p_partkey"))
+      val lsel = t("lineitem")(s, dir)
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+        .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      val thr = lsel.groupBy(col("l_partkey"))
+        .agg((lit(0.2) *
+          (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+            count(lit(1)))).as("__thr"))
+        .withColumnRenamed("l_partkey", "__tk")
+      lsel.join(thr, col("l_partkey") === col("__tk"))
+        .where(col("l_quantity") < col("__thr"))
+        .agg((sum(col("l_extendedprice").cast("decimal(28,8)")).cast("double") /
+          lit(7.0)).cast("double").as("avg_yearly"))
     }, Some("""
       SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0
                   AS DOUBLE) AS avg_yearly

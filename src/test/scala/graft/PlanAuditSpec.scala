@@ -124,4 +124,43 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("Exchange hashpartitioning(shard"),
       s"expected shard hashpartitioning before the window:\n$plan")
   }
+
+  test("win_cume_ratio: two-phase form ≡ native cume_dist, fact never windowed") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // value equivalence vs the native 3-partition window it replaces
+    val li = Tables.load(spark, dir, "lineitem")
+    val byFlag = Window.partitionBy(col("l_returnflag"))
+    val naive = li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"),
+        cume_dist().over(byFlag.orderBy(col("l_quantity"))).as("cume"),
+        (col("l_quantity") /
+          sum(col("l_quantity").cast("decimal(18,4)")).over(byFlag)
+            .cast("double")).as("qty_share"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("cume"), col("qty_share"))
+    val twoPhase = SparkEntry.queries("win_cume_ratio")(spark, dir)
+    assert(twoPhase.collect().toSeq == naive.collect().toSeq)
+    // plan: the fact feeds a broadcast join; only the tiny histogram is
+    // windowed (the window sees the post-agg side, not the raw scan)
+    val plan = planOf("win_cume_ratio")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"histogram join fell back to shuffle:\n${plan.take(600)}")
+  }
+
+  test("q17: selective-part-first rewrite ≡ the correlated-subquery form") {
+    Tables.load(spark, dir, "lineitem").createOrReplaceTempView("q17s_l")
+    Tables.load(spark, dir, "part").createOrReplaceTempView("q17s_p")
+    val correlated = spark.sql("""
+      SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0
+                  AS DOUBLE) AS avg_yearly
+      FROM q17s_l l JOIN q17s_p p ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#4'
+        AND l_quantity < (
+          SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                        / count(*))
+          FROM q17s_l l2 WHERE l2.l_partkey = l.l_partkey)""")
+    val rewritten = SparkEntry.queries("q17_small_qty_revenue")(spark, dir)
+    assert(rewritten.collect().toSeq == correlated.collect().toSeq)
+  }
 }
