@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{PiiFns, SimFns, TextAnalysisFns}
@@ -206,6 +207,49 @@ object DataCurationQueries {
             * 2 * t.totw * g.n
           < 1 * t.nn * g.w * 16777216
       ORDER BY doc_id""")),
+
+    // Classifier-based quality scoring via the hashing trick: each token
+    // maps to one of 1024 model buckets (md5), each bucket carries a
+    // deterministic integer weight in [-1000, 1000], the doc score is the
+    // fold-sum over tokens — the exact-integer skeleton of fastText-style
+    // linear quality filters. All inside one codegen projection
+    // (transform + aggregate over the token array): no explode, no
+    // shuffle — the shape that matters at 100 TB.
+    QueryDef("quality_linear_score", (s, dir) => {
+      val toks = TextAnalysisFns.tokens(col("text"))
+      def weightOf(tok: Column): Column = {
+        val bucket = conv(substring(md5(concat(lit("w:"), tok)), 1, 8), 16, 10)
+          .cast("bigint") % 1024
+        conv(substring(md5(concat(lit("v:"), bucket.cast("string"))), 1, 8), 16, 10)
+          .cast("bigint") % 2001 - 1000
+      }
+      t("documents")(s, dir)
+        .select(col("doc_id"), size(toks).cast("long").as("n_toks"),
+          aggregate(transform(toks, weightOf(_)), lit(0L), (a, x) => a + x)
+            .as("score"))
+        .select(col("doc_id"), col("n_toks"), col("score"),
+          when(col("n_toks") === 0, lit(0.0))
+            .otherwise(col("score") / col("n_toks").cast("double"))
+            .as("norm_score"),
+          (col("score") >= 0).as("keep"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val w = "(CAST(concat('0x', substr(md5('v:' || CAST(" +
+        "CAST(concat('0x', substr(md5('w:' || t), 1, 8)) AS BIGINT) % 1024" +
+        " AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000"
+      s"""
+      WITH tk AS (SELECT doc_id, ${Sql.tokens("text")} AS toks FROM documents),
+      sc AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, t -> $w)), (a, b) -> a + b) AS score
+        FROM tk)
+      SELECT doc_id, n_toks, score,
+             CASE WHEN n_toks = 0 THEN 0.0
+                  ELSE score / CAST(n_toks AS DOUBLE) END AS norm_score,
+             score >= 0 AS keep
+      FROM sc ORDER BY doc_id"""
+    }),
 
     // Mixture/epoch plan: per-source token totals vs integer mixture
     // weights (derived from the source id so the query is

@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{PageRank, Scd2}
+
+class GraphWarehouseSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  // ---- SCD2 ----------------------------------------------------------
+
+  private def log = Seq(
+    (1L, ts("2024-01-01 00:00:00"), "a"),
+    (1L, ts("2024-01-05 00:00:00"), "b"),
+    (1L, ts("2024-01-25 00:00:00"), "c"), // after cutoff: closes the open b
+    (2L, ts("2024-01-03 00:00:00"), "x"), // untouched by the delta
+    (3L, ts("2024-01-22 00:00:00"), "n"), // new key, delta only
+    (3L, ts("2024-01-28 00:00:00"), "m")).toDF("k", "ts", "state")
+
+  test("scd2: incremental apply ≡ one-shot build, at any cutoff") {
+    val oneShot = Scd2.fromLog(log, "k", "ts", Seq("state"))
+      .orderBy("k", "valid_from").collect().toSeq
+    for (cut <- Seq("2024-01-02", "2024-01-10", "2024-01-26")) {
+      val c = lit(cut).cast("timestamp")
+      val inc = Scd2.applyChanges(
+          Scd2.fromLog(log.where(col("ts") <= c), "k", "ts", Seq("state")),
+          log.where(col("ts") > c), "k", "ts", Seq("state"))
+        .orderBy("k", "valid_from").collect().toSeq
+      assert(inc == oneShot, s"cutoff $cut diverged")
+    }
+  }
+
+  test("scd2: delta closes the open row; untouched keys keep their rows") {
+    val c = lit("2024-01-10").cast("timestamp")
+    val applied = Scd2.applyChanges(
+      Scd2.fromLog(log.where(col("ts") <= c), "k", "ts", Seq("state")),
+      log.where(col("ts") > c), "k", "ts", Seq("state"))
+    val k1 = applied.where(col("k") === 1).orderBy("valid_from")
+      .select("state", "is_current").as[(String, Boolean)].collect().toSeq
+    assert(k1 == Seq(("a", false), ("b", false), ("c", true)))
+    val k2 = applied.where(col("k") === 2)
+      .select("state", "is_current").as[(String, Boolean)].collect().toSeq
+    assert(k2 == Seq(("x", true))) // no delta → open row untouched
+    val k3 = applied.where(col("k") === 3).orderBy("valid_from")
+      .select("state", "is_current").as[(String, Boolean)].collect().toSeq
+    assert(k3 == Seq(("n", false), ("m", true))) // new key chains delta-only
+  }
+
+  // ---- PageRank ------------------------------------------------------
+
+  test("pagerank: symmetric 2-node graph holds rank exactly at Scale/2") {
+    val edges = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r = PageRank.ranks(edges, "src", "dst", iters = 4)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    // N=2: init 5e11 each; each iteration 15%·5e11 + 85%·5e11 = 5e11 —
+    // a fixed point, exactly (all divisions land on integers)
+    assert(r == Seq((1L, 500000000000L), (2L, 500000000000L)))
+  }
+
+  test("pagerank: star center outranks leaves; total mass ≈ Scale") {
+    // undirected star: 1 ↔ {2,3,4,5}
+    val pairs = (2L to 5L).map(l => (1L, l))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val r = PageRank.ranks(edges, "src", "dst", iters = 5)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val center = r.head._2
+    val leaves = r.tail.map(_._2)
+    assert(leaves.distinct.size == 1, "leaves must tie exactly")
+    assert(center > leaves.head * 2, s"center $center vs leaf ${leaves.head}")
+    val mass = r.map(_._2).sum
+    // floor divisions shed at most a few units per node per iteration
+    assert(mass <= PageRank.Scale && mass > PageRank.Scale - 1000L)
+  }
+}
