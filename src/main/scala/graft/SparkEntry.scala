@@ -10,7 +10,7 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     RelationalQueries.defs ++ TextSimQueries.defs ++ DedupVectorQueries.defs ++
       AnalyticsQueries.defs ++ AdvancedQueries.defs ++ BreadthQueries.defs ++
-      SemiStructuredQueries.defs ++ BehaviorQueries.defs ++ TpchShapeQueries.defs ++
+      SemiStructuredQueries.defs ++ BehaviorQueries.defs ++ TpchShapeQueries.defs ++ TpchShapeQueries.wave2 ++
       SqlSurfaceQueries.defs ++ TrainingPipelineQueries.defs ++ ProfilingQueries.defs ++
       PipelineParityQueries.defs ++ DataCurationQueries.defs ++ GraphWarehouseQueries.defs
 

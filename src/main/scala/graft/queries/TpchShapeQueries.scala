@@ -266,4 +266,224 @@ object TpchShapeQueries {
       GROUP BY c_nationkey % 5
       ORDER BY code"""))
   )
+
+  /** Round-4 second wave: Q4/Q7/Q8/Q9/Q13/Q21 analogs (lateness = shipped
+    * more than K days after the order date — the schema has no
+    * commit/receipt dates). Registered separately so the round-3 list
+    * above stays stable.
+    */
+  val wave2: Seq[QueryDef] = Seq(
+
+    // Q4 shape: EXISTS → semi join; orders with any late-shipped line,
+    // counted by priority. The date-window filter pushes to the orders
+    // scan; the semi join keeps orders single-counted regardless of how
+    // many lines were late.
+    QueryDef("q4_late_orders", (s, dir) => {
+      val ord = t("orders")(s, dir)
+        .where(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+               col("o_orderdate") <  lit("1997-07-01").cast("timestamp"))
+      val li = t("lineitem")(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders o
+      WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-01-01'
+        AND CAST(o_orderdate AS TIMESTAMP) <  TIMESTAMP '1997-07-01'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND CAST(l.l_shipdate AS TIMESTAMP) >
+                CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Q7 shape: volume shipping between two nations, both directions, by
+    // ship year. All four dims broadcast; one fact shuffle for the final
+    // group.
+    QueryDef("q7_volume_shipping", (s, dir) => {
+      val li = t("lineitem")(s, dir)
+      val ord = t("orders")(s, dir).select(col("o_orderkey"), col("o_custkey"))
+      val cust = t("customer")(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val supp = t("supplier")(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t("nation")(s, dir).select(col("n_nationkey"), col("n_name"))
+      val cn = nat.select(col("n_nationkey").as("cnk"), col("n_name").as("cust_nation"))
+      val sn = nat.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cn), col("c_nationkey") === col("cnk"))
+        .join(broadcast(sn), col("s_nationkey") === col("snk"))
+        .where((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+               (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,8)")).cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }, Some("""
+      SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             year(CAST(l_shipdate AS TIMESTAMP)) AS l_year,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+      GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // Q8 shape: market share of one supplier nation within a region's
+    // market for one part type, by order year — conditional DECIMAL sum
+    // over total DECIMAL sum, both exact, ONE final double division.
+    QueryDef("q8_market_share", (s, dir) => {
+      val li = t("lineitem")(s, dir)
+      val ord = t("orders")(s, dir).select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate"))
+      val prt = t("part")(s, dir).where(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val cust = t("customer")(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val nat = t("nation")(s, dir)
+      val reg = t("region")(s, dir).where(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val cnat = nat.select(col("n_nationkey").as("cnk"), col("n_regionkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .select(col("cnk"))
+      val supp = t("supplier")(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val snat = nat.select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val vol = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,8)")
+      li.join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(cnat), col("c_nationkey") === col("cnk"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(snat), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol)
+            .otherwise(lit(0).cast("decimal(28,8)"))).as("__n"),
+          sum(vol).as("__d"))
+        .select(col("o_year"),
+          (col("__n").cast("double") / col("__d").cast("double")).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }, Some("""
+      SELECT year(CAST(o_orderdate AS TIMESTAMP)) AS o_year,
+             CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+                           THEN CAST(l_extendedprice * (1 - l_discount)
+                                     AS DECIMAL(28,8))
+                           ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(28,8))) AS DOUBLE) AS mkt_share
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey AND r_name = 'ASIA'
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      GROUP BY 1 ORDER BY 1""")),
+
+    // Q9 shape (no partsupp → revenue, not profit): per supplier nation ×
+    // ship year over parts whose name carries one token. The name filter
+    // prunes part before the broadcast; money in DECIMAL.
+    QueryDef("q9_product_revenue", (s, dir) => {
+      val prt = t("part")(s, dir).where(col("p_name").contains("red"))
+        .select(col("p_partkey"))
+      val supp = t("supplier")(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+      val nat = t("nation")(s, dir).select(col("n_nationkey"), col("n_name"))
+      t("lineitem")(s, dir)
+        .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(28,8)")).cast("double").as("revenue"))
+        .orderBy(col("nation"), col("l_year").desc)
+    }, Some("""
+      SELECT n_name AS nation, year(CAST(l_shipdate AS TIMESTAMP)) AS l_year,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(28,8))) AS DOUBLE) AS revenue
+      FROM lineitem
+      JOIN part     ON l_partkey = p_partkey AND contains(p_name, 'red')
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY 1, 2 ORDER BY nation, l_year DESC""")),
+
+    // Q13 shape: customer order-count distribution — LEFT join (idle
+    // customers count as 0) with the filter INSIDE the join, then a
+    // second aggregation over the counts.
+    QueryDef("q13_order_distribution", (s, dir) => {
+      val cust = t("customer")(s, dir).select(col("c_custkey"))
+      val ord = t("orders")(s, dir)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }, Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders
+          ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey)
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // Q21 shape: suppliers who were the SOLE late shipper on a
+    // multi-supplier order (late = shipped > 30 days after the order
+    // date). The EXISTS / NOT-EXISTS pair is computed as per-order
+    // distinct-supplier aggregates — one pass over the fact instead of
+    // two correlated probes; numwait counts distinct such orders.
+    QueryDef("q21_sole_late_supplier", (s, dir) => {
+      val li = t("lineitem")(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val ord = t("orders")(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      val flagged = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("__late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
+      val perOrder = flagged.groupBy(col("l_orderkey").as("__ok"))
+        .agg(count_distinct(col("l_suppkey")).as("__n_supp"),
+          count_distinct(when(col("__late"), col("l_suppkey"))).as("__n_late"))
+      val supp = t("supplier")(s, dir).select(col("s_suppkey"), col("s_name"))
+      flagged.where(col("__late"))
+        .join(perOrder, col("l_orderkey") === col("__ok"))
+        .where(col("__n_supp") > 1 && col("__n_late") === 1)
+        .select(col("l_suppkey"), col("l_orderkey")).distinct()
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    }, Some("""
+      WITH flagged AS (
+        SELECT l_orderkey, l_suppkey,
+               CAST(l_shipdate AS TIMESTAMP) >
+                 CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      per_order AS (
+        SELECT l_orderkey,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        FROM flagged GROUP BY l_orderkey),
+      waiting AS (
+        SELECT DISTINCT f.l_suppkey, f.l_orderkey
+        FROM flagged f JOIN per_order p ON f.l_orderkey = p.l_orderkey
+        WHERE f.late AND p.n_supp > 1 AND p.n_late = 1)
+      SELECT s_name, count(*) AS numwait
+      FROM waiting JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name ORDER BY numwait DESC, s_name
+      LIMIT 20"""))
+  )
 }
