@@ -50,6 +50,30 @@ class GraphWarehouseSpec extends AnyFunSuite {
     assert(k3 == Seq(("n", false), ("m", true))) // new key chains delta-only
   }
 
+  test("scd2: apply ≡ one-shot on seeded-random logs and cutoffs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(20)
+      // distinct (key, ts): sample ts without replacement per key
+      val rows = Seq.tabulate(n) { i =>
+        val k = 1L + rnd.nextInt(4)
+        val t = ts("2024-01-01 00:00:00").getTime + i * 3600_000L +
+          rnd.nextInt(3599) * 1000L
+        (k, new Timestamp(t), "s" + rnd.nextInt(3))
+      }.distinct
+      val df = rows.toDF("k", "ts", "state")
+      val cutMs = rows.map(_._2.getTime).sorted.apply(rnd.nextInt(rows.size))
+      val c = lit(new Timestamp(cutMs))
+      val oneShot = Scd2.fromLog(df, "k", "ts", Seq("state"))
+        .orderBy("k", "valid_from").collect().toSeq
+      val inc = Scd2.applyChanges(
+          Scd2.fromLog(df.where(col("ts") <= c), "k", "ts", Seq("state")),
+          df.where(col("ts") > c), "k", "ts", Seq("state"))
+        .orderBy("k", "valid_from").collect().toSeq
+      assert(inc == oneShot, s"trial $trial (n=$n, cut=$cutMs) diverged")
+    }
+  }
+
   // ---- PageRank ------------------------------------------------------
 
   test("pagerank: symmetric 2-node graph holds rank exactly at Scale/2") {
