@@ -38,6 +38,15 @@ object Scd2 {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** Point-in-time snapshot of a [[fromLog]]-shaped interval table: the
+    * row version valid at `asOf` (valid_from <= asOf < valid_to, open
+    * intervals current). A narrow filter — at scale it pushes down to the
+    * scan, and a table partitioned/z-ordered on `valid_from` prunes.
+    */
+  def snapshotAt(intervals: DataFrame, asOf: org.apache.spark.sql.Column): DataFrame =
+    intervals.where(col("valid_from") <= asOf &&
+      (col("valid_to").isNull || col("valid_to") > asOf))
+
   /** Fold `delta` (changes strictly after the standing table's horizon)
     * into `existing` (a [[fromLog]]-shaped table). Keys absent from the
     * delta pass through untouched; for affected keys the closed history

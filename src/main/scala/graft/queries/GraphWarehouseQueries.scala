@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{PageRank, Scd2}
+import graft.operators.{Cdc, PageRank, Scd2}
 
 /** Round-4 warehouse/graph wave: incremental SCD2 maintenance and
   * fixed-iteration integer PageRank — both exact (interval bounds are
@@ -47,6 +47,68 @@ object GraphWarehouseQueries {
              lead(ts) OVER w IS NULL AS is_current
       FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)
       ORDER BY user_id, valid_from""")),
+
+    // Point-in-time snapshot of the SCD2 interval table: the one row per
+    // key valid at the cutoff. The snapshot itself is a narrow filter
+    // over the interval table (pushes to the scan; prunes on a
+    // valid_from-partitioned layout) — the query pins the filter
+    // semantics, open intervals included, against the one-shot oracle.
+    QueryDef("scd2_snapshot", (s, dir) => {
+      val wDedup = Window.partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)
+      val log = t("events")(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type").as("state"),
+          col("event_id"))
+        .withColumn("__rn", row_number().over(wDedup)).where(col("__rn") === 1)
+        .drop("__rn", "event_id")
+      val asOf = lit("2024-01-20 00:00:00").cast("timestamp")
+      Scd2.snapshotAt(Scd2.fromLog(log, "user_id", "ts", Seq("state")), asOf)
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH d AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type AS state
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts
+                                   ORDER BY event_id DESC) = 1),
+      iv AS (
+        SELECT user_id, ts AS valid_from, state,
+               lead(ts) OVER w AS valid_to,
+               lead(ts) OVER w IS NULL AS is_current
+        FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+      SELECT * FROM iv
+      WHERE valid_from <= TIMESTAMP '2024-01-20 00:00:00'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-20 00:00:00')
+      ORDER BY user_id""")),
+
+    // CDC ops-log compaction: a deterministic I/U/D stream derived from
+    // orders (op keyed off o_orderkey so both engines derive the same
+    // log), reduced to final state with latest-op-wins + delete
+    // semantics. The Spark side is a map-side-combinable max(struct)
+    // aggregation (operators.Cdc) — the oracle takes the window-argmax
+    // route; matching hashes prove the aggregation ≡ window compaction.
+    QueryDef("cdc_apply", (s, dir) => {
+      val m = col("o_orderkey") % 10
+      val ops = t("orders")(s, dir).select(
+        col("o_custkey").as("k"), col("o_orderkey").as("seq"),
+        when(m === 0, lit("D")).when(m <= 3, lit("U")).otherwise(lit("I"))
+          .as("op"),
+        col("o_orderstatus"), col("o_totalprice"))
+      Cdc.applyLatest(ops, "k", "seq", "op",
+          Seq("o_orderstatus", "o_totalprice"))
+        .orderBy(col("k"))
+    }, Some("""
+      WITH ops AS (
+        SELECT o_custkey AS k, o_orderkey AS seq,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                    WHEN o_orderkey % 10 <= 3 THEN 'U'
+                    ELSE 'I' END AS op,
+               o_orderstatus, o_totalprice
+        FROM orders),
+      last AS (
+        SELECT * FROM ops
+        QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1)
+      SELECT k, seq, op, o_orderstatus, o_totalprice
+      FROM last WHERE op <> 'D' ORDER BY k""")),
 
     // Integer PageRank (3 iterations, d = 85/100) over the undirected
     // customer↔supplier co-purchase graph (suppliers offset into their

@@ -486,4 +486,80 @@ object TpchShapeQueries {
       GROUP BY s_name ORDER BY numwait DESC, s_name
       LIMIT 20"""))
   )
+
+  /** Round-4 third wave: the partsupp-based shapes (Q2/Q16), re-based on
+    * lineitem's observed (part, supplier) pairs since the synthetic
+    * schema carries no partsupp table — the join/agg shapes are the
+    * point, not the exact TPC-H columns.
+    */
+  val wave3: Seq[QueryDef] = Seq(
+
+    // Q2 analog — min-cost supplier per part: per-partkey argmin over
+    // lineitem (min price, ties to the smallest suppkey) via ONE
+    // max/min(struct) aggregation — no correlated subquery, no window
+    // over the fact, then broadcast part/supplier/nation dims onto the
+    // small per-part result. The oracle takes the two-CTE
+    // min-then-min-tiebreak route; struct-min must agree exactly.
+    QueryDef("q2_min_cost_supplier", (s, dir) => {
+      val li = t("lineitem")(s, dir)
+      val best = li.groupBy(col("l_partkey"))
+        .agg(min(struct(col("l_extendedprice").as("price"),
+          col("l_suppkey").as("supp"))).as("b"))
+        .select(col("l_partkey"), col("b.price").as("min_price"),
+          col("b.supp").as("s_suppkey"))
+      val part = t("part")(s, dir)
+        .where(col("p_size") <= 25 && col("p_type") === "LARGE")
+      val supp = t("supplier")(s, dir)
+      val nat = t("nation")(s, dir)
+      best.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp), "s_suppkey")
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("p_brand"), col("min_price"),
+          col("s_name"), col("n_name"))
+        .orderBy(col("min_price"), col("p_partkey"))
+        .limit(100)
+    }, Some("""
+      WITH best0 AS (
+        SELECT l_partkey, min(l_extendedprice) AS min_price
+        FROM lineitem GROUP BY l_partkey),
+      best AS (
+        SELECT b.l_partkey, b.min_price, min(l.l_suppkey) AS s_suppkey
+        FROM best0 b JOIN lineitem l
+          ON l.l_partkey = b.l_partkey AND l.l_extendedprice = b.min_price
+        GROUP BY b.l_partkey, b.min_price)
+      SELECT p_partkey, p_brand, min_price, s_name, n_name
+      FROM best
+      JOIN part ON l_partkey = p_partkey
+      JOIN supplier USING (s_suppkey)
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_size <= 25 AND p_type = 'LARGE'
+      ORDER BY min_price, p_partkey
+      LIMIT 100""")),
+
+    // Q16 analog — supplier variety per (brand, size): distinct supplier
+    // counts over lineitem's observed pairs, excluding a brand and the
+    // negative-balance suppliers (the complaints analog) via a broadcast
+    // anti join BEFORE the distinct-count shuffle.
+    QueryDef("q16_part_supplier_variety", (s, dir) => {
+      val pairs = t("lineitem")(s, dir)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val part = t("part")(s, dir).where(col("p_brand") =!= "Brand#1")
+      val bad = t("supplier")(s, dir).where(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      pairs
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }, Some("""
+      SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#1'
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY p_brand, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_size"""))
+  )
 }

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{PageRank, Scd2}
+import graft.operators.{Cdc, PageRank, Scd2}
 
 class GraphWarehouseSpec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
@@ -71,6 +71,59 @@ class GraphWarehouseSpec extends AnyFunSuite {
           df.where(col("ts") > c), "k", "ts", Seq("state"))
         .orderBy("k", "valid_from").collect().toSeq
       assert(inc == oneShot, s"trial $trial (n=$n, cut=$cutMs) diverged")
+    }
+  }
+
+  test("scd2: snapshotAt returns exactly the version valid at the cutoff") {
+    val iv = Scd2.fromLog(log, "k", "ts", Seq("state"))
+    // 2024-01-10: k1 is in state b (from 01-05), k2 in x, k3 not yet born
+    val snap = Scd2.snapshotAt(iv, lit("2024-01-10").cast("timestamp"))
+      .select("k", "state").as[(Long, String)].collect().toSeq.sorted
+    assert(snap == Seq((1L, "b"), (2L, "x")))
+    // exactly at a change ts: the new version is already valid
+    val atChange = Scd2.snapshotAt(iv, lit("2024-01-05 00:00:00").cast("timestamp"))
+      .where(col("k") === 1).select("state").as[String].collect().toSeq
+    assert(atChange == Seq("b"))
+    // open intervals are current: far-future snapshot = latest state per key
+    val now = Scd2.snapshotAt(iv, lit("2030-01-01").cast("timestamp"))
+      .select("k", "state").as[(Long, String)].collect().toSeq.sorted
+    assert(now == Seq((1L, "c"), (2L, "x"), (3L, "m")))
+  }
+
+  // ---- CDC -----------------------------------------------------------
+
+  test("cdc: latest op wins and a winning delete removes the key") {
+    val ops = Seq(
+      (1L, 1L, "I", "a"), (1L, 3L, "U", "b"),   // key 1 → b
+      (2L, 2L, "I", "x"), (2L, 5L, "D", "dead"), // key 2 deleted
+      (3L, 4L, "D", "gone"), (3L, 6L, "I", "re") // key 3 re-inserted after D
+    ).toDF("k", "seq", "op", "v")
+    val out = Cdc.applyLatest(ops, "k", "seq", "op", Seq("v"))
+      .select("k", "seq", "op", "v").as[(Long, Long, String, String)]
+      .collect().toSeq.sorted
+    assert(out == Seq((1L, 3L, "U", "b"), (3L, 6L, "I", "re")))
+  }
+
+  test("cdc: aggregation route ≡ window-argmax route on a seeded log") {
+    val rnd = new scala.util.Random(7)
+    val ops = Seq.tabulate(300) { i =>
+      (rnd.nextInt(20).toLong, i.toLong,
+        Seq("I", "U", "D")(rnd.nextInt(3)), "v" + rnd.nextInt(5))
+    }.toDF("k", "seq", "op", "v")
+    val agg = Cdc.applyLatest(ops, "k", "seq", "op", Seq("v"))
+      .orderBy("k").collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("k")).orderBy(col("seq").desc)
+    val win = ops.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col("op") =!= "D").drop("__rn")
+      .select("k", "seq", "op", "v").orderBy("k").collect().toSeq
+    assert(agg == win)
+  }
+
+  test("cdc: reserved working column name is rejected") {
+    val bad = Seq((1L, 1L, "I", "a")).toDF("k", "seq", "op", "__last")
+    intercept[IllegalArgumentException] {
+      Cdc.applyLatest(bad, "k", "seq", "op", Seq("__last"))
     }
   }
 
