@@ -29,16 +29,32 @@ object Tables {
   private def spread(spark: SparkSession, df: DataFrame): DataFrame =
     df.repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
 
-  /** The events table carries a parquet TIMESTAMP(NANOS) column, which
-    * Spark's vectorized reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos
-    * as long (legacy flag) and convert to a microsecond timestamp with
-    * integer division (`div`), matching DuckDB's TIMESTAMP_NS → TIMESTAMP
-    * truncation exactly.
+  /** The events table's `ts` physical type has varied across testdata
+    * generations — parquet TIMESTAMP(NANOS) in early rounds, TIMESTAMP
+    * (MICROS, isAdjustedToUTC=false) now — so the loader adapts to
+    * whatever the footer declares instead of hard-coding one path:
+    *
+    *  - NANOS: Spark's vectorized reader rejects it
+    *    (PARQUET_TYPE_ILLEGAL) unless read as a raw long (legacy flag);
+    *    convert to a µs timestamp with integer division (`div`), matching
+    *    DuckDB's TIMESTAMP_NS → TIMESTAMP truncation exactly. The
+    *    [[graft.plans.PushdownNanosTimestampPredicate]] rule restores
+    *    scan pushdown through that conversion.
+    *  - MICROS: read natively. NTZ inference is disabled so the column
+    *    arrives as a session-tz timestamp (session tz is UTC, so values
+    *    equal DuckDB's wall-clock reading) — crucially WITHOUT a cast on
+    *    top of the column, so timestamp predicates push down to the
+    *    parquet scan unaided.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
   }
 }

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale design: each iteration is one equi-join of the rank table with
   * the edge list plus a hash agg on dst — the standard distributed
-  * PageRank step (shuffle bounded by |edges|). The iteration count is a
-  * fixed small constant; plans stay linear in `iters` (no lineage
-  * blow-up at single-digit iteration counts).
+  * PageRank step (shuffle bounded by |edges|). The rank table is
+  * `localCheckpoint`ed every few iterations to sever lineage — without
+  * it each iteration's plan embeds the previous one's and analysis /
+  * optimization cost compounds geometrically at real iteration counts
+  * (20–50), the same hazard Dedup.components guards against.
   */
 object PageRank {
 
@@ -41,19 +43,29 @@ object PageRank {
     val nn = nodes.agg(count(lit(1)).as("nn"))
     val base =
       s"((${dampDen - dampNum} * ($Scale DIV nn)) DIV $dampDen)"
-    var r = nodes.crossJoin(broadcast(nn))
+    // The per-iteration inputs are reused `iters` times — cache them so
+    // each round re-reads materialized blocks instead of re-scanning and
+    // re-shuffling the edge list.
+    val eC = e.cache(); val nodesC = nodes.cache(); val outdegC = outdeg.cache()
+    var r = nodesC.crossJoin(broadcast(nn))
       .select(col("node"), expr(s"$Scale DIV nn").as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = r.join(e, col("node") === col("src"))
-        .join(outdeg, "src")
+      val contrib = r.join(eC, col("node") === col("src"))
+        .join(outdegC, "src")
         .groupBy(col("dst"))
         .agg(sum(expr("rank DIV deg")).as("contrib"))
-      r = nodes.join(contrib, col("node") === col("dst"), "left")
+      // localCheckpoint (eager) severs lineage: without it iteration k's
+      // plan embeds iteration k−1's and planning cost compounds with
+      // depth (the Dedup.components hazard). Superseded checkpoint blocks
+      // are reclaimed by the ContextCleaner once unreferenced.
+      r = nodesC.join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(nn))
         .select(col("node"),
           expr(s"$base + ($dampNum * coalesce(contrib, 0L)) DIV $dampDen")
             .as("rank"))
+        .localCheckpoint()
     }
+    eC.unpersist(false); nodesC.unpersist(false); outdegC.unpersist(false)
     r
   }
 }

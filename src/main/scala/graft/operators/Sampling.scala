@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic stratified Bernoulli sampling for training-data curation:
@@ -42,12 +41,18 @@ object Sampling {
     * dominant groups downsampled; expected output ≈ (num/den)·N rows).
     * p_g > 1 degenerates to keeping the whole group.
     *
-    * The decision is ALL integer arithmetic — u < p_g tested as
-    * `hash24 · den · Σw · n_g  <  num · N · w_g · 2²⁴` — because a
-    * double Σ√n would make boundary rows depend on float summation
-    * order across engines and partitions. ⌊√n⌋ itself is exact for any
-    * realistic n (n < 2⁵², one IEEE sqrt), and the 24-bit hash keeps
-    * every product far inside BIGINT even at 10¹⁰-row groups.
+    * The decision is ALL integer arithmetic — because a double Σ√n
+    * would make boundary rows depend on float summation order across
+    * engines and partitions. ⌊√n⌋ itself is exact for any realistic n
+    * (n < 2⁵², one IEEE sqrt). The per-GROUP threshold is folded once,
+    * on the |groups|-row counts table, into
+    * `p24_g = min(⌈num·N·w_g·2²⁴ / (den·Σw·n_g)⌉, 2²⁴)` — exact ceil
+    * division in DECIMAL(38,0) (the products stay ≤ ~10³⁶ even at
+    * 10¹³ total rows), and for integer u, `u < x ⟺ u < ⌈x⌉`. The
+    * per-ROW test is then a single BIGINT comparison `hash24 < p24` —
+    * no four-factor product that would overflow BIGINT at ~10⁷-row
+    * groups (the prior form's silent-wrap hazard), and less per-row
+    * work.
     *
     * Scale: one tiny grouped count broadcast back, then a narrow filter —
     * the only shuffle is the per-group count's.
@@ -55,21 +60,30 @@ object Sampling {
   def temperatureSample(df: DataFrame, keyCol: String, groupCol: String,
                         seed: String, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0, "target fraction num/den must be positive")
-    // Σw and N as global windows over the per-group count frame (|groups|
-    // rows) — one tiny single-partition window instead of a second
-    // aggregate whose shared lineage would make the join self-ambiguous
-    val all = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val counts = df.groupBy(col(groupCol))
+    val reserved = Seq("__n", "__w", "__totw", "__nn", "__p24")
+    require(!df.columns.exists(c => reserved.contains(c.toLowerCase)),
+      s"input must not carry reserved columns ${reserved.mkString(", ")}")
+    // Σw and N via a broadcast 1-row aggregate over the per-group counts
+    // (the mixturePlan pattern) — never a partition-less window, which
+    // would single-partition the frame and spam WindowExec warnings.
+    val per = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", floor(sqrt(col("__n"))).cast("long"))
-      .withColumn("__totw", sum(col("__w")).over(all))
-      .withColumn("__nn", sum(col("__n")).over(all)) // NOT "__N": Spark resolves column names case-insensitively, so "__N" would REPLACE "__n"
+    val tot = per.agg(sum(col("__w")).as("__totw"), sum(col("__n")).as("__nn"))
+    val dec = "decimal(38,0)"
+    val counts = per.crossJoin(broadcast(tot))
+      .withColumn("__cd",
+        lit(den.toLong).cast(dec) * col("__totw") * col("__n"))
+      .withColumn("__cn",
+        lit(num.toLong).cast(dec) * col("__nn") * col("__w") * lit(1L << 24)
+          + col("__cd") - lit(1))
+      .withColumn("__p24",
+        least(expr("__cn div __cd"), lit(1L << 24)).cast("long"))
+      .select(col(groupCol), col("__p24"))
     val hash24 = conv(substring(md5(concat(lit(seed), lit(":"),
       col(keyCol).cast("string"))), 1, 6), 16, 10).cast("bigint")
     df.join(broadcast(counts), Seq(groupCol))
-      .where(hash24 * lit(den.toLong) * col("__totw") * col("__n") <
-        lit(num.toLong) * col("__nn") * col("__w") * lit(1L << 24))
+      .where(hash24 < col("__p24"))
       .select(df.columns.map(col): _*) // the join moved the key first
   }
 

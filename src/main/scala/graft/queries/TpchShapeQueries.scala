@@ -453,15 +453,18 @@ object TpchShapeQueries {
       val flagged = li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .withColumn("__late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-      val perOrder = flagged.groupBy(col("l_orderkey").as("__ok"))
+      // ONE pass over the fact: the sole late supplier is recoverable
+      // inside the same aggregate — when exactly one distinct supplier
+      // shipped late, max(late suppkey) IS that supplier. (The earlier
+      // form joined `flagged` back to `perOrder`, shuffling the
+      // lineitem⋈orders join twice.)
+      val perOrder = flagged.groupBy(col("l_orderkey"))
         .agg(count_distinct(col("l_suppkey")).as("__n_supp"),
-          count_distinct(when(col("__late"), col("l_suppkey"))).as("__n_late"))
+          count_distinct(when(col("__late"), col("l_suppkey"))).as("__n_late"),
+          max(when(col("__late"), col("l_suppkey"))).as("__sole"))
       val supp = t("supplier")(s, dir).select(col("s_suppkey"), col("s_name"))
-      flagged.where(col("__late"))
-        .join(perOrder, col("l_orderkey") === col("__ok"))
-        .where(col("__n_supp") > 1 && col("__n_late") === 1)
-        .select(col("l_suppkey"), col("l_orderkey")).distinct()
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      perOrder.where(col("__n_supp") > 1 && col("__n_late") === 1)
+        .join(broadcast(supp), col("__sole") === col("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))
@@ -558,7 +561,8 @@ object TpchShapeQueries {
       FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
       JOIN part ON l_partkey = p_partkey
       WHERE p_brand <> 'Brand#1'
-        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        AND NOT EXISTS (SELECT 1 FROM supplier
+                        WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
       GROUP BY p_brand, p_size
       ORDER BY supplier_cnt DESC, p_brand, p_size"""))
   )
