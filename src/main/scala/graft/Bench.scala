@@ -28,28 +28,45 @@ object Bench {
     try run((s, d) => Tables.load(s, d, "nation")) catch { case _: Throwable => }
 
     // steady-state timing: best of N runs per query (first run carries JIT
-    // compilation of generated code — observed 2-5x noise on cold paths)
+    // compilation of generated code — observed 2-5x noise on cold paths).
+    // A query that throws on EVERY run is an ERROR, not a timing — its
+    // time-to-exception (often ~0.05 s) would otherwise read as a fake
+    // speedup in any per-query comparison against the baseline.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+    // dev-mode isolation: SPARK_GRAFT_BENCH_ONLY=q1_agg,f30_xml_extract
+    // times just those queries (for separating plan cost from box load)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
+      val times = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        try run(fn) catch { case _: Throwable => }
-        (System.nanoTime() - t0) / 1e9
+        try { run(fn); Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => None }
       }
-      name -> times.min
+      name -> times.minOption
     }
+    val results = timed.collect { case (n, Some(t)) => n -> t }
+    val errors = timed.collect { case (n, None) => n }
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def jsonOf(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val total = r3(results.map(_._2).sum)
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def line(queries: Seq[(String, Double)], nShown: Int): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${timed.size},""" +
+      s""""n_ok":${results.size},"n_shown":$nShown,"errors":$errJson,""" +
+      s""""queries":${jsonOf(queries)},"sf":"$sfDir"}"""
 
     // Full per-query timings go to a file: the bench driver only keeps the
     // last 2000 chars of output, so the summary line below must stay short
     // (~80 queries at full precision overflowed the window in r01/r02 and
     // the driver recorded "parsed": null).
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${jsonOf(results)},"sf":"$sfDir"}\n""".getBytes("UTF-8"))
+    if (only.isEmpty) // a filtered dev run must not clobber the artifact
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        (line(results, results.size) + "\n").getBytes("UTF-8"))
 
     // Headline subset spanning the operator families (relational agg/join,
     // window, dedup, ANN, text, streaming, upsert, composed pipeline).
@@ -62,13 +79,13 @@ object Bench {
       "stream_sessionize", "k4_merge_upsert", "pipeline_doc_filter",
       "session_window_native", "topk_per_segment", "scalar_subquery_select",
       "asof_prev_purchase")
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"queries":${jsonOf(results.filter(r => headline(r._1)))},"sf":"$sfDir"}"""
+    val shown = if (only.nonEmpty) results else results.filter(r => headline(r._1))
+    val summary = line(shown, shown.size)
 
     // Silence executor/shutdown logging, stop, THEN print: the summary line
     // must be the last thing on stdout before sbt's own success line.
     try { spark.sparkContext.setLogLevel("OFF"); spark.stop() }
     catch { case _: Throwable => }
-    println(line)
+    println(summary)
   }
 }

@@ -26,6 +26,8 @@ object Cdc {
     ops.groupBy(col(keyCol))
       .agg(max(struct(fields.map(col): _*)).as("__last"))
       .select(col(keyCol) +: fields.map(f => col(s"__last.$f").as(f)): _*)
-      .where(col(opCol) =!= deleteOp)
+      // null-safe: a winning row with a NULL op is NOT a delete and must
+      // survive (`=!=` would three-value it out of the result)
+      .where(!(col(opCol) <=> lit(deleteOp)))
   }
 }

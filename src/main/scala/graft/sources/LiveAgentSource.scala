@@ -124,14 +124,20 @@ object LiveAgentSource {
                           maxPagesPerTicket: Int = MaxPages,
                           metadataCache: Option[DataFrame] = None): DataFrame = {
     val wrapped = tickets.flatMap { t =>
-      val rows = Iterator.from(1).map { page =>
+      // a failed page drops the WHOLE ticket, not just the suffix — the
+      // reference's per-ticket catch returns [] for the entire ticket
+      // (`core/Ticket.py:125-132`), so a fetch error can't leave a
+      // silently-truncated message history in the batch
+      var failed = false
+      val pages = Iterator.from(1).map { page =>
         limiter.foreach(_.acquire())
         try api.fetchPage(s"tickets/${t.ticketId}/messages", page, PageSize, Map.empty)
         finally limiter.foreach(_.release())
       }.takeWhile {
         case Right(items) => items.nonEmpty
-        case Left(_)      => false // skip this ticket, keep the batch
-      }.take(maxPagesPerTicket).collect { case Right(items) => items }.flatten
+        case Left(_)      => failed = true; false // skip ticket, keep batch
+      }.take(maxPagesPerTicket).collect { case Right(items) => items }.toSeq
+      val rows = if (failed) Seq.empty else pages.flatten
       // the ticket key + fallback args must survive spark.read.json: wrap
       // each group object under a typed envelope
       rows.map { json =>

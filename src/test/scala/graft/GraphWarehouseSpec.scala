@@ -120,6 +120,16 @@ class GraphWarehouseSpec extends AnyFunSuite {
     assert(agg == win)
   }
 
+  test("cdc: a winning NULL-op row survives (not three-valued out)") {
+    val ops = Seq(
+      (1L, 1L, Some("I"), "a"), (1L, 2L, None, "b"), // NULL op wins key 1
+      (2L, 1L, Some("D"), "x")                        // delete wins key 2
+    ).toDF("k", "seq", "op", "v")
+    val out = Cdc.applyLatest(ops, "k", "seq", "op", Seq("v"))
+      .select("k", "v").as[(Long, String)].collect().toSeq.sorted
+    assert(out == Seq((1L, "b"))) // NULL op ≠ delete ⇒ key 1 kept
+  }
+
   test("cdc: reserved working column name is rejected") {
     val bad = Seq((1L, 1L, "I", "a")).toDF("k", "seq", "op", "__last")
     intercept[IllegalArgumentException] {
@@ -151,5 +161,24 @@ class GraphWarehouseSpec extends AnyFunSuite {
     val mass = r.map(_._2).sum
     // floor divisions shed at most a few units per node per iteration
     assert(mass <= PageRank.Scale && mass > PageRank.Scale - 1000L)
+  }
+
+  test("pagerank: 20 iterations keep the plan bounded (lineage severed)") {
+    // without per-iteration localCheckpoint the analyzed plan embeds every
+    // prior iteration — geometric growth that stalls planning long before
+    // real iteration counts. With it, the final plan hangs off one
+    // LogicalRDD regardless of depth.
+    val pairs = (2L to 6L).map(l => (1L, l))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val r20 = PageRank.ranks(edges, "src", "dst", iters = 20)
+    val planLines = r20.queryExecution.analyzed.numberedTreeString.linesIterator.size
+    assert(planLines < 50, s"analyzed plan grew with iterations: $planLines lines")
+    // deterministic fixed point: symmetric graph ⇒ depth only tightens
+    // values; ranks must still be the exact integer result
+    val r5 = PageRank.ranks(edges, "src", "dst", iters = 5)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val r20v = r20.orderBy("node").as[(Long, Long)].collect().toSeq
+    assert(r20v.map(_._1) == r5.map(_._1))
+    assert(r20v.head._2 > r20v.last._2 * 2) // center still dominates
   }
 }
