@@ -19,6 +19,26 @@ object TextAnalysisFns {
 
   /** BPE-ish token count: GPT-2-style pretokenizer regex match count.
     * Counts contractions, word runs, digit runs, punctuation runs.
+    *
+    * DOCUMENTED DEVIATION from the reference (F14): the reference counts
+    * with tiktoken's o200k_base encoding for "gpt-4o-mini"
+    * (`core/extract/ConvoDataExtract.py:74-82` — `tiktoken
+    * .encoding_for_model(...).encode(text)`), whose merge table is a
+    * 200k-entry learned vocabulary this container cannot ship. This
+    * regex reproduces only the PRE-tokenizer split, i.e. it counts one
+    * token per pretoken and never splits a long word into subwords, so:
+    *  - short common-word English text matches closely (most pretokens
+    *    are single BPE tokens);
+    *  - it UNDERCOUNTS text with long/rare words, non-Latin scripts, or
+    *    heavy Unicode (each multi-subword pretoken counts once);
+    *  - it never OVERCOUNTS (BPE merges cannot join across pretoken
+    *    boundaries).
+    * So the value is a deterministic lower bound on the tiktoken count.
+    * Swapping in an exact count means shipping the o200k_base ranks file
+    * and a merge loop (or a JNI tokenizer) behind this same Column
+    * signature. The reference's failure mode (any exception → 0,
+    * `ConvoDataExtract.py:78-82`) is not reproduced: the regex cannot
+    * throw.
     */
   val BpeishPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
   def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))

@@ -9,15 +9,17 @@ import org.apache.spark.sql.types._
   * extraction — schema, partitioning, batch shape.
   *
   * IMAGE decode/resize is REAL (`javax.imageio`, JDK-native PNG/JPEG/BMP/
-  * GIF — [[extractImageFeatures]], [[resizeImages]]); a payload ImageIO
-  * cannot parse falls back to the deterministic byte-hash stub with a
+  * GIF — [[extractImageFeatures]], [[resizeImages]]); AUDIO decode is
+  * REAL for WAV/PCM and anything else `javax.sound.sampled` can open
+  * ([[extractAudioFeatures]]). In both, a payload the JDK codec cannot
+  * parse falls back to the deterministic byte-hash stub with a
   * `decoded=false` flag, so a mixed or corrupt batch degrades row-wise
-  * instead of failing the task. AUDIO/VIDEO decode stays STUBBED (no
-  * codec libraries in this container): `decodeStub` derives a
-  * deterministic fake feature vector from payload bytes; swapping it for
-  * a JNI/FFmpeg decoder changes one function — the schema contract,
-  * size-aware repartitioning, and mapPartitions batch shape are the same
-  * ones the image path exercises for real.
+  * instead of failing the task. VIDEO decode stays STUBBED (no container
+  * codec in the JDK): `decodeStub` derives a deterministic fake feature
+  * vector from payload bytes; swapping it for a JNI/FFmpeg decoder
+  * changes one function — the schema contract, size-aware
+  * repartitioning, and mapPartitions batch shape are the same ones the
+  * image and audio paths exercise for real.
   *
   * Scale design: media rows are heavily skewed by payload size, so the
   * partitioner is byte-budget-based (`repartitionByBytes`), not row-count
@@ -131,6 +133,75 @@ object Multimodal {
         }
       }
       .toDF("media_id", "width", "height", "features", "decoded", "n_bytes")
+  }
+
+  /** Real audio decode (`javax.sound.sampled`, JDK-native WAV/PCM —
+    * AIFF/AU too): stream → 16-bit signed PCM → ([[FeatureDim]] windows
+    * of mean |amplitude|, channel-averaged and normalized to [0,1],
+    * time-ordered — the 1-D analog of the image path's luminance grid),
+    * plus the clip duration in ms. None when the payload isn't decodable
+    * audio.
+    */
+  def decodeAudio(payload: Array[Byte]): Option[(Long, Array[Float])] = {
+    if (payload == null || payload.isEmpty) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    try {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val src = ais.getFormat
+        val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val pcm = AudioSystem.getAudioInputStream(pcmFmt, ais)
+        val bytes = pcm.readAllBytes()
+        val ch = pcmFmt.getChannels
+        val n = bytes.length / 2 / ch // samples per channel
+        if (n == 0) return None
+        val durationMs = math.round(n * 1000.0 / pcmFmt.getSampleRate)
+        val sums = new Array[Double](FeatureDim)
+        val counts = new Array[Long](FeatureDim)
+        var i = 0
+        while (i < n) {
+          var c = 0
+          var acc = 0.0
+          while (c < ch) {
+            val off = 2 * (i * ch + c) // little-endian s16
+            acc += math.abs(((bytes(off + 1) << 8) | (bytes(off) & 0xFF)).toShort.toInt)
+            c += 1
+          }
+          val cell = math.min(FeatureDim - 1, i.toLong * FeatureDim / n).toInt
+          sums(cell) += acc / ch / 32768.0
+          counts(cell) += 1
+          i += 1
+        }
+        Some((durationMs, Array.tabulate(FeatureDim)(d =>
+          if (counts(d) == 0) 0f else (sums(d) / counts(d)).toFloat)))
+      } finally ais.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Audio feature extraction with the REAL codec: same typed
+    * mapPartitions batch shape as [[extractImageFeatures]]. Emits
+    * (media_id, duration_ms, features, decoded, n_bytes); undecodable
+    * payloads keep the pipeline moving on the stub features with
+    * `decoded=false` and duration 0.
+    */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val n = if (p == null) 0L else p.length.toLong
+          decodeAudio(p) match {
+            case Some((dur, f)) => (id, dur, f, true, n)
+            case None           => (id, 0L, decodeStub(p), false, n)
+          }
+        }
+      }
+      .toDF("media_id", "duration_ms", "features", "decoded", "n_bytes")
   }
 
   /** Real image resize: ImageIO decode → smooth-scaled draw onto a fresh

@@ -564,6 +564,39 @@ object TpchShapeQueries {
         AND NOT EXISTS (SELECT 1 FROM supplier
                         WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
       GROUP BY p_brand, p_size
-      ORDER BY supplier_cnt DESC, p_brand, p_size"""))
+      ORDER BY supplier_cnt DESC, p_brand, p_size""")),
+
+    // Q11 analog — value concentration (the one classic shape previously
+    // missing; no partsupp table, so lineitem value per part over one
+    // nation-group's suppliers stands in for partsupp value). Parts whose
+    // value exceeds fraction 1/10000 of the nation's total: the
+    // group-share-vs-scalar-subquery-threshold shape. The threshold
+    // comparison is EXACT decimal — `value·10000 > total` instead of
+    // `value > total·0.0001` — so no boundary row depends on float
+    // rounding; the total is a 1-row aggregate broadcast into the
+    // filter, never collected.
+    QueryDef("q11_value_concentration", (s, dir) => {
+      val li = t("lineitem")(s, dir)
+        .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      val supp = t("supplier")(s, dir).where(col("s_nationkey") % 5 === 2)
+        .select(col("s_suppkey"))
+      val vals = li.join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).as("__val"))
+      val tot = vals.agg(sum(col("__val")).as("__tot"))
+      vals.crossJoin(broadcast(tot))
+        .where(col("__val") * lit(10000) > col("__tot"))
+        .select(col("l_partkey"), col("__val").cast("double").as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }, Some("""
+      WITH v AS (
+        SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        WHERE s_nationkey % 5 = 2
+        GROUP BY l_partkey)
+      SELECT l_partkey, CAST(val AS DOUBLE) AS value
+      FROM v
+      WHERE val * 10000 > (SELECT sum(val) FROM v)
+      ORDER BY value DESC, l_partkey"""))
   )
 }

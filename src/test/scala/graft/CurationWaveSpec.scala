@@ -101,6 +101,36 @@ class CurationWaveSpec extends AnyFunSuite {
     assert(s1.columns.toSeq == df.columns.toSeq)
   }
 
+  test("temperatureSample: ceil-threshold form ≡ the raw product inequality") {
+    // the keep decision is u < ⌈num·N·w·2²⁴ / (den·Σw·n)⌉, equivalent for
+    // integer u to u·den·Σw·n < num·N·w·2²⁴ — re-derive the raw four-factor
+    // product per row (safe at this scale) and check exact agreement,
+    // boundary rows included
+    val rows = (1 to 500).map(i => (i.toLong, s"g${i % 7}"))
+    val df = rows.toDF("id", "grp")
+    val kept = Sampling.temperatureSample(df, "id", "grp", "t9", num = 2, den = 5)
+      .select("id").as[Long].collect().toSet
+    val n = rows.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val w = n.view.mapValues(v => math.floor(math.sqrt(v.toDouble)).toLong).toMap
+    val (totw, nn) = (w.values.sum, n.values.sum)
+    val expected = rows.filter { case (id, g) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"t9:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val hash24 = java.lang.Long.parseLong(md5.take(6), 16)
+      // BigInt = the overflow-free ground truth of the product form
+      BigInt(hash24) * 5 * totw * n(g) < BigInt(2) * nn * w(g) * (1L << 24)
+    }.map(_._1).toSet
+    assert(kept == expected)
+  }
+
+  test("temperatureSample: reserved working column names are rejected") {
+    val bad = Seq((1L, "g", 0L)).toDF("id", "grp", "__totw")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(bad, "id", "grp", "s", 1, 2)
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+
   // ---- mixture plan --------------------------------------------------
 
   test("mixturePlan: exact ceil-division epochs") {

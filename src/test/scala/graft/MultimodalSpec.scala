@@ -99,6 +99,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1).getSeq[Float](got(1).fieldIndex("features")).size == Multimodal.FeatureDim)
   }
 
+  test("real audio decode: WAV duration + loud/quiet halves in features") {
+    // 500 ms mono 16-bit 8 kHz WAV: silent first half, full-scale square
+    // wave second half — written through the same JDK codec that decodes
+    def wavBytes(ms: Int, rate: Float = 8000f): Array[Byte] = {
+      val n = (rate * ms / 1000).toInt
+      val pcm = new Array[Byte](n * 2)
+      var i = n / 2 // loud second half only
+      while (i < n) {
+        val v: Short = if (i % 8 < 4) 30000 else -30000
+        pcm(2 * i) = (v & 0xFF).toByte; pcm(2 * i + 1) = (v >> 8).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Row(1L, wavBytes(500), Row("wav", 0, 0, 0L)),
+      Row(2L, "not audio at all".getBytes, Row("wav", 0, 0, 0L)),
+      Row(3L, null, Row("wav", 0, 0, 0L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val got = Multimodal.extractAudioFeatures(df).orderBy("media_id").collect()
+    val ok = got(0)
+    assert(ok.getAs[Boolean]("decoded"))
+    assert(ok.getAs[Long]("duration_ms") == 500L)
+    val f = ok.getSeq[Float](ok.fieldIndex("features"))
+    assert(f.size == Multimodal.FeatureDim)
+    val (quiet, loud) = f.splitAt(Multimodal.FeatureDim / 2)
+    assert(quiet.forall(_ < 0.01f), s"first half should be silent: $quiet")
+    assert(loud.forall(_ > 0.8f), s"second half should be near full scale: $loud")
+    // corrupt + null payloads degrade to the stub with decoded=false
+    assert(!got(1).getAs[Boolean]("decoded") && !got(2).getAs[Boolean]("decoded"))
+    assert(got(1).getSeq[Float](got(1).fieldIndex("features")).size ==
+      Multimodal.FeatureDim)
+  }
+
   test("real image resize: thumb is a valid PNG with target geometry") {
     val rows = Seq(
       Row(1L, pngBytes(32, 16), Row("img", 32, 16, 0L)),
