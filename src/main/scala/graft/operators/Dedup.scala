@@ -25,6 +25,24 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup with PROVENANCE-priority keeper selection: within each
+    * content-hash group keep the row with the greatest `prefCol` value
+    * (ties → min id) — what a curation pipeline wants when duplicates
+    * differ in source quality (keep the curated copy, not whichever id
+    * happens to be smallest). Same shape as [[exact]]: ONE map-side-
+    * combinable `max(struct(pref, −id))` argmax aggregation, never a
+    * window over the corpus — partial state is one candidate per
+    * (partition, hash), so the shuffle carries keepers, not duplicates.
+    */
+  def exactKeepBest(df: DataFrame, idCol: String, textCol: String,
+                    prefCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"),
+        struct(col(prefCol).as("pref"), (-col(idCol)).as("nid")).as("__cand"))
+      .groupBy(col("content_hash"))
+      .agg(max(col("__cand")).as("__best"), count(lit(1)).as("n_dups"))
+      .select(col("content_hash"), (-col("__best.nid")).as("keep_id"),
+        col("__best.pref").as("keep_pref"), col("n_dups"))
+
   /** (id, shingles) with empty-shingle rows dropped — shared prep. */
   private def shingled(df: DataFrame, idCol: String, textCol: String,
                        shingleWords: Int): DataFrame =

@@ -34,6 +34,24 @@ object DedupVectorQueries {
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
       FROM documents GROUP BY md5(text) ORDER BY keep_id""")),
 
+    // Exact dedup, provenance-priority keeper: within a duplicate cluster
+    // keep the copy from the preferred source (lexicographic max here —
+    // a real pipeline maps sources to ranks), ties broken by min id. The
+    // oracle takes the window-argmax route; matching hashes prove the
+    // one-aggregation argmax ≡ the window form.
+    QueryDef("dedup_keep_best", (s, dir) => {
+      Dedup.exactKeepBest(t("documents")(s, dir), "doc_id", "text", "source")
+        .orderBy(col("content_hash"))
+    }, Some("""
+      WITH ranked AS (
+        SELECT md5(text) AS content_hash, doc_id, source,
+               row_number() OVER (PARTITION BY md5(text)
+                                  ORDER BY source DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY md5(text)) AS n_dups
+        FROM documents)
+      SELECT content_hash, doc_id AS keep_id, source AS keep_pref, n_dups
+      FROM ranked WHERE rn = 1 ORDER BY content_hash""")),
+
     // MinHash + LSH near-dup pairs, verified by true shingle Jaccard.
     QueryDef("dedup_minhash_lsh", (s, dir) => {
       Dedup.minhashLsh(t("documents")(s, dir), "doc_id", "text",

@@ -127,6 +127,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("exact keep-best: preferred source wins over lower id; ties → min id") {
+    // the shared testdata has no mixed-source dup clusters, so the oracle
+    // query only proves the tie path — this pins the preference semantics
+    val docs = Seq(
+      (1L, "same", "web"),   // lower id but less-preferred source
+      (2L, "same", "wiki"),  // preferred source → keeper despite higher id
+      (3L, "same", "wiki"),  // same preference as 2 → min-id tiebreak
+      (4L, "uniq", "web")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.exactKeepBest(docs, "doc_id", "text", "source")
+      .orderBy("keep_id")
+      .select("keep_id", "keep_pref", "n_dups")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((2L, "wiki", 3L), (4L, "web", 1L)))
+  }
+
   test("minhash LSH: finds planted near-duplicate, skips unrelated") {
     val base = (1 to 40).map(i => s"word$i").mkString(" ")
     val near = (1 to 40).map(i => if (i == 20) "CHANGED" else s"word$i").mkString(" ")

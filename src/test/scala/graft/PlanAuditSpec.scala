@@ -163,4 +163,27 @@ class PlanAuditSpec extends AnyFunSuite {
     val rewritten = SparkEntry.queries("q17_small_qty_revenue")(spark, dir)
     assert(rewritten.collect().toSeq == correlated.collect().toSeq)
   }
+
+  test("q21: ONE fact pass — lineitem scanned once, sole supplier in-aggregate") {
+    // the round-6 rewrite recovers the sole late supplier inside the
+    // per-order aggregate; a regression back to the join-flagged-to-
+    // perOrder form would scan/shuffle the fact twice
+    val scans = scansOf("q21_sole_late_supplier")
+    val lineitemScans = scans.count(
+      _.metadata("Location").contains("lineitem.parquet"))
+    assert(lineitemScans == 1, s"lineitem scanned $lineitemScans times")
+    val ordersScans = scans.count(
+      _.metadata("Location").contains("orders.parquet"))
+    assert(ordersScans == 1, s"orders scanned $ordersScans times")
+  }
+
+  test("q11: threshold is a broadcast 1-row aggregate, fact aggregated once") {
+    val scans = scansOf("q11_value_concentration")
+    assert(scans.count(_.metadata("Location").contains("lineitem.parquet")) == 1,
+      "value and total must derive from ONE lineitem pass (reused exchange)")
+    val plan = planOf("q11_value_concentration")
+    // the 1-row total joins via broadcast NLJ — never a driver collect
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"total threshold not broadcast:\n${plan.take(600)}")
+  }
 }
