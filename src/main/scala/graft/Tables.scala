@@ -22,12 +22,16 @@ object Tables {
   /** The test tables are single-row-group parquet files, which Spark
     * cannot split — every scan would run as ONE task regardless of cores,
     * serializing all per-row expression work. One round-robin repartition
-    * restores cluster parallelism; at production scale tables arrive as
-    * many files/row groups and this becomes a no-op decision at write
-    * time, not read time.
+    * restores parallelism — but ONLY when the scan actually under-
+    * parallelizes: at production scale tables arrive as many files/row
+    * groups, the scan already yields ≥ shuffle-partitions tasks, and this
+    * must not inject a full-table shuffle in front of every query. The
+    * check reads the planned partition count (no job runs).
     */
-  private def spread(spark: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+  private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
+    val target = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
 
   /** The events table's `ts` physical type has varied across testdata
     * generations — parquet TIMESTAMP(NANOS) in early rounds, TIMESTAMP
