@@ -11,15 +11,17 @@ import org.apache.spark.sql.types._
   * IMAGE decode/resize is REAL (`javax.imageio`, JDK-native PNG/JPEG/BMP/
   * GIF — [[extractImageFeatures]], [[resizeImages]]); AUDIO decode is
   * REAL for WAV/PCM and anything else `javax.sound.sampled` can open
-  * ([[extractAudioFeatures]]). In both, a payload the JDK codec cannot
-  * parse falls back to the deterministic byte-hash stub with a
+  * ([[extractAudioFeatures]]). VIDEO decode is REAL for the one
+  * multi-frame container the JDK ships a codec for — animated GIF
+  * ([[videoFrameIndex]] metadata-only frame timing, [[decodeVideoFrame]]
+  * per-frame pixel decode, [[extractVideoFeatures]] /
+  * [[sampleVideoFrames]] on top). In all three, a payload the JDK codec
+  * cannot parse falls back to the deterministic byte-hash stub with a
   * `decoded=false` flag, so a mixed or corrupt batch degrades row-wise
-  * instead of failing the task. VIDEO decode stays STUBBED (no container
-  * codec in the JDK): `decodeStub` derives a deterministic fake feature
-  * vector from payload bytes; swapping it for a JNI/FFmpeg decoder
-  * changes one function — the schema contract, size-aware
-  * repartitioning, and mapPartitions batch shape are the same ones the
-  * image and audio paths exercise for real.
+  * instead of failing the task; MP4/WebM etc. take that degrade path
+  * until a JNI/FFmpeg decoder replaces the two leaf functions — the
+  * schema contract, size-aware repartitioning, and mapPartitions batch
+  * shape do not change.
   *
   * Scale design: media rows are heavily skewed by payload size, so the
   * partitioner is byte-budget-based (`repartitionByBytes`), not row-count
@@ -87,29 +89,34 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }
     if (img == null || img.getWidth == 0 || img.getHeight == 0) None
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val grid = 4 // 4×4 cells = FeatureDim
-      val sums = new Array[Double](FeatureDim)
-      val counts = new Array[Long](FeatureDim)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
-            0.114 * (rgb & 0xFF)
-          val cell = math.min(grid - 1, y * grid / h) * grid +
-            math.min(grid - 1, x * grid / w)
-          sums(cell) += lum; counts(cell) += 1
-          x += 1
-        }
-        y += 1
+    else Some((img.getWidth, img.getHeight, luminanceGrid(img)))
+  }
+
+  /** 4×4 grid of luminance means over a decoded raster, row-major;
+    * partial edge cells use their true pixel counts. Shared by the image
+    * path and the per-frame video path.
+    */
+  private def luminanceGrid(img: java.awt.image.BufferedImage): Array[Float] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val grid = 4 // 4×4 cells = FeatureDim
+    val sums = new Array[Double](FeatureDim)
+    val counts = new Array[Long](FeatureDim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+          0.114 * (rgb & 0xFF)
+        val cell = math.min(grid - 1, y * grid / h) * grid +
+          math.min(grid - 1, x * grid / w)
+        sums(cell) += lum; counts(cell) += 1
+        x += 1
       }
-      val feats = Array.tabulate(FeatureDim)(i =>
-        if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
-      Some((w, h, feats))
+      y += 1
     }
+    Array.tabulate(FeatureDim)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
   }
 
   /** Image feature extraction with the REAL codec: one ImageIO decode per
@@ -307,6 +314,186 @@ object Multimodal {
         }
       }
       .toDF("media_id", "frame_ms", "frame_features")
+  }
+
+  /** Default frame duration for GIF frames that declare no/zero delay —
+    * the 100 ms convention every mainstream renderer applies to 0-delay
+    * frames (a raw 0 would collapse all frames onto t=0 and a 0-length
+    * clip).
+    */
+  val ZeroDelayFrameMs = 100L
+
+  /** Real video container index — METADATA ONLY, no pixel decode: frame
+    * start timestamps (ms) and total duration for an animated GIF (the
+    * one multi-frame container the JDK ships a codec for). Per-frame
+    * delay comes from the GraphicControlExtension `delayTime` (units of
+    * 10 ms; 0 → [[ZeroDelayFrameMs]]). None when the payload isn't a GIF
+    * ImageIO can open.
+    */
+  def videoFrameIndex(payload: Array[Byte]): Option[(Long, Array[Long])] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          if (n <= 0) return None
+          val starts = new Array[Long](n)
+          var t = 0L
+          var i = 0
+          while (i < n) {
+            starts(i) = t
+            t += frameDelayMs(reader.getImageMetadata(i))
+            i += 1
+          }
+          Some((t, starts))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  private def frameDelayMs(md: javax.imageio.metadata.IIOMetadata): Long = {
+    val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+      .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+    val nodes = tree.getElementsByTagName("GraphicControlExtension")
+    val delay =
+      if (nodes.getLength == 0) 0L
+      else try nodes.item(0).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+        .getAttribute("delayTime").toLong * 10L
+      catch { case _: NumberFormatException => 0L }
+    if (delay <= 0) ZeroDelayFrameMs else delay
+  }
+
+  /** Real per-frame video decode: frame `idx`'s raster → geometry +
+    * [[FeatureDim]] luminance-grid features (same grid as the image
+    * path). GIF frames are decoded as their own raster (no disposal
+    * compositing — features describe the frame's pixels, which is what a
+    * sampling pipeline wants). None when the payload isn't a GIF or the
+    * index is out of range.
+    */
+  def decodeVideoFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Float])] = {
+    if (payload == null || payload.isEmpty || idx < 0) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return None
+        val reader = readers.next()
+        try {
+          if (!reader.getFormatName.equalsIgnoreCase("gif")) return None
+          reader.setInput(iis)
+          if (idx >= reader.getNumImages(true)) return None
+          val img = reader.read(idx)
+          if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+          else Some((img.getWidth, img.getHeight, luminanceGrid(img)))
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-video summary with the REAL codec: container duration, frame
+    * count, and the mean luminance grid across ALL frames — the video
+    * analog of the image path's single grid. Same typed mapPartitions
+    * batch shape; undecodable payloads degrade to the stub with
+    * `decoded=false` and (0, 0) duration/frames.
+    */
+  def extractVideoFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val n = if (p == null) 0L else p.length.toLong
+          videoFrameIndex(p) match {
+            case Some((dur, starts)) =>
+              val acc = new Array[Double](FeatureDim)
+              var decodedFrames = 0
+              var i = 0
+              while (i < starts.length) {
+                decodeVideoFrame(p, i).foreach { case (_, _, f) =>
+                  var d = 0
+                  while (d < FeatureDim) { acc(d) += f(d); d += 1 }
+                  decodedFrames += 1
+                }
+                i += 1
+              }
+              if (decodedFrames == 0) (id, 0L, 0, decodeStub(p), false, n)
+              else (id, dur, starts.length,
+                Array.tabulate(FeatureDim)(d => (acc(d) / decodedFrames).toFloat),
+                true, n)
+            case None => (id, 0L, 0, decodeStub(p), false, n)
+          }
+        }
+      }
+      .toDF("media_id", "duration_ms", "n_frames", "features", "decoded", "n_bytes")
+  }
+
+  /** Frame sampling with the REAL codec, in two passes so the expensive
+    * pixel decode happens AFTER the fan-out:
+    *
+    *  1. metadata-only container index per video (cheap — no pixel
+    *     decode): true duration + frame start times; a non-GIF payload
+    *     falls back to `meta.duration_ms` with the stub flag.
+    *  2. declarative `explode(sequence(0, dur-1, everyMs))` fan-out, the
+    *     covering frame index resolved with an array HOF (`filter` on the
+    *     starts column — codegen, no UDF), then a repartition on
+    *     (media_id, frame_ms) so one long video's frames decode across
+    *     the cluster instead of inside one task, then the per-frame
+    *     pixel decode.
+    *
+    * Emits (media_id, frame_ms, frame_idx, frame_features, decoded);
+    * degraded rows carry the stub features seeded with the frame offset
+    * (identical contract to [[sampleFrames]]) and frame_idx −1.
+    */
+  def sampleVideoFrames(media: DataFrame, everyMs: Long): DataFrame = {
+    require(everyMs > 0, s"everyMs must be positive, got $everyMs")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val indexed = media
+      .select(col("media_id").cast("long"), col("payload"),
+        coalesce(col("meta.duration_ms"), lit(0L)).as("__metaDur"))
+      .as[(Long, Array[Byte], Long)]
+      .mapPartitions { it =>
+        it.map { case (id, p, metaDur) =>
+          videoFrameIndex(p) match {
+            case Some((dur, starts)) => (id, p, dur, starts, true)
+            case None => (id, p, metaDur, Array.empty[Long], false)
+          }
+        }
+      }
+      .toDF("media_id", "payload", "__dur", "__starts", "__real")
+    indexed
+      .withColumn("frame_ms",
+        explode(sequence(lit(0L), greatest(col("__dur") - 1, lit(0L)),
+          lit(everyMs))))
+      .withColumn("frame_idx",
+        when(col("__real"),
+          size(filter(col("__starts"), s => s <= col("frame_ms"))) - 1)
+          .otherwise(lit(-1)))
+      .repartition(col("media_id"), col("frame_ms"))
+      .select(col("media_id"), col("payload"), col("frame_ms"), col("frame_idx"))
+      .as[(Long, Array[Byte], Long, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, p, ms, idx) =>
+          val real = if (idx >= 0) decodeVideoFrame(p, idx) else None
+          real match {
+            case Some((_, _, f)) => (id, ms, idx, f, true)
+            case None =>
+              val seeded = if (p == null) Array[Byte]()
+                else p :+ (ms & 0xFF).toByte :+ ((ms >> 8) & 0xFF).toByte
+              (id, ms, -1, decodeStub(seeded), false)
+          }
+        }
+      }
+      .toDF("media_id", "frame_ms", "frame_idx", "frame_features", "decoded")
   }
 
   /** Byte-budget repartitioning: pack rows into partitions of roughly

@@ -158,6 +158,98 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(1).getAs[Array[Byte]]("thumb").length == 32)
   }
 
+  /** A real animated GIF: `n` frames of uniform gray (frame i has level
+    * `i*255/(n-1)`), each with a `delayCs` (hundredths) frame delay —
+    * written through the same JDK codec that decodes.
+    */
+  private def gifBytes(n: Int, delayCs: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    import javax.imageio.{ImageIO, ImageTypeSpecifier, IIOImage}
+    import javax.imageio.metadata.IIOMetadataNode
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (i <- 0 until n) {
+      val v = if (n == 1) 0 else i * 255 / (n - 1)
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(v, v, v)); g.fillRect(0, 0, w, h); g.dispose()
+      val param = writer.getDefaultWriteParam
+      val md = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), param)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = md.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = new IIOMetadataNode("GraphicControlExtension")
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", delayCs.toString)
+      tree.appendChild(gce)
+      md.setFromTree(fmt, tree)
+      writer.writeToSequence(new IIOImage(img, null, md), param)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("real video decode: GIF frame index, per-frame features, summary") {
+    // 4 frames × 500 ms: black → dark → light → white
+    val gif = gifBytes(n = 4, delayCs = 50)
+    val idx = Multimodal.videoFrameIndex(gif)
+    assert(idx.isDefined)
+    val (dur, starts) = idx.get
+    assert(dur == 2000L && starts.toSeq == Seq(0L, 500L, 1000L, 1500L))
+    // frames decode to strictly brightening uniform grids
+    val lums = (0 until 4).map { i =>
+      val Some((w, h, f)) = Multimodal.decodeVideoFrame(gif, i)
+      assert(w == 8 && h == 8 && f.distinct.length == 1) // uniform frame
+      f.head
+    }
+    assert(lums == lums.sorted && lums.distinct.length == 4)
+    assert(Multimodal.decodeVideoFrame(gif, 4).isEmpty) // out of range
+    assert(Multimodal.videoFrameIndex(pngBytes(8, 8)).isEmpty) // not a container
+    // per-video summary: container duration/frames win over meta
+    val rows = Seq(
+      Row(1L, gif, Row("gif", 8, 8, 0L)),
+      Row(2L, "not a video".getBytes, Row("mp4", 0, 0, 1000L)),
+      Row(3L, null, Row("mp4", 0, 0, 0L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val got = Multimodal.extractVideoFeatures(df).orderBy("media_id").collect()
+    assert(got(0).getAs[Boolean]("decoded") &&
+      got(0).getAs[Long]("duration_ms") == 2000L &&
+      got(0).getAs[Int]("n_frames") == 4)
+    // mean-across-frames grid of a gray ramp ≈ mid-gray, uniform
+    val mean = got(0).getSeq[Float](got(0).fieldIndex("features"))
+    assert(mean.distinct.length == 1 && mean.head > 100 && mean.head < 155)
+    assert(!got(1).getAs[Boolean]("decoded") && !got(2).getAs[Boolean]("decoded"))
+  }
+
+  test("real video frame sampling: covering frame per instant, honest degrade") {
+    val gif = gifBytes(n = 4, delayCs = 50) // 2000 ms total
+    val rows = Seq(
+      Row(1L, gif, Row("gif", 8, 8, 0L)), // meta duration ignored: container wins
+      Row(2L, "junk".getBytes, Row("mp4", 0, 0, 1500L))) // stub path on meta dur
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val got = Multimodal.sampleVideoFrames(df, everyMs = 750)
+      .orderBy("media_id", "frame_ms").collect()
+    val v1 = got.filter(_.getLong(0) == 1L)
+    // samples at 0, 750, 1500 → frames 0 (starts 0), 1 (500), 3 (1500)
+    assert(v1.map(_.getLong(1)).toSeq == Seq(0L, 750L, 1500L))
+    assert(v1.map(_.getInt(2)).toSeq == Seq(0, 1, 3))
+    assert(v1.forall(_.getAs[Boolean]("decoded")))
+    // brightness follows the sampled frame, not the instant
+    val l = v1.map(_.getSeq[Float](3).head)
+    assert(l(0) < l(1) && l(1) < l(2))
+    val v2 = got.filter(_.getLong(0) == 2L)
+    assert(v2.map(_.getLong(1)).toSeq == Seq(0L, 750L) &&
+      v2.forall(r => !r.getAs[Boolean]("decoded") && r.getInt(2) == -1))
+  }
+
   test("byte-budget repartitioning: no partition exceeds ~budget") {
     val parts = Multimodal.repartitionByBytes(media, targetBytes = 1500)
     import org.apache.spark.sql.functions._
