@@ -36,9 +36,16 @@ object BloomPrune {
     */
   def buildBloom(dim: DataFrame, key: String,
                  expectedItems: Long, fpp: Double): Array[Byte] = {
-    val bf = dim.where(col(key).isNotNull)
+    val hashed = dim.where(col(key).isNotNull)
       .select(xxhash64(col(key)).as("__h"))
-      .stat.bloomFilter("__h", expectedItems, fpp)
+    // stat.bloomFilter NPEs on an empty input (null aggregate buffer);
+    // an empty dim is legal — semi prunes everything, anti keeps all —
+    // so probe emptiness first (a limit-1 job on the small side) and
+    // hand back the all-zero filter, whose mightContain is always false
+    val bf =
+      if (hashed.isEmpty)
+        org.apache.spark.util.sketch.BloomFilter.create(expectedItems, fpp)
+      else hashed.stat.bloomFilter("__h", expectedItems, fpp)
     val bos = new java.io.ByteArrayOutputStream()
     bf.writeTo(bos)
     bos.toByteArray

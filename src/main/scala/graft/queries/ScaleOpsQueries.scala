@@ -47,7 +47,7 @@ object ScaleOpsQueries {
     // |fact|. The exact semi join removes false positives, so the
     // result ≡ plain EXISTS; the oracle is the plain form.
     QueryDef("bloom_semi_join", (s, dir) => {
-      val dim = t("supplier")(s, dir).where(col("s_acctbal") > 8000)
+      val dim = t("supplier")(s, dir).where(col("s_acctbal") > 6000)
       BloomPrune.semiJoin(t("lineitem")(s, dir), dim,
           "l_suppkey", "s_suppkey", expectedItems = 1024)
         .groupBy(col("l_returnflag"))
@@ -59,7 +59,7 @@ object ScaleOpsQueries {
              CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_qty
       FROM lineitem l
       WHERE EXISTS (SELECT 1 FROM supplier s
-                    WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal > 8000)
+                    WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal > 6000)
       GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // Bloom-accelerated anti join: a bloom MISS proves non-membership,
@@ -67,7 +67,7 @@ object ScaleOpsQueries {
     // hits pays the exact anti join — the shuffle input drops from
     // |fact| to |matches| + fpp·|fact|. Result ≡ plain NOT EXISTS.
     QueryDef("bloom_anti_join", (s, dir) => {
-      val dim = t("supplier")(s, dir).where(col("s_acctbal") > 8000)
+      val dim = t("supplier")(s, dir).where(col("s_acctbal") > 6000)
       BloomPrune.antiJoin(t("lineitem")(s, dir), dim,
           "l_suppkey", "s_suppkey", expectedItems = 1024)
         .groupBy(col("l_linestatus"))
@@ -79,7 +79,7 @@ object ScaleOpsQueries {
              CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS DOUBLE) AS sum_price
       FROM lineitem l
       WHERE NOT EXISTS (SELECT 1 FROM supplier s
-                        WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal > 8000)
+                        WHERE s.s_suppkey = l.l_suppkey AND s.s_acctbal > 6000)
       GROUP BY l_linestatus ORDER BY l_linestatus""")),
 
     // Corpus bigram-frequency LM score (CCNet/KenLM shape, exact

@@ -47,6 +47,14 @@ class BloomPruneSpec extends AnyFunSuite {
     assert(got == Seq(3L, 250L, 499L))
   }
 
+  test("empty dim: semi prunes everything, anti keeps everything") {
+    val emptyDim = dim.where(lit(false))
+    assert(BloomPrune.semiJoin(fact, emptyDim, "k", "dk",
+      expectedItems = 16).count() == 0)
+    assert(BloomPrune.antiJoin(fact, emptyDim, "k", "dk",
+      expectedItems = 16).count() == fact.count())
+  }
+
   test("prefilter plan carries the codegen might_contain predicate") {
     // range-backed fact: LocalRelation would be eagerly folded away
     val bigFact = spark.range(100).select(col("id"),

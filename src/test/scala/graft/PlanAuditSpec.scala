@@ -186,4 +186,46 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"total threshold not broadcast:\n${plan.take(600)}")
   }
+
+  test("bloom_semi_join: might_contain prunes the fact BELOW the semi join") {
+    val plan = planOf("bloom_semi_join")
+    assert(plan.contains("might_contain"),
+      s"bloom predicate missing from the plan:\n${plan.take(600)}")
+    // the prune must sit under the join, not above it: in the plan string
+    // the Filter carrying might_contain appears after (deeper than) the
+    // semi join node
+    val joinAt = plan.indexOf("LeftSemi")
+    val bloomAt = plan.indexOf("might_contain")
+    assert(joinAt >= 0 && bloomAt > joinAt,
+      "might_contain filter is not below the semi join")
+  }
+
+  test("bloom_anti_join: miss branch bypasses the join; exactly one anti join") {
+    // structural claims on the optimized logical plan — AQE stage
+    // printing elides join subtrees from the physical string
+    val df = SparkEntry.queries("bloom_anti_join")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.toString.contains("might_contain"))
+    val joins = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.joinType
+    }
+    assert(joins.count(_.sql == "LEFT ANTI") == 1,
+      s"expected exactly one anti join, got $joins")
+    val unions = opt.collect {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }
+    assert(unions.size == 1, "miss branch must union in join-free")
+  }
+
+  test("text_lm_score: bigram-keyed joins only — corpus never cross-joins") {
+    val plan = planOf("text_lm_score")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"corpus self-comparison must stay equi-keyed:\n${plan.take(600)}")
+    // documents feed tokens once per branch of the self-aggregation —
+    // never more than the 3 declared reads (bigram stream ×2 + doc spine)
+    val docScans = scansOf("text_lm_score")
+      .count(_.metadata("Location").contains("documents.parquet"))
+    assert(docScans <= 3, s"documents scanned $docScans times")
+  }
 }
