@@ -102,7 +102,13 @@ object ScaleOpsQueries {
             slice(col("toks"), lit(1), size(col("toks")) - 1),
             slice(col("toks"), lit(2), size(col("toks")) - 1),
             (a, b) => concat(a, lit(" "), b))).as("bgs"))
-      val bg = withBg.select(col("doc_id"), explode(col("bgs")).as("bg"))
+      // explode_outer, NOT explode: InferFiltersFromGenerate clones the
+      // whole bigram expression into a pre-Generate filter for a plain
+      // explode (evaluating tokens+zip_with twice per row); the rule
+      // skips outer generates, and the explicit null filter restores
+      // inner-explode semantics on the already-computed column
+      val bg = withBg.select(col("doc_id"), explode_outer(col("bgs")).as("bg"))
+        .where(col("bg").isNotNull)
       val cnt = bg.groupBy(col("bg")).agg(count(lit(1)).as("bg_cnt"))
       val sc = bg.join(cnt, Seq("bg"))
         .groupBy(col("doc_id"))
