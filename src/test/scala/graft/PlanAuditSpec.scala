@@ -228,4 +228,44 @@ class PlanAuditSpec extends AnyFunSuite {
       .count(_.metadata("Location").contains("documents.parquet"))
     assert(docScans <= 3, s"documents scanned $docScans times")
   }
+
+  test("skew_salted_agg: two aggregation phases, partial keyed by salt") {
+    val df = SparkEntry.queries("skew_salted_agg")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    val aggs = opt.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate =>
+        a.groupingExpressions.size
+    }
+    // partial phase groups on (event_type, __salt); final on event_type
+    assert(aggs.contains(2) && aggs.contains(1),
+      s"expected salted partial + final agg phases, got groupings $aggs")
+  }
+
+  test("skew_salted_join: join key widened to (key, salt) — no broadcast") {
+    val df = SparkEntry.queries("skew_salted_join")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    val joinKeys = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        j.condition.map(_.references.map(_.name).toSeq.sorted).getOrElse(Nil)
+    }
+    assert(joinKeys.exists(_.count(_.startsWith("__salt")) >= 1),
+      s"salt column missing from the join condition: $joinKeys")
+  }
+
+  test("incremental_agg_merge: delta folds via ONE outer join, no history rescan") {
+    val df = SparkEntry.queries("incremental_agg_merge")(spark, dir)
+    val opt = df.queryExecution.optimizedPlan
+    val outer = opt.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType.sql == "FULL OUTER" => j
+    }
+    assert(outer.size == 1, s"expected exactly one full-outer merge join")
+    // both sides arrive pre-aggregated: the join's inputs are aggregates,
+    // so the merge shuffles |keys|, never |events|
+    val aggsBelowJoin = outer.head.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggsBelowJoin.size == 2,
+      s"expected standing+delta aggregates below the merge join, got ${aggsBelowJoin.size}")
+  }
 }
