@@ -239,4 +239,26 @@ object ExprOps {
     }
     h
   }
+
+  /** DEFLATE-compressed size of a string's UTF-8 bytes (level 6, raw
+    * deflate — no gzip header, so the size is pure entropy signal).
+    * Deterministic: zlib's output for a fixed level/strategy/input is
+    * fixed. One Deflater per call — the object is not thread-safe and
+    * rows evaluate concurrently across tasks; allocation is dwarfed by
+    * the compression itself.
+    */
+  def deflateLen(s: UTF8String): Int = {
+    val bytes = s.getBytes
+    if (bytes.isEmpty) return 0
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    try {
+      d.setInput(bytes)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0
+      while (!d.finished()) total += d.deflate(buf)
+      total
+    } finally d.end()
+  }
 }

@@ -108,6 +108,22 @@ object TextAnalysisFns {
   def fingerprint(text: Column): Column =
     HashFns.rollingFingerprint(tokens(text))
 
+  /** DEFLATE-compressed byte count (graft.expressions.DeflateLen). */
+  def deflateLen(text: Column): Column =
+    graft.expressions.DeflateLen(text)
+
+  /** Compression ratio: deflated bytes / raw UTF-8 bytes (empty → 1.0).
+    * The CCNet/RefinedWeb-style quality cut: boilerplate and templated
+    * spam sit far below prose (≲0.3), random noise near/above 1.0 —
+    * prose lands in a band in between. Pure per-row projection, no
+    * shuffle; the band bounds are the caller's policy.
+    */
+  def compressRatio(text: Column): Column = {
+    val raw = octet_length(text).cast("double")
+    when(raw === 0.0, lit(1.0))
+      .otherwise(deflateLen(text).cast("double") / raw)
+  }
+
   /** Fixed-width pseudo-lines: consecutive `n`-token windows re-joined
     * with single spaces (the last window may be short); empty text →
     * empty array. The "line" unit for line-level dedup on corpora without

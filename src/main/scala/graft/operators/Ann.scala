@@ -202,4 +202,80 @@ object Ann {
           .as("cosine"))
     topKByScore(scored, k)
   }
+
+  /** Product-quantization index: per subspace j, code id → centroid
+    * subvector. With m subspaces of ksub codes each, a corpus vector
+    * compresses to m small ints — at 100 TB the difference between an
+    * index that fits executor memory (m bytes/vector) and one that
+    * doesn't (4·dim bytes/vector). Trained like the IVF coarse
+    * quantizer: deterministic Lloyd's per subspace (no RNG; iters=0 →
+    * codebooks are the ksub lowest-id subvectors, fully derivable in
+    * the SQL oracle).
+    */
+  final case class PqIndex(dsub: Int, codebooks: Seq[Seq[(Int, Seq[Double])]])
+
+  /** Train per-subspace codebooks by reusing the IVF trainer on each
+    * dim/m-wide slice of the embedding column — m small k-means runs,
+    * each collecting only ksub×dsub centroid sums to the driver.
+    */
+  def pqTrain(corpus: DataFrame, idCol: String, vecCol: String,
+              m: Int, ksub: Int, iters: Int = 0): PqIndex = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val codebooks = (0 until m).map { j =>
+      val sub = corpus.select(col(idCol),
+        slice(col(vecCol), j * dsub + 1, dsub).as("__sub"))
+      ivfTrain(sub, idCol, "__sub", nlist = ksub, iters = iters).centroids
+    }
+    PqIndex(dsub, codebooks)
+  }
+
+  /** Encode each vector as its m nearest-subspace-centroid code ids
+    * (`__codes` array<int>, ties → lowest code id) — pure codegen
+    * expressions over one scan, the codebooks are plan literals.
+    */
+  def pqEncode(df: DataFrame, vecCol: String, index: PqIndex): DataFrame =
+    df.withColumn("__codes", array(index.codebooks.zipWithIndex.map {
+      case (cb, j) =>
+        array_min(cellStructs(
+          slice(col(vecCol), j * index.dsub + 1, index.dsub), cb))
+          .getField("cid")
+    }: _*))
+
+  /** PQ top-k by asymmetric-distance computation (ADC): the corpus is
+    * encoded ONCE to m-byte codes; each query computes one distance
+    * table per subspace (ksub entries, the codebooks are literals); a
+    * candidate's approximate distance is m table lookups summed —
+    * dim/m-fold less arithmetic per pair than the exact dot product,
+    * over a corpus that never materializes its float vectors past the
+    * encode. Composable with [[assignCells]] for IVF-PQ (probe cells
+    * first, ADC within). Ties → lowest neighbor id, like every Ann
+    * entry point.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, index: PqIndex): DataFrame = {
+    val m = index.codebooks.size
+    val enc = pqEncode(corpus, vecCol, index)
+      .select(col(idCol).as("neighbor_id"), col("__codes"))
+    val q = queries.select(col(idCol).as("query_id") +:
+      index.codebooks.zipWithIndex.map { case (cb, j) =>
+        val sub = slice(col(vecCol), j * index.dsub + 1, index.dsub)
+        // positional table: entry c (1-based c+1) is the distance to
+        // code id c — codebook ids are 0..ksub-1 by construction
+        array(cb.sortBy(_._1).map { case (_, cv) => distSqTo(sub, cv) }: _*)
+          .as(s"__dt$j")
+      }: _*)
+    val adc = (0 until m)
+      .map(j => element_at(col(s"__dt$j"), col("__codes")(j) + 1))
+      .reduce(_ + _)
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), adc.as("__d"))
+      // TopKAgg's total order is score DESC, id ASC; ADC wants distance
+      // ASC — negate in, negate back out
+      .select(col("query_id"), col("neighbor_id"), negate(col("__d")).as("cosine"))
+    topKByScore(scored, k)
+      .select(col("query_id"), col("neighbor_id"),
+        negate(col("cosine")).as("adc_dist"), col("rank"))
+  }
 }

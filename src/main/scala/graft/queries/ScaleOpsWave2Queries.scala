@@ -2,7 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{IncrementalAgg, Skew}
+import graft.functions.TextAnalysisFns
+import graft.operators.{Ann, IncrementalAgg, Skew}
 
 /** Round-6 scale-ops wave 2: the skew-mitigation and incremental-
   * maintenance operators get correctness-gate coverage. Each query's
@@ -91,6 +92,75 @@ object ScaleOpsWave2Queries {
       SELECT user_id, count(*) AS n_events,
              CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
              CAST(max(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS max_value
-      FROM events GROUP BY user_id ORDER BY user_id"""))
+      FROM events GROUP BY user_id ORDER BY user_id""")),
+
+    // Product-quantization ANN (Ann.pqTopK), oracle-backed end to end
+    // like ann_topk_ivf: iteration-0 codebooks (per subspace, the ksub
+    // lowest-id subvectors — SQL-derivable; Lloyd-trained codebooks are
+    // covered by the recall spec), m=4 subspaces of 16 dims, 8 codes
+    // each. The corpus compresses to 4 code ids; a candidate's distance
+    // is 4 table lookups instead of a 64-dim dot product — the memory/
+    // compute compressor that makes a 100 TB vector index fit executors.
+    QueryDef("ann_topk_pq", (s, dir) => {
+      val emb = t("embeddings")(s, dir)
+      val index = Ann.pqTrain(emb, "vec_id", "embedding",
+        m = 4, ksub = 8, iters = 0)
+      Ann.pqTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
+          k = 5, index)
+        .orderBy(col("query_id"), col("rank"))
+    }, Some {
+      // ||v−c||² with the same operation tree as Ann.distSqTo
+      def distSq(v: String, c: String): String =
+        s"(${Sql.dot(v, v)} - 2.0 * ${Sql.dot(v, c)} + ${Sql.dot(c, c)})"
+      s"""
+      WITH corp AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                    FROM embeddings),
+      sub AS (
+        SELECT vec_id, j, (v)[j*16+1 : j*16+16] AS sv
+        FROM corp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js),
+      cb AS (SELECT j, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 8),
+      enc AS (
+        SELECT s.vec_id, s.j, cb.cid,
+               row_number() OVER (PARTITION BY s.vec_id, s.j
+                 ORDER BY ${distSq("s.sv", "cb.cv")}, cb.cid) AS rn
+        FROM sub s JOIN cb ON cb.j = s.j),
+      codes AS (SELECT vec_id, j, cid FROM enc WHERE rn = 1),
+      perj AS (
+        SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, c.j,
+               ${distSq("qs.sv", "cb.cv")} AS d
+        FROM codes c
+        JOIN cb ON cb.j = c.j AND cb.cid = c.cid
+        JOIN sub qs ON qs.j = c.j AND qs.vec_id < 10
+                   AND qs.vec_id <> c.vec_id),
+      adc AS (
+        SELECT query_id, neighbor_id,
+               (max(d) FILTER (j = 0)) + (max(d) FILTER (j = 1))
+               + (max(d) FILTER (j = 2)) + (max(d) FILTER (j = 3)) AS adc_dist
+        FROM perj GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, adc_dist,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY adc_dist, neighbor_id) AS INT) AS rank
+      FROM adc
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank"""
+    }),
+
+    // Compression-ratio quality signal (CCNet/RefinedWeb-style): deflated
+    // bytes / raw bytes per document, flagged against the prose band.
+    // DEFLATE is not expressible in the DuckDB oracle → rows-only gate;
+    // the expression's semantics are spec-pinned (ExpressionsSpec:
+    // repetitive < prose < noise ordering, empty/null, codegen).
+    // Scale shape: one projection over the scan, no shuffle — the
+    // cheapest quality cut a 100 TB curation pass runs first.
+    QueryDef("text_compress_ratio", (s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          octet_length(col("text")).cast("long").as("n_raw_bytes"),
+          TextAnalysisFns.deflateLen(col("text")).cast("long").as("n_deflate_bytes"),
+          TextAnalysisFns.compressRatio(col("text")).as("compress_ratio"))
+        .withColumn("keep",
+          col("compress_ratio") >= 0.25 && col("compress_ratio") <= 0.95)
+        .orderBy(col("doc_id"))
+    }, None)
   )
 }

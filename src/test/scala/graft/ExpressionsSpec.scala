@@ -143,4 +143,54 @@ class ExpressionsSpec extends AnyFunSuite {
     val df = Seq((Seq(0f, 0f), Seq(1f, 2f))).toDF("a", "b")
     assert(df.select(VecFns.cosine($"a", $"b")).as[Double].head() == 0.0)
   }
+
+  test("DeflateLen: entropy ordering, empty/null, determinism, JVM parity") {
+    val repetitive = "spam spam spam " * 100
+    val prose = "The quick brown fox jumps over the lazy dog near the " +
+      "river bank, while seventeen curious geese watch from a distance " +
+      "and the afternoon light fades slowly over the quiet valley below."
+    val noiseRnd = new scala.util.Random(99)
+    val noise = Seq.fill(600)((noiseRnd.nextInt(94) + 33).toChar).mkString
+    val df = Seq(Some(repetitive), Some(prose), Some(noise), Some(""), None)
+      .toDF("text")
+    val rows = df.select(
+        $"text",
+        graft.functions.TextAnalysisFns.deflateLen($"text").as("dl"),
+        graft.functions.TextAnalysisFns.compressRatio($"text").as("cr"))
+      .collect()
+    val byText = rows.map(r =>
+      Option(r.getString(0)).getOrElse("<null>") ->
+        (if (r.isNullAt(1)) -1 else r.getInt(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toMap
+    // ordering: repetition compresses hardest, noise barely at all
+    assert(byText(repetitive)._2 < byText(prose)._2,
+      s"repetitive ${byText(repetitive)} !< prose ${byText(prose)}")
+    assert(byText(prose)._2 < byText(noise)._2,
+      s"prose ${byText(prose)} !< noise ${byText(noise)}")
+    assert(byText(repetitive)._2 < 0.2 && byText(noise)._2 > 0.8)
+    // empty → len 0, ratio 1.0 (no divide-by-zero); null stays null
+    assert(byText("")._1 == 0 && byText("")._2 == 1.0)
+    assert(byText("<null>")._1 == -1 && byText("<null>")._2 == -1.0)
+    // the expression matches a direct JVM Deflater run (same level/raw mode)
+    val d = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+    d.setInput(prose.getBytes("UTF-8")); d.finish()
+    val buf = new Array[Byte](1 << 16)
+    var ref = 0
+    while (!d.finished()) ref += d.deflate(buf)
+    d.end()
+    assert(byText(prose)._1 == ref)
+    // stays inside whole-stage codegen over a real scan (a LocalTableScan
+    // would fold the projection and prove nothing)
+    val scanDf = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(graft.functions.TextAnalysisFns.deflateLen($"text"))
+    scanDf.collect() // finalize AQE so codegen spans are visible
+    val plan = (scanDf.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    // the star prefix is the WholeStageCodegen marker in stage printing
+    assert("""\*\(\d+\) Project \[deflate_len""".r.findFirstIn(plan).isDefined,
+      plan.take(400))
+  }
 }

@@ -372,6 +372,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf == ivf2)
   }
 
+  test("PQ: Lloyd-trained codebooks, pure same-cluster ADC retrieval") {
+    val rndv = new scala.util.Random(17)
+    val centers = Seq(Seq.fill(8)(5f), Seq.fill(8)(-5f),
+      (0 until 8).map(i => if (i % 2 == 0) 5f else -5f))
+    val docs = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rndv.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    // m=2 subspaces of 4 dims, 4 codes each, 3 Lloyd rounds
+    val idx = Ann.pqTrain(docs, "vec_id", "embedding", m = 2, ksub = 4, iters = 3)
+    assert(idx.codebooks.size == 2 && idx.codebooks.forall(_.size == 4))
+    val queries = docs.where($"vec_id" < 6)
+    val pq = Ann.pqTopK(queries, docs, "vec_id", "embedding", 5, idx)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq.size == 30) // 6 queries × k=5
+    // quantization collapses within-cluster distances to ties (that IS
+    // the compression), so exact top-5 overlap is not the contract —
+    // cluster purity is: every retrieved neighbor shares the query's
+    // cluster, because between-cluster ADC distances stay large
+    val purity = pq.count { case (q, n) => q % 3 == n % 3 }.toDouble / pq.size
+    assert(purity == 1.0, s"cross-cluster neighbors leaked: purity $purity")
+    // codes are in range and the encode is deterministic
+    val codes = Ann.pqEncode(docs, "embedding", idx)
+      .select($"__codes").as[Seq[Int]].collect()
+    assert(codes.forall(cs => cs.length == 2 && cs.forall(c => c >= 0 && c < 4)))
+    val pq2 = Ann.pqTopK(queries, docs, "vec_id", "embedding", 5, idx)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq == pq2)
+  }
+
   test("IVF: array<double> embeddings train and probe like float") {
     val rndv = new scala.util.Random(13)
     val docs = (0 until 40).map { i =>
