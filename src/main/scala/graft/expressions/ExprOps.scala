@@ -240,6 +240,37 @@ object ExprOps {
     h
   }
 
+  /** Content-defined chunk START offsets (0-based codepoint offsets) of a
+    * string, one left-to-right pass: a cut falls AFTER codepoint position
+    * `i` (1-based) whenever the polynomial hash of the trailing `window`
+    * codepoints `(((c₁·31 + c₂)·31 + c₃)·31 + c₄) mod modulus == 0` and
+    * `i < len` (a terminal cut would add an empty chunk). The result is
+    * `{0} ∪ {cut positions}` sorted ascending; empty string → empty array.
+    *
+    * Codepoint semantics (not UTF-16 chars, not bytes) so the DuckDB
+    * oracle's `ord(substr(text, i, 1))` mirror computes the identical
+    * hash. The window hash is recomputed per position (window is 4; a
+    * rolling update would save nothing measurable and would need modular
+    * inverse bookkeeping the SQL mirror can't express).
+    */
+  def cdcStarts(s: UTF8String, window: Int, modulus: Int): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val starts = new java.util.ArrayList[Any]()
+    starts.add(Integer.valueOf(0))
+    var j = window - 1 // 0-based index of the window's last codepoint
+    while (j < n) {
+      var h = 0
+      var w = j - window + 1
+      while (w <= j) { h = h * 31 + cps(w); w += 1 }
+      if (h % modulus == 0 && j + 1 < n) starts.add(Integer.valueOf(j + 1))
+      j += 1
+    }
+    new GenericArrayData(starts.toArray)
+  }
+
   /** DEFLATE-compressed size of a string's UTF-8 bytes (level 6, raw
     * deflate — no gzip header, so the size is pure entropy signal).
     * Deterministic: zlib's output for a fixed level/strategy/input is

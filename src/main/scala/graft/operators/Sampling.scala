@@ -87,6 +87,37 @@ object Sampling {
       .select(df.columns.map(col): _*) // the join moved the key first
   }
 
+  /** Exact k-per-group uniform sample ("reservoir" semantics, made
+    * deterministic): keep the k rows of each group whose seeded 48-bit
+    * md5 hash is smallest — a uniform without-replacement draw that is a
+    * pure function of (seed, id), so it is stable across runs, re-shards,
+    * and engines. Implemented with the bounded
+    * [[graft.expressions.TopKAgg]] aggregate (score = −hash), NOT a
+    * `row_number() OVER` window: the window formulation shuffles and
+    * sorts EVERY row of every group, while the aggregate's partial state
+    * is ≤2k entries per (partition, group) — at 100 TB the shuffle
+    * carries O(groups·k), not O(rows). 48 bits so the hash is exact in
+    * the aggregate's double score (< 2⁵³).
+    *
+    * Output: (group, rn 1..k in hash order, id, h48) — `rn` is a stable
+    * sample-slot number; a group with fewer than k rows keeps them all.
+    */
+  def reservoirPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                        k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h48 = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("bigint")
+    val entry = struct((-h48).cast("double").as("score"),
+      col(idCol).cast("long").as("id"))
+    df.groupBy(col(groupCol))
+      .agg(graft.expressions.TopKAgg.topK(entry, k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(groupCol),
+        (col("__pos") + 1).cast("int").as("rn"),
+        col("__e.id").as(idCol),
+        (-col("__e.score")).cast("bigint").as("h48"))
+  }
+
   /** Epoch plan for a target token mixture: for each source, the number
     * of full passes (epochs) needed to supply its share of `budget`
     * tokens — epochs_s = ⌈budget·w_s / (Σw · tokens_s)⌉, exact integer

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.expressions.CdcChunkStarts
+import graft.functions.TextAnalysisFns
+import graft.operators.Sampling
+
+/** Round-6 retrieval & ingestion wave: the text-retrieval pair a corpus
+  * pipeline serves queries with (distributed inverted-index build, BM25
+  * ranking), exact per-group reservoir sampling on the bounded top-k
+  * aggregate, content-defined chunking for chunk-level dedup, and
+  * source/sink roundtrips through the two remaining self-describing
+  * formats (ORC, JSON lines) — proving the engine reads more than
+  * parquet/CSV.
+  */
+object RetrievalQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  /** Scratch dir for format roundtrips — inside the repo's target/, keyed
+    * by sf dir so concurrent sf runs never collide; overwrite mode keeps
+    * the query idempotent.
+    */
+  private def scratch(dir: String, tag: String): String =
+    s"target/tmp/roundtrip_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact k-per-group uniform sample via the bounded TopKAgg (state ≤2k
+    // per partial, shuffle carries O(groups·k) — see
+    // Sampling.reservoirPerGroup). The oracle takes the row_number-window
+    // route over the identical 48-bit seeded hash: agg ≡ window is the
+    // correctness claim, the bounded state is the scale claim.
+    QueryDef("sample_reservoir", (s, dir) =>
+      Sampling.reservoirPerGroup(
+          t("orders")(s, dir).select(col("o_orderpriority"), col("o_orderkey")),
+          "o_orderpriority", "o_orderkey", k = 10, seed = "res0")
+        .orderBy(col("o_orderpriority"), col("rn"))
+    , Some("""
+      WITH h AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(concat('0x', substr(md5('res0:' || CAST(o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) AS h48
+        FROM orders),
+      r AS (
+        SELECT o_orderpriority, o_orderkey, h48,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                       ORDER BY h48, o_orderkey) AS INT) AS rn
+        FROM h)
+      SELECT o_orderpriority, rn, o_orderkey, h48
+      FROM r WHERE rn <= 10
+      ORDER BY o_orderpriority, rn""")),
+
+    // Distributed inverted-index build: distinct (doc, term) postings →
+    // per-term document frequency + a capped, doc-id-ordered postings
+    // head (cap 100 — real indexes shard the tail; the df column keeps
+    // the true count). Two hash-shuffles on bounded keys (term), postings
+    // ordered by a per-term window BEFORE the aggregate so no task ever
+    // holds an uncapped list. String-joined postings because oracle
+    // outputs never carry arrays.
+    QueryDef("text_inverted_index", (s, dir) => {
+      val posting = t("documents")(s, dir)
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysisFns.tokens(col("text")))).as("term"))
+      val dfreq = posting.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("term")).orderBy(col("doc_id"))
+      val capped = posting.withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 100)
+      capped.groupBy(col("term"))
+        .agg(array_join(transform(array_sort(collect_list(col("doc_id"))),
+          _.cast("string")), ",").as("postings"))
+        .join(dfreq, Seq("term"))
+        .select(col("term"), col("df"), col("postings"))
+        .orderBy(col("term"))
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(${Sql.tokens("text")})) AS term
+        FROM documents),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+      capped AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+        FROM toks),
+      p AS (
+        SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM capped WHERE rn <= 100 GROUP BY term)
+      SELECT term, df, postings FROM p JOIN dfreq USING (term)
+      ORDER BY term""")),
+
+    // BM25 ranking (k1=1.2, b=0.75) for a fixed two-term query, top 20 by
+    // the bounded global TopKAgg — no full sort of the scored set. The
+    // idf is the RATIONAL Robertson form (N−df+0.5)/(df+0.5), not the
+    // usual log of it: log is monotone (ranking unchanged) but libm
+    // rounding is not portable, while +,−,×,÷ are IEEE-exact in both
+    // engines — the identical expression tree yields bit-identical
+    // doubles. Per-term scores land in fixed columns (conditional max)
+    // and sum in a FIXED order — never a float SUM aggregate, whose
+    // partition-dependent order would unpin the result.
+    QueryDef("text_bm25", (s, dir) => {
+      val docs = t("documents")(s, dir).select(col("doc_id"), col("text"))
+      val toks = docs.select(col("doc_id"),
+        explode(TextAnalysisFns.tokens(col("text"))).as("term"))
+      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      val tf = toks.where(col("term").isin("table", "spark"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+      val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))
+      val tfpart = (col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+      val scored = tf.join(broadcast(dfreq), Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("sc", idf * tfpart)
+      val perDoc = scored.groupBy(col("doc_id")).agg(
+          max(when(col("term") === "table", col("sc"))).as("s_table"),
+          max(when(col("term") === "spark", col("sc"))).as("s_spark"))
+        .withColumn("score",
+          coalesce(col("s_table"), lit(0.0)) + coalesce(col("s_spark"), lit(0.0)))
+      perDoc.groupBy().agg(graft.expressions.TopKAgg.topK(
+          struct(col("score"), col("doc_id").cast("long").as("id")), 20).as("__top"))
+        .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select((col("__pos") + 1).cast("int").as("rank"),
+          col("__e.id").as("doc_id"), col("__e.score").as("score"))
+        .orderBy(col("rank"))
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, unnest(${Sql.tokens("text")}) AS term FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM toks WHERE term IN ('table', 'spark') GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      s AS (
+        SELECT tf.doc_id, tf.term,
+               ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                      * (CAST(dl AS DOUBLE)
+                         / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS sc
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      p AS (
+        SELECT doc_id,
+               max(CASE WHEN term = 'table' THEN sc END) AS s_table,
+               max(CASE WHEN term = 'spark' THEN sc END) AS s_spark
+        FROM s GROUP BY doc_id),
+      sc2 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(s_table, 0.0) + coalesce(s_spark, 0.0) AS score
+              FROM p),
+      r AS (SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+            FROM sc2)
+      SELECT rank, doc_id, score FROM r WHERE rank <= 20 ORDER BY rank""")),
+
+    // Content-defined chunking (see CdcChunkStarts): boundaries from a
+    // rolling 4-codepoint content hash, expected chunk ≈64 chars —
+    // insertion-stable, so chunk_md5 is the dedup key that survives
+    // near-identical documents. One codegen'd pass per doc to find
+    // starts, then a narrow explode; no shuffle until a consumer groups
+    // by chunk_md5. The oracle rebuilds the identical boundary set by
+    // exploding positions.
+    QueryDef("text_cdc_chunks", (s, dir) => {
+      val docs = t("documents")(s, dir)
+        .select(col("doc_id"), col("text"),
+          CdcChunkStarts(col("text")).as("__starts"))
+      docs.select(col("doc_id"), col("text"), col("__starts"),
+          posexplode(col("__starts")).as(Seq("__i", "st")))
+        .withColumn("en",
+          coalesce(try_element_at(col("__starts"), col("__i") + lit(2)),
+            length(col("text"))))
+        .select(col("doc_id"),
+          (col("__i") + 1).cast("int").as("chunk_idx"),
+          (col("en") - col("st")).cast("int").as("chunk_len"),
+          md5(expr("substr(text, st + 1, en - st)")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }, Some("""
+      WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+      pos AS (
+        SELECT doc_id, text, unnest(range(4, length(text) + 1)) AS i FROM d),
+      b AS (
+        SELECT doc_id, i FROM pos
+        WHERE ((((ord(substr(text, i - 3, 1)) * 31 + ord(substr(text, i - 2, 1))) * 31
+                 + ord(substr(text, i - 1, 1))) * 31 + ord(substr(text, i, 1))) % 64) = 0
+          AND i < length(text)),
+      starts AS (
+        SELECT doc_id, 0 AS st FROM d
+        UNION ALL SELECT doc_id, i AS st FROM b),
+      ch AS (
+        SELECT doc_id, st,
+               lead(st) OVER (PARTITION BY doc_id ORDER BY st) AS nxt,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY st) AS INT) AS chunk_idx
+        FROM starts)
+      SELECT c.doc_id, c.chunk_idx,
+             CAST(coalesce(c.nxt, length(d.text)) - c.st AS INT) AS chunk_len,
+             md5(substr(d.text, c.st + 1, coalesce(c.nxt, length(d.text)) - c.st)) AS chunk_md5
+      FROM ch c JOIN d ON c.doc_id = d.doc_id
+      ORDER BY c.doc_id, chunk_idx""")),
+
+    // ORC source + sink roundtrip: write the fact columns to ORC, read
+    // them back, aggregate — the oracle runs the same aggregate on the
+    // original parquet, so any write- or read-side corruption
+    // (encoding, type mapping, nulls) breaks the hash. Decimal-sum →
+    // double, the q1_agg exactness idiom.
+    QueryDef("s14_orc_roundtrip", (s, dir) => {
+      val path = scratch(dir, "orc")
+      t("lineitem")(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_extendedprice"))
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    }, Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // JSON-lines source + sink roundtrip with an EXPLICIT read schema
+    // (schema inference would re-scan the data — never at 100 TB).
+    // Decimal survives the text roundtrip exactly; the date goes through
+    // as an ISO string. Aggregates are order-independent (count / decimal
+    // sum / min / max) so the roundtrip is the only thing under test.
+    QueryDef("s15_json_roundtrip", (s, dir) => {
+      val path = scratch(dir, "json")
+      t("orders")(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"))
+        .write.mode("overwrite").json(path)
+      s.read
+        .schema("o_orderkey BIGINT, o_orderstatus STRING, price DECIMAL(18,2), day STRING")
+        .json(path)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price")).cast("double").as("sum_price"),
+          min(col("day")).as("first_day"),
+          max(col("day")).as("last_day"))
+        .orderBy(col("o_orderstatus"))
+    }, Some("""
+      SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+             min(strftime(o_orderdate, '%Y-%m-%d')) AS first_day,
+             max(strftime(o_orderdate, '%Y-%m-%d')) AS last_day
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+  )
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.CdcChunkStarts
+import graft.operators.Sampling
+
+/** Round-6 retrieval wave: content-defined chunking invariants and the
+  * reservoir sampler's agg ≡ window law.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  // --- content-defined chunking ---
+
+  /** Brute-force reference of ExprOps.cdcStarts (independent formulation:
+    * substring hashes over codepoints).
+    */
+  private def refStarts(text: String, window: Int = 4, modulus: Int = 64): Seq[Int] = {
+    val cps = text.codePoints().toArray
+    if (cps.isEmpty) return Seq.empty
+    val cuts = (window to cps.length).filter { i => // i = 1-based last-char pos
+      val h = cps.slice(i - window, i).foldLeft(0)((a, c) => a * 31 + c)
+      h % modulus == 0 && i < cps.length
+    }
+    0 +: cuts
+  }
+
+  test("cdc chunk starts: matches brute force, incl. unicode + edge cases") {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefgh  ñ😀"
+    val texts = Seq.fill(60)(
+      (0 until rnd.nextInt(300)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    ) ++ Seq("", "ab", "abcd", "a" * 400)
+    val got = texts.toDF("text")
+      .select($"text", CdcChunkStarts($"text").as("starts")).collect()
+    got.foreach { r =>
+      val text = r.getString(0)
+      assert(r.getSeq[Int](1) == refStarts(text), s"text=$text")
+    }
+  }
+
+  test("cdc chunks: reassembly identity — chunks concatenate back to the doc") {
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+    val chunks = docs
+      .select($"doc_id", $"text", CdcChunkStarts($"text").as("st"),
+        posexplode(CdcChunkStarts($"text")).as(Seq("i", "b")))
+      .withColumn("e", coalesce(try_element_at($"st", $"i" + lit(2)), length($"text")))
+      .select($"doc_id", $"i", expr("substr(text, b + 1, e - b)").as("chunk"))
+    val rebuilt = chunks.groupBy($"doc_id")
+      .agg(concat_ws("", array_sort(collect_list(struct($"i", $"chunk")))
+        .getField("chunk")).as("rebuilt"))
+    val joined = docs.join(rebuilt, Seq("doc_id"))
+      .where($"text" =!= $"rebuilt")
+    assert(joined.count() == 0)
+    // insertion-stability: a prefix edit leaves the tail chunks' hashes
+    // intact (the fixed-size formulation would shift every one of them)
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val edited = "XYZ " + base
+    def chunkHashes(t: String): Seq[String] = {
+      val starts = refStarts(t)
+      (starts :+ t.length).sliding(2).map {
+        case Seq(a, b) => java.security.MessageDigest.getInstance("MD5")
+          .digest(t.substring(a, b).getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }.toSeq
+    }
+    val h0 = chunkHashes(base).toSet
+    val h1 = chunkHashes(edited)
+    assert(h1.count(h0.contains) >= h1.size - 2,
+      "at most the first couple of chunks may differ after a prefix edit")
+  }
+
+  test("cdc chunk starts: stays inside whole-stage codegen over a real scan") {
+    val scanDf = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(CdcChunkStarts($"text"))
+    scanDf.collect()
+    val plan = (scanDf.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    // AQE's ResultQueryStage renders codegen stages as "*(n)" markers
+    val projectLine = plan.linesIterator.find(_.contains("cdc_chunk_starts"))
+    assert(projectLine.exists(_.contains("*(")), plan)
+    assert(!plan.contains("CodegenFallback"), plan)
+  }
+
+  // --- reservoir sampling ---
+
+  test("reservoir per group ≡ row_number window over the same hash; short groups kept whole") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select($"o_orderpriority", $"o_orderkey")
+    val k = 7
+    val got = Sampling.reservoirPerGroup(ev, "o_orderpriority", "o_orderkey", k, "s1")
+    val h48 = conv(substring(md5(concat(lit("s1:"), $"o_orderkey".cast("string"))), 1, 12), 16, 10)
+      .cast("bigint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority").orderBy($"h48", $"o_orderkey")
+    val ref = ev.withColumn("h48", h48)
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .where($"rn" <= k)
+      .select($"o_orderpriority", $"rn", $"o_orderkey".cast("long").as("o_orderkey"), $"h48")
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+    // a group smaller than k survives intact, in hash order
+    val tiny = Seq(("g", 1L), ("g", 2L), ("h", 3L)).toDF("grp", "id")
+    val sampled = Sampling.reservoirPerGroup(tiny, "grp", "id", 10, "s2")
+    assert(sampled.count() == 3)
+    val rns = sampled.where($"grp" === "g").orderBy($"rn")
+      .select($"rn").as[Int].collect().toSeq
+    assert(rns == Seq(1, 2))
+  }
+}
