@@ -268,4 +268,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(aggsBelowJoin.size == 2,
       s"expected standing+delta aggregates below the merge join, got ${aggsBelowJoin.size}")
   }
+
+  test("sample_reservoir: bounded top-k aggregate, never a row_number window") {
+    val plan = planOf("sample_reservoir")
+    assert(plan.contains("graft_top_k"), s"expected TopKAgg:\n${plan.take(600)}")
+    assert(!plan.contains("Window"),
+      s"reservoir degenerated to the full-sort window form:\n${plan.take(600)}")
+  }
+
+  test("text_bm25: df/stats broadcast, top-k via the bounded aggregate — no ranking window") {
+    val plan = planOf("text_bm25")
+    assert(plan.contains("graft_top_k"), s"expected TopKAgg:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "expected the 2-row df and 1-row stats sides to broadcast")
+    assert(!plan.contains("Window"),
+      s"BM25 ranking fell back to a window:\n${plan.take(600)}")
+  }
+
+  test("text_cdc_chunks: document scan pruned to (doc_id, text)") {
+    val scans = scansOf("text_cdc_chunks")
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.length <= 2,
+        s"cdc scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
 }
