@@ -61,6 +61,26 @@ object IncrementalAgg {
     joined.select(keyCols ++ valCols: _*)
   }
 
+  /** Delta of an inner equi-join — the join half of materialized-view
+    * maintenance: with disjoint splits A = A₀ ∪ ΔA and B = B₀ ∪ ΔB,
+    *
+    *   Δ(A ⋈ B) = ΔA ⋈ B  ∪  A₀ ⋈ ΔB
+    *
+    * (ΔA⋈B covers the (ΔA,B₀) and (ΔA,ΔB) pairs; A₀⋈ΔB the rest — each
+    * new pair exactly once). Feed the result through [[applyDelta]] to
+    * maintain an aggregate-over-join without recomputing history.
+    *
+    * Scale shape: both joins put the DELTA on the broadcast side, so
+    * the standing tables are scanned once each but never shuffled — a
+    * full recompute shuffles |A| + |B| every refresh; the delta refresh
+    * shuffles nothing (broadcasts are |ΔA| + |ΔB|). Caller projects
+    * both inputs to a common schema first.
+    */
+  def deltaJoin(a0: DataFrame, da: DataFrame, b0: DataFrame, db: DataFrame,
+                cond: Column): DataFrame =
+    broadcast(da).join(b0.unionByName(db), cond)
+      .unionByName(a0.join(broadcast(db), cond))
+
   /** Warehouse-backed refresh: aggregate the batch to per-key partials
     * with `partialAgg`, fold them into `table` (bootstrap on first run),
     * snapshot-swap. Returns the new standing table.

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{SimFns, SketchFns, TextAnalysisFns}
+import graft.operators.IncrementalAgg
 
 /** Round-6 scale-ops wave 3: prefix-filtered set-similarity join (the
   * PPJoin/AllPairs family — candidate generation that provably misses no
@@ -77,6 +78,48 @@ object ScaleOpsWave3Queries {
         JOIN d2 db ON db.id = pairs.id_b)
       SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.9
       ORDER BY id_a, id_b""")),
+
+    // Aggregate-over-join materialized-view maintenance, end to end:
+    // split both fact sides at a date cutoff (A = lineitem by shipdate,
+    // B = orders by orderdate), maintain the per-(priority, flag)
+    // aggregate as standing(A₀⋈B₀) ⊕ agg(Δ(A⋈B)) where
+    // Δ(A⋈B) = ΔA⋈B ∪ A₀⋈ΔB (IncrementalAgg.deltaJoin — each new pair
+    // exactly once) and ⊕ is the applyDelta outer-join fold. The oracle
+    // computes the PLAIN join+aggregate — matching hashes prove the
+    // incremental law. Scale: both delta joins broadcast the delta side
+    // (standing tables scanned, never shuffled); a full recompute
+    // shuffles |A|+|B| every refresh. (The in-query standing join stands
+    // in for the warehouse-stored MV of a real deployment.)
+    QueryDef("incremental_join_agg", (s, dir) => {
+      val cutoff = lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+      val A = t("lineitem")(s, dir)
+        .select(col("l_orderkey"), col("l_returnflag"),
+          col("l_quantity"), col("l_shipdate"))
+      val B = t("orders")(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+      val a0 = A.where(col("l_shipdate") < cutoff)
+      val da = A.where(col("l_shipdate") >= cutoff)
+      val b0 = B.where(col("o_orderdate") < cutoff)
+      val db = B.where(col("o_orderdate") >= cutoff)
+      val cond = col("l_orderkey") === col("o_orderkey")
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"), col("l_returnflag"))
+          .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty"),
+            count(lit(1)).as("n"))
+      val standing = agg(a0.join(b0, cond))
+      val deltaAgg = agg(IncrementalAgg.deltaJoin(a0, da, b0, db, cond))
+      IncrementalAgg.applyDelta(standing, deltaAgg,
+          Seq("o_orderpriority", "l_returnflag"),
+          Map("qty" -> IncrementalAgg.Add, "n" -> IncrementalAgg.Add))
+        .select(col("o_orderpriority"), col("l_returnflag"),
+          col("qty").cast("double").as("sum_qty"), col("n"))
+        .orderBy(col("o_orderpriority"), col("l_returnflag"))
+    }, Some("""
+      SELECT o_orderpriority, l_returnflag,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
 
     // HLL merge law: per-event_type register sets merged by per-bucket
     // MAX equal the registers sketched directly over the whole table —

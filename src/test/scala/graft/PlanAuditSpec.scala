@@ -285,6 +285,15 @@ class PlanAuditSpec extends AnyFunSuite {
       s"BM25 ranking fell back to a window:\n${plan.take(600)}")
   }
 
+  test("incremental_join_agg: both delta joins broadcast the delta side") {
+    val plan = planOf("incremental_join_agg")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2,
+      s"expected the two delta joins to broadcast, saw $broadcasts:\n${plan.take(800)}")
+    assert(plan.contains("FullOuter") || plan.contains("full_outer"),
+      "expected the standing+delta applyDelta outer-join fold")
+  }
+
   test("text_cdc_chunks: document scan pruned to (doc_id, text)") {
     val scans = scansOf("text_cdc_chunks")
     assert(scans.nonEmpty)
