@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextAnalysisFns
+import graft.operators.{Layout, Validate}
+
+/** Round-6 validation/layout wave: declarative data-contract validation
+  * (the pre-ingest quality gate), batch time-window dedup, positional-
+  * postings phrase search, and a z-order clustering audit. All exact —
+  * integer counts and bit arithmetic only.
+  */
+object ValidationWaveQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Data-contract validation over orders: four row-local rules fold
+    // into ONE aggregate pass (per-rule sum(when) columns of the same
+    // agg — rule count never adds scans), uniqueness is one distinct
+    // aggregate, referential integrity one broadcast anti-join. The
+    // report is additive because value rules ignore nulls (a null fails
+    // only not_null). This is the Deequ-check shape: at 100 TB the whole
+    // suite costs one fact scan + one key shuffle.
+    QueryDef("validate_contracts", (s, dir) => {
+      val o = t("orders")(s, dir)
+      val rowLocal = Validate.check(o, Seq(
+        Validate.notNull("o_custkey"),
+        Validate.inSet("o_orderstatus", Seq("O", "F", "P")),
+        Validate.inRange("o_totalprice", 0, 1000000),
+        Validate.matches("o_orderpriority", "^[1-5]-")))
+      val unique = Validate.checkUnique(o, Seq("o_orderkey"))
+      val ref = Validate.checkReferential(
+        o, "o_custkey", t("customer")(s, dir), "c_custkey")
+      rowLocal.unionByName(unique).unionByName(ref)
+        .orderBy(col("rule"))
+    }, Some("""
+      WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+      SELECT rule, violations, n_rows FROM (
+        SELECT 'not_null(o_custkey)' AS rule,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+               CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O','F','P')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'in_range(o_totalprice)',
+               CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                              AND NOT (o_totalprice BETWEEN 0 AND 1000000)
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'matches(o_orderpriority)',
+               CAST(sum(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'referential(o_custkey->c_custkey)',
+               CAST(count(*) AS BIGINT)
+        FROM orders o
+        WHERE o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+      CROSS JOIN n ORDER BY rule""")),
+
+    // Batch time-window dedup: within each (user, event_type, hour)
+    // tumbling window keep the EARLIEST event — the batch twin of the
+    // streaming dropDuplicates-within-watermark. One hash shuffle on the
+    // composite key; the per-key window never sees more than one
+    // window's rows. Ties break on event_id, so the keeper is unique.
+    QueryDef("dedup_time_window", (s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"), col("hour"))
+        .orderBy(col("ts"), col("event_id"))
+      t("events")(s, dir)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("hour"), col("user_id"), col("event_type"),
+          col("event_id"))
+        .orderBy(col("hour"), col("user_id"), col("event_type"))
+    }, Some("""
+      SELECT date_trunc('hour', ts) AS hour, user_id, event_type, event_id
+      FROM events
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, event_type, date_trunc('hour', ts)
+        ORDER BY ts, event_id) = 1
+      ORDER BY hour, user_id, event_type""")),
+
+    // Phrase search over positional postings: docs containing the exact
+    // phrase "the data", found by equi-joining the two terms' postings
+    // on (doc, pos+1). Scale shape: an array_contains PRE-FILTER keeps
+    // docs lacking either word out of the explode entirely (the posting
+    // build is the expensive step — never explode what can't match);
+    // the join keys are (doc_id, pos), so candidates are exact, never
+    // scored. The oracle takes the direct adjacent-scan route — matching
+    // hashes prove postings ≡ scan.
+    QueryDef("text_phrase_search", (s, dir) => {
+      val Seq(w1, w2) = Seq("the", "data")
+      val toks = t("documents")(s, dir)
+        .select(col("doc_id"), TextAnalysisFns.tokens(col("text")).as("ts"))
+        .where(array_contains(col("ts"), w1) && array_contains(col("ts"), w2))
+      val postings = toks.select(col("doc_id"),
+        posexplode(col("ts")).as(Seq("pos", "term")))
+      val p1 = postings.where(col("term") === w1)
+        .select(col("doc_id"), col("pos"))
+      val p2 = postings.where(col("term") === w2)
+        .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+      p1.join(p2, col("doc_id") === col("doc_id2") &&
+          col("pos2") === col("pos") + 1)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), min(col("pos")).as("first_pos"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH toks AS (
+        SELECT doc_id, ${Sql.tokens("text")} AS ts FROM documents),
+      hits AS (
+        SELECT doc_id,
+               list_filter(generate_series(1, len(ts) - 1),
+                 i -> ts[i] = 'the' AND ts[i+1] = 'data') AS at
+        FROM toks)
+      SELECT doc_id, CAST(len(at) AS BIGINT) AS n_hits,
+             CAST(list_min(at) - 1 AS INT) AS first_pos
+      FROM hits WHERE len(at) > 0 ORDER BY doc_id""")),
+
+    // Z-order clustering audit: Morton-interleave two 16-bit dimensions
+    // of orders, bucket rows by the z-value's TOP FOUR BITS (the
+    // level-2 quadrants of the curve — a pure projection, no global
+    // window, no extra shuffle), and report each bucket's row count and
+    // per-dimension min/max envelope. Tight envelopes are exactly what
+    // parquet min/max stats need for multi-dimension scan pruning — the
+    // audit a layout job runs to prove its clustering worked. The
+    // oracle recomputes the interleave bit-for-bit.
+    QueryDef("layout_zorder_stats", (s, dir) => {
+      val o = t("orders")(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"))
+      val bounds = o.agg(
+        min(col("o_custkey")).as("mnx"), max(col("o_custkey")).as("mxx"),
+        min(col("o_orderkey")).as("mny"), max(col("o_orderkey")).as("mxy"))
+      o.crossJoin(broadcast(bounds))
+        .select(
+          Layout.normalize(col("o_custkey"), col("mnx"), col("mxx")).as("x"),
+          Layout.normalize(col("o_orderkey"), col("mny"), col("mxy")).as("y"))
+        .withColumn("z", Layout.interleave(Seq(col("x"), col("y"))))
+        .withColumn("bucket", expr("z DIV 268435456"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"),
+          min(col("y")).as("min_y"), max(col("y")).as("max_y"))
+        .orderBy(col("bucket"))
+    }, Some {
+      // op-for-op mirror of Layout.normalize: (c − min) / span FIRST,
+      // then × 65535, then floor — identical IEEE sequence both engines
+      def norm(c: String, mn: String, mx: String): String =
+        s"""CASE WHEN CAST($mx AS DOUBLE) - CAST($mn AS DOUBLE) <= 0.0 THEN 0
+            ELSE least(65535, CAST(floor(
+              (CAST($c AS DOUBLE) - CAST($mn AS DOUBLE))
+                / (CAST($mx AS DOUBLE) - CAST($mn AS DOUBLE)) * 65535)
+              AS BIGINT)) END"""
+      s"""
+      WITH b AS (
+        SELECT min(o_custkey) AS mnx, max(o_custkey) AS mxx,
+               min(o_orderkey) AS mny, max(o_orderkey) AS mxy
+        FROM orders),
+      d AS (
+        SELECT ${norm("o_custkey", "mnx", "mxx")} AS x,
+               ${norm("o_orderkey", "mny", "mxy")} AS y
+        FROM orders CROSS JOIN b),
+      z AS (
+        SELECT x, y,
+               CAST(list_sum(list_transform(generate_series(0, 15), bb ->
+                 (((x >> bb) & 1) << (2*bb)) + (((y >> bb) & 1) << (2*bb + 1))))
+                 AS BIGINT) AS z
+        FROM d)
+      SELECT z // 268435456 AS bucket, CAST(count(*) AS BIGINT) AS n,
+             min(x) AS min_x, max(x) AS max_x,
+             min(y) AS min_y, max(y) AS max_y
+      FROM z GROUP BY 1 ORDER BY bucket"""
+    })
+  )
+}
