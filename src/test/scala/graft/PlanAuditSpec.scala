@@ -302,4 +302,54 @@ class PlanAuditSpec extends AnyFunSuite {
         s"cdc scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
     }
   }
+
+  test("validate_contracts: referential check is a broadcast anti join, no shuffle join") {
+    val plan = planOf("validate_contracts")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"referential rule lost its broadcast anti join:\n${plan.take(600)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a contract check degenerated to a shuffle join:\n${plan.take(600)}")
+  }
+
+  test("feature_minmax: group stats broadcast back onto the fact") {
+    val plan = planOf("feature_minmax")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats side stopped broadcasting:\n${plan.take(600)}")
+    assert(!plan.contains("SortMergeJoin"), "fact shuffled for the stats join")
+  }
+
+  test("graph_triangle_coeff: every triangle join is an equi-join — no cartesian") {
+    val plan = planOf("graph_triangle_coeff")
+    assert(!plan.contains("CartesianProduct"),
+      s"triangle enumeration degenerated to a cartesian:\n${plan.take(600)}")
+    // the only nested-loop join allowed is the final 1-row × 1-row cross
+    val nl = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nl <= 1, s"unexpected nested-loop joins ($nl):\n${plan.take(800)}")
+  }
+
+  test("text_phrase_search: both-words prefilter sits BELOW the posting explode") {
+    val plan = planOf("text_phrase_search")
+    val gen = plan.indexOf("Generate")
+    val filt = plan.indexOf("array_contains")
+    assert(gen >= 0 && filt >= 0 && gen < filt,
+      s"docs lacking a phrase word are exploded anyway:\n${plan.take(800)}")
+  }
+
+  test("dedup_time_window: keeper window partitions by the composite key") {
+    val plan = planOf("dedup_time_window")
+    assert(plan.contains("hashpartitioning(user_id"),
+      s"window lost its key partitioning:\n${plan.take(600)}")
+  }
+
+  test("layout_zorder_stats: z and bucket are projections — one aggregate shuffle only") {
+    val plan = planOf("layout_zorder_stats")
+    assert(!plan.contains("Window"),
+      s"bucketing degenerated to a window:\n${plan.take(600)}")
+    // ONE key shuffle (the bucket aggregate); the only other exchanges
+    // are the final ORDER BY range partition, the test-env spread
+    // round-robin, and the broadcast of the 1-row bounds
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(keyShuffles == 1,
+      s"expected exactly one key shuffle, saw $keyShuffles:\n${plan.take(800)}")
+  }
 }
