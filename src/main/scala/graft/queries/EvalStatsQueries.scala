@@ -1,0 +1,279 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Ann
+
+/** Round-6 eval/statistics wave: equi-depth histogram construction (the
+  * ANALYZE-style optimizer statistic), int8 embedding quantization with a
+  * fold-exact reconstruction error, ANN recall evaluation (approximate
+  * index vs exact ground truth), and a three-step strict-sequence funnel
+  * (MATCH_RECOGNIZE-shaped). Exactness: integer cum-threshold tests for
+  * the histogram; single-op / ordered-fold float arithmetic everywhere
+  * else.
+  */
+object EvalStatsQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  private val K = 8
+
+  /** int8 quantization report per vector: scale 127/max|x|, codes
+    * floor(x·s), reconstruction MSE via the sequential foldSum pattern.
+    * Zero vectors → scale 0, all-zero codes, mse 0 (never divides by
+    * zero). Pure elementwise projections — no shuffle.
+    */
+  private[graft] def quantizeInt8(df: org.apache.spark.sql.DataFrame,
+                                  idCol: String, vecCol: String)
+      : org.apache.spark.sql.DataFrame = {
+    val v = col(vecCol)
+    df
+      .withColumn("m", array_max(transform(v, x => abs(x.cast("double")))))
+      .withColumn("scale",
+        when(col("m") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("m")))
+      .withColumn("codes", transform(v,
+        x => floor(x.cast("double") * col("scale")).cast("long")))
+      .withColumn("sq", transform(expr(s"arrays_zip($vecCol, codes)"),
+        e => {
+          val err = e.getField(vecCol).cast("double") -
+            when(col("scale") === 0.0, lit(0.0))
+              .otherwise(e.getField("codes").cast("double") / col("scale"))
+          err * err
+        }))
+      .select(col(idCol), col("scale"),
+        aggregate(col("codes"), lit(0L), (a, c) => a + c).as("sum_codes"),
+        array_max(col("codes")).as("max_code"),
+        (aggregate(col("sq"), lit(0.0), (a, c) => a + c)
+          / size(v)).as("mse"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Equi-depth histogram of o_totalprice (cents grid), K = 8 buckets —
+    // the statistic behind range partitioning and CBO selectivity. The
+    // fact collapses map-side into a (cents, count) histogram; the
+    // cumulative window and the K boundary probes run on the HISTOGRAM
+    // (distinct values), never the fact — the stats_percentile_mode
+    // pattern generalized to a full boundary vector. Boundaries are
+    // cross-multiplied BIGINT tests (cum·K ≥ n·i ⇔ cum ≥ i·n/K), no
+    // float: boundary_i is the smallest value covering quantile i/K.
+    // The cumulative count is a DISTRIBUTED PREFIX SUM: the fact
+    // collapses map-side into a ($10-bin, count) histogram; bins group
+    // into contiguous shards of 256; within-shard cumsum is a window
+    // PARTITIONED by shard (never a global window), and each shard's
+    // global offset comes from a non-equi join over the |shards|-row
+    // shard-total table (broadcast). The oracle computes the cum the
+    // naive global way — matching hashes prove the decomposition.
+    QueryDef("stats_equidepth_histogram", (s, dir) => {
+      val hist = t("orders")(s, dir)
+        // exact-integer binning: ×100 makes the decimal integral BEFORE
+        // the cast (Spark truncates decimal→long, DuckDB rounds — on an
+        // integral value they agree), then BIGINT division bins by $10
+        .select(expr("CAST(o_totalprice * 100 AS BIGINT) DIV 1000").as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("cnt"))
+      val inner = hist
+        .withColumn("shard", expr("bin DIV 256"))
+        .withColumn("icum", sum(col("cnt")).over(
+          Window.partitionBy(col("shard")).orderBy(col("bin"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val stot = inner.groupBy(col("shard")).agg(sum(col("cnt")).as("scnt"))
+      val offsets = stot.as("a")
+        .join(broadcast(stot.as("b")), col("b.shard") < col("a.shard"), "left")
+        .groupBy(col("a.shard").as("shard"))
+        .agg(coalesce(sum(col("b.scnt")), lit(0L)).as("off"))
+      val h2 = inner.join(broadcast(offsets), Seq("shard"))
+        .select(col("bin"), (col("icum") + col("off")).as("cum"))
+      val n = hist.agg(sum(col("cnt")).as("n"))
+      val aggs = max(col("n")).as("__n") +: (1 to K).map(i =>
+        min(when(col("cum") * K >= col("n") * i, col("bin"))).as(s"__b$i"))
+      h2.crossJoin(broadcast(n))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(explode(array((1 to K).map(i =>
+          struct(lit(i).as("bucket"), col(s"__b$i").as("upper_bin"),
+            col("__n").as("n_rows"))): _*)).as("r"))
+        .select(col("r.bucket").as("bucket"),
+          col("r.upper_bin").as("upper_bin"),
+          col("r.n_rows").as("n_rows"))
+        .orderBy(col("bucket"))
+    }, Some(s"""
+      WITH hist AS (
+        SELECT CAST(o_totalprice * 100 AS BIGINT) // 1000 AS bin,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY 1),
+      h2 AS (
+        SELECT bin,
+               CAST(sum(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+               CAST(sum(cnt) OVER () AS BIGINT) AS n
+        FROM hist),
+      b AS (
+        SELECT max(n) AS n_rows,
+               ${(1 to K).map(i =>
+                 s"min(CASE WHEN cum * $K >= n * $i THEN bin END) AS b$i")
+                 .mkString(", ")}
+        FROM h2)
+      SELECT i AS bucket,
+             CASE ${(1 to K).map(i => s"WHEN i = $i THEN b$i").mkString(" ")}
+             END AS upper_bin, n_rows
+      FROM b CROSS JOIN (SELECT unnest(generate_series(1, $K)) AS i) ii
+      ORDER BY bucket""")),
+
+    // int8 embedding quantization (the 4× memory compressor for vector
+    // serving): per-vector scale 127/max|x|, codes floor(x·s) — pure
+    // elementwise projections, no shuffle. The reconstruction MSE is a
+    // SEQUENTIAL left fold over the element errors (the foldSum
+    // pattern), so even the accumulated float error is bit-identical to
+    // the oracle. Zero vectors quantize to scale 0 / mse 0 by contract.
+    QueryDef("embed_quantize_int8", (s, dir) =>
+      quantizeInt8(t("embeddings")(s, dir), "vec_id", "embedding")
+        .orderBy(col("vec_id"))
+    , Some(s"""
+      WITH q AS (
+        SELECT vec_id, embedding AS v,
+               list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS m
+        FROM embeddings),
+      sc AS (
+        SELECT vec_id, v,
+               CASE WHEN m = 0.0 THEN 0.0 ELSE 127.0 / m END AS scale
+        FROM q),
+      c AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x ->
+                 CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS codes
+        FROM sc),
+      e AS (
+        SELECT vec_id, scale, codes,
+               list_transform(generate_series(1, len(v)), i ->
+                 (CAST(v[i] AS DOUBLE) -
+                   CASE WHEN scale = 0.0 THEN 0.0
+                        ELSE CAST(codes[i] AS DOUBLE) / scale END) *
+                 (CAST(v[i] AS DOUBLE) -
+                   CASE WHEN scale = 0.0 THEN 0.0
+                        ELSE CAST(codes[i] AS DOUBLE) / scale END)) AS sq,
+               len(v) AS d
+        FROM c)
+      SELECT vec_id, scale,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+               (a, x) -> a + x) AS BIGINT) AS sum_codes,
+             list_max(codes) AS max_code,
+             ${Sql.foldSum("sq")} / d AS mse
+      FROM e ORDER BY vec_id""")),
+
+    // ANN recall@5: the LSH index's top-5 against the exact brute-force
+    // top-5 per query — the evaluation loop every approximate index
+    // ships with. Both paths are the engine's own operators (bounded
+    // TopKAgg tails, bucket-pruned candidates); the intersection is an
+    // equi-join on (query, neighbor), and queries the index misses
+    // entirely still report (left join from the query set). The oracle
+    // recomputes BOTH paths from scratch — ground truth and index —
+    // so the recall numbers are pinned end to end.
+    QueryDef("ann_recall_eval", (s, dir) => {
+      val emb = t("embeddings")(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val planeSets = Seq(
+        Ann.deterministicPlanes(8, 64, seed = 1),
+        Ann.deterministicPlanes(8, 64, seed = 2))
+      val exact = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = Ann.lshTopK(q, emb, "vec_id", "embedding", 5, planeSets)
+        .select(col("query_id").as("ql"), col("neighbor_id").as("nl"))
+      val hits = exact.join(approx,
+          col("query_id") === col("ql") && col("neighbor_id") === col("nl"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      q.select(col("vec_id").as("qid"))
+        .join(hits, col("qid") === col("query_id"), "left")
+        .select(col("qid").as("query_id"),
+          coalesce(col("h"), lit(0L)).as("n_hits"),
+          (coalesce(col("h"), lit(0L)) / lit(5.0)).as("recall"))
+        .orderBy(col("query_id"))
+    }, Some {
+      val planeSets = Seq(
+        Ann.deterministicPlanes(8, 64, seed = 1),
+        Ann.deterministicPlanes(8, 64, seed = 2))
+      def bucketSql(v: String, planes: Seq[Seq[Double]]): String =
+        planes.zipWithIndex.map { case (p, i) =>
+          val lit = p.map(_.toString).mkString("[", ", ", "]")
+          s"CASE WHEN ${Sql.dot(v, s"CAST($lit AS DOUBLE[])")} >= 0.0 THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", " + ", ")")
+      val b0q = bucketSql("q.embedding", planeSets(0))
+      val b1q = bucketSql("q.embedding", planeSets(1))
+      val b0c = bucketSql("c.embedding", planeSets(0))
+      val b1c = bucketSql("c.embedding", planeSets(1))
+      s"""
+      WITH ex AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${Sql.cosine("q.embedding", "c.embedding")} DESC,
+                            c.vec_id) AS rnk
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        WHERE rnk <= 5),
+      ap AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${Sql.cosine("q.embedding", "c.embedding")} DESC,
+                            c.vec_id) AS rnk
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+           AND ($b0q = $b0c OR $b1q = $b1c))
+        WHERE rnk <= 5),
+      h AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS h
+        FROM ex JOIN ap USING (query_id, neighbor_id) GROUP BY 1)
+      SELECT qq.vec_id AS query_id,
+             coalesce(h.h, 0) AS n_hits,
+             coalesce(h.h, 0) / 5.0 AS recall
+      FROM (SELECT vec_id FROM embeddings WHERE vec_id < 10) qq
+      LEFT JOIN h ON h.query_id = qq.vec_id
+      ORDER BY query_id"""
+    }),
+
+    // Three-step strict-sequence funnel (view → click → purchase, each
+    // step strictly after the previous first occurrence) — the
+    // MATCH_RECOGNIZE shape reduced to two conditional-min passes: each
+    // step's table is the type-filtered events (filter pushes to the
+    // scan), joined on the key and the previous step's timestamp, so no
+    // per-user array materializes and no ordering window runs. A null
+    // step timestamp falls through both joins and reports matched =
+    // false.
+    QueryDef("seq_pattern_match", (s, dir) => {
+      val ev = t("events")(s, dir)
+      val v = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts"))
+      val vc = v.join(c, col("user_id") === col("cu") && col("cts") > col("t1"),
+          "left")
+        .groupBy(col("user_id"), col("t1")).agg(min(col("cts")).as("t2"))
+      val p = ev.where(col("event_type") === "purchase")
+        .select(col("user_id").as("pu"), col("ts").as("pts"))
+      vc.join(p, col("user_id") === col("pu") && col("pts") > col("t2"),
+          "left")
+        .groupBy(col("user_id"), col("t1"), col("t2"))
+        .agg(min(col("pts")).as("t3"))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          col("t3").isNotNull.as("matched"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH v AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      vc AS (
+        SELECT v.user_id, v.t1, min(c.ts) AS t2
+        FROM v LEFT JOIN events c
+          ON c.user_id = v.user_id AND c.event_type = 'click' AND c.ts > v.t1
+        GROUP BY v.user_id, v.t1),
+      vcp AS (
+        SELECT vc.user_id, vc.t1, vc.t2, min(p.ts) AS t3
+        FROM vc LEFT JOIN events p
+          ON p.user_id = vc.user_id AND p.event_type = 'purchase'
+         AND p.ts > vc.t2
+        GROUP BY vc.user_id, vc.t1, vc.t2)
+      SELECT user_id, t1, t2, t3, t3 IS NOT NULL AS matched
+      FROM vcp ORDER BY user_id"""))
+  )
+}

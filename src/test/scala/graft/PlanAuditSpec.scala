@@ -352,4 +352,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(keyShuffles == 1,
       s"expected exactly one key shuffle, saw $keyShuffles:\n${plan.take(800)}")
   }
+
+  test("stats_equidepth_histogram: cum window partitioned by shard — never global") {
+    val plan = planOf("stats_equidepth_histogram")
+    assert(plan.contains("hashpartitioning(shard"),
+      s"prefix-sum window lost its shard partitioning:\n${plan.take(800)}")
+    // the only SinglePartition exchanges allowed are the 1-row aggregate
+    // combines — a Window fed by one would be the global-sort regression
+    val winAt = plan.indexOf("Window")
+    assert(winAt >= 0, "expected the within-shard cumsum window")
+    val windowBody = plan.substring(winAt, math.min(plan.length, winAt + 400))
+    assert(windowBody.contains("windowspecdefinition(shard"),
+      s"the cumsum window is not shard-partitioned:\n$windowBody")
+  }
+
+  test("embed_quantize_int8: pure projection — no key shuffle at all") {
+    val plan = planOf("embed_quantize_int8")
+    val keyShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(keyShuffles == 0,
+      s"quantization gained a shuffle ($keyShuffles):\n${plan.take(800)}")
+    assert(!plan.contains("Window"), "quantization gained a window")
+  }
+
+  test("ann_recall_eval: both index paths keep the bounded top-k aggregate") {
+    val plan = planOf("ann_recall_eval")
+    val topk = "graft_top_k".r.findAllIn(plan).size
+    assert(topk >= 2,
+      s"expected TopKAgg in both the exact and LSH paths, saw $topk")
+    assert(!plan.contains("CartesianProduct"),
+      "a recall path degenerated to a cartesian")
+  }
+
+  test("seq_pattern_match: step filters reach the events scan") {
+    val scans = scansOf("seq_pattern_match")
+    assert(scans.nonEmpty)
+    assert(scans.exists(_.metadata("PushedFilters").contains("EqualTo(event_type")),
+      s"event_type filters not pushed: ${scans.map(_.metadata("PushedFilters")).mkString(" | ")}")
+  }
 }
