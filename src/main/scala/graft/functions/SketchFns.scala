@@ -31,6 +31,13 @@ object SketchFns {
   def hash60(v: Column): Column =
     conv(substring(md5(v.cast("string")), 1, 15), 16, 10).cast("long")
 
+  /** 52-bit hash (first 13 md5 hex chars): every value is exactly
+    * representable as a DOUBLE, so a (score, id) bounded aggregate can
+    * carry it without rounding collisions — the KMV sketch needs that.
+    */
+  def hash52(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 13), 16, 10).cast("long")
+
   def hllBucket(h: Column): Column = shiftright(h, HllRemBits)
 
   def hllRem(h: Column): Column = h.bitwiseAND(lit((1L << HllRemBits) - 1))
