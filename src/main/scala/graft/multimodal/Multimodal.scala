@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -521,5 +521,60 @@ object Multimodal {
         concat(col("__grp"), lit("#"), (col("__cum") / lit(targetBytes)).cast("long")))
     val n = math.max(1, bucketed.select(col("__bucket")).distinct().count().toInt)
     bucketed.repartition(n, col("__bucket")).drop("__sz", "__grp", "__cum", "__bucket")
+  }
+
+  /** Average-hash (aHash) over a [[FeatureDim]] luminance-grid features
+    * column: bit i set when cell i exceeds the grid MEAN — the standard
+    * perceptual hash for near-duplicate image detection (robust to
+    * brightness/contrast shifts because the threshold is the image's own
+    * mean; robust to rescaling because the grid already is the resize).
+    * Pure column expression over the already-extracted features — no
+    * second decode, stays in whole-stage codegen.
+    */
+  def perceptualHash(features: Column): Column = {
+    val mean = aggregate(features, lit(0.0),
+      (a, x) => a + x.cast("double")) / size(features)
+    val bits = transform(features,
+      f => when(f.cast("double") > mean, lit(1L)).otherwise(lit(0L)))
+    // bit i = cell i: fold the REVERSED bit array with acc·2 + bit, so
+    // cell 0 lands in the least-significant bit — no per-element shift
+    aggregate(reverse(bits), lit(0L), (a, b) => a * 2 + b)
+  }
+
+  /** Near-duplicate image detection on the perceptual hash: hashes band
+    * into `maxHamming + 1` equal bit-slices (pigeonhole: ≤ maxHamming
+    * differing bits leave at least one band intact), candidates come
+    * from a band equi-join — never an all-pairs compare — and each
+    * candidate is verified with an exact `bit_count(xor) ≤ maxHamming`.
+    * Output: (media_id, phash, is_dup) where a row is a dup iff some
+    * LOWER id matches within the Hamming radius — the keep-lowest-id
+    * convention of the text dedup family.
+    */
+  def dedupByPerceptualHash(media: DataFrame, maxHamming: Int = 1): DataFrame = {
+    require(maxHamming >= 0 && FeatureDim % (maxHamming + 1) == 0,
+      s"bands must split $FeatureDim bits evenly")
+    val nBands = maxHamming + 1
+    val bandBits = FeatureDim / nBands
+    val mask = (1L << bandBits) - 1
+    val ph = extractImageFeatures(media)
+      .where(col("decoded"))
+      .select(col("media_id"), perceptualHash(col("features")).as("phash"))
+    val banded = ph.select(col("media_id"), col("phash"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("phash"), b * bandBits).bitwiseAND(lit(mask))
+            .as("bv"))): _*)).as("bk"))
+      .select(col("media_id"), col("phash"),
+        col("bk.band").as("band"), col("bk.bv").as("bv"))
+    val dups = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("b.media_id") < col("a.media_id"))
+      .where(expr("bit_count(a.phash ^ b.phash)") <= maxHamming)
+      .select(col("a.media_id").as("media_id")).distinct()
+      .withColumn("__dup", lit(true))
+    ph.join(dups, Seq("media_id"), "left")
+      .select(col("media_id"), col("phash"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
   }
 }

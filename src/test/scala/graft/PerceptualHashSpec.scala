@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.Multimodal
+
+/** Perceptual-hash (aHash) image dedup: hash semantics on known feature
+  * grids, brightness invariance, and the banded near-dup join.
+  */
+class PerceptualHashSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def hashOf(features: Seq[Float]): Long =
+    Seq(Tuple1(features)).toDF("f")
+      .select(Multimodal.perceptualHash(col("f")).as("h"))
+      .as[Long].first()
+
+  test("perceptualHash: bit i set exactly when cell i exceeds the mean") {
+    // cells 0..15 = 0..15; mean 7.5 → bits 8..15 set
+    val h = hashOf((0 until 16).map(_.toFloat))
+    assert(h == 0xFF00L)
+    // all-equal grid: nothing exceeds the mean → hash 0
+    assert(hashOf(Seq.fill(16)(3.0f)) == 0L)
+  }
+
+  test("perceptualHash: invariant under brightness scaling") {
+    val base = (0 until 16).map(i => (i * 10 + 5).toFloat)
+    val brighter = base.map(_ * 1.7f)
+    assert(hashOf(base) == hashOf(brighter))
+  }
+
+  /** 8×8 PNG whose 4×4 grid cells carry the given 16 luminances. */
+  private def gridPng(cells: Seq[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = cells((y / 2) * 4 + (x / 2))
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("dedupByPerceptualHash: near-identical image marked, distinct kept") {
+    val a = (0 until 16).map(i => i * 16)           // gradient
+    val a2 = a.updated(15, 250)                     // same side of mean everywhere
+    val c = a.reverse                               // mirrored → different hash
+    val rows = Seq((1L, gridPng(a)), (2L, gridPng(a2)), (3L, gridPng(c)))
+      .toDF("media_id", "payload")
+    val got = Multimodal.dedupByPerceptualHash(rows, maxHamming = 1)
+      .orderBy("media_id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => r._1 -> r._3) == Seq(1L -> false, 2L -> true, 3L -> false))
+    // the two near-dups really share a hash; the mirror really differs
+    assert(got(0)._2 == got(1)._2 && got(0)._2 != got(2)._2)
+  }
+
+  test("dedupByPerceptualHash: undecodable payloads drop out, never match") {
+    val rows = Seq((1L, gridPng((0 until 16).map(_ * 16))),
+      (2L, Array[Byte](1, 2, 3))).toDF("media_id", "payload")
+    val got = Multimodal.dedupByPerceptualHash(rows)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L) && !got.head._3)
+  }
+}
