@@ -389,4 +389,48 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans.exists(_.metadata("PushedFilters").contains("EqualTo(event_type")),
       s"event_type filters not pushed: ${scans.map(_.metadata("PushedFilters")).mkString(" | ")}")
   }
+
+  test("mine_frequent_pairs: item counts and basket total broadcast onto support") {
+    val plan = planOf("mine_frequent_pairs")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2,
+      s"expected both item-count joins to broadcast, saw $broadcasts")
+    assert(!plan.contains("CartesianProduct"),
+      "pair mining degenerated to a cartesian")
+  }
+
+  test("table_diff_audit: one co-shuffle — a single outer join, no extra pass") {
+    val plan = planOf("table_diff_audit")
+    assert(plan.contains("FullOuter") || plan.contains("full_outer"),
+      s"diff lost its full-outer classification join:\n${plan.take(600)}")
+    val joins = "Join".r.findAllIn(plan).size
+    assert(joins <= 2, s"unexpected extra joins ($joins)") // outer + none
+  }
+
+  test("markov_transitions: lead window partitioned by user, totals broadcast") {
+    val plan = planOf("markov_transitions")
+    assert(plan.contains("windowspecdefinition(user_id"),
+      s"lead window lost its user partitioning:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastHashJoin"), "row totals stopped broadcasting")
+  }
+
+  test("geo_grid_join: cell equi-join — never a nested-loop spatial join") {
+    val plan = planOf("geo_grid_join")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"radius join degenerated:\n${plan.take(600)}")
+    assert(plan.contains("Generate"),
+      "the 3×3 neighborhood explode disappeared — candidates incomplete?")
+  }
+
+  test("dedup_chunk_overlap: chunk-hash equi-join, document scan pruned") {
+    val plan = planOf("dedup_chunk_overlap")
+    assert(!plan.contains("CartesianProduct"),
+      "chunk overlap degenerated to doc×doc")
+    val scans = scansOf("dedup_chunk_overlap")
+    scans.foreach { s =>
+      assert(s.requiredSchema.fieldNames.length <= 2,
+        s"chunk scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
+    }
+  }
 }
