@@ -321,4 +321,79 @@ object Streams {
         }
         ()
     }
+
+  // ---- streaming mergeable sketch -----------------------------------
+
+  final case class TypeEstimate(event_type: String, estimate: Double,
+                                n_buckets: Long)
+
+  /** Streaming distinct-user HLL per event type: the 512 registers live
+    * in a `MapState[bucket, maxrho]` — per input row only the touched
+    * bucket is read-modify-written (a ValueState[Map] would rewrite all
+    * 512 every batch), and the estimate re-derives from the register
+    * map at the end of each batch. Because max is associative/
+    * commutative/idempotent, replayed or reordered rows can never
+    * corrupt the registers — the streaming form of the
+    * `sketch_hll_merge` law, and the row-level arithmetic is
+    * BIT-IDENTICAL to the batch column pipeline
+    * ([[graft.functions.SketchFns]]): same md5-prefix hash, same
+    * leading-one rank, same fixed-point estimate — so a batch recompute
+    * over the same rows must agree exactly (spec-pinned).
+    */
+  class HllDistinctUsers extends StatefulProcessor[String, Event, TypeEstimate] {
+    import graft.functions.SketchFns.{HllP, HllM, HllRemBits, HllScale}
+    @transient private var regs: org.apache.spark.sql.streaming.MapState[Int, Int] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      regs = getHandle.getMapState[Int, Int](
+        "hll_regs", Encoders.scalaInt, Encoders.scalaInt, TTLConfig.NONE)
+
+    /** Row-level twin of SketchFns.hash60: first 15 md5 hex chars of the
+      * value's string form.
+      */
+    private def hash60(v: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(v.getBytes("UTF-8"))
+        .map(b => f"${b & 0xff}%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+
+    /** Leading-one rank in the remainder window (SketchFns.hllRho). */
+    private def rho(rem: Long): Int =
+      if (rem == 0L) HllRemBits + 1
+      else HllRemBits - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[TypeEstimate] = {
+      for (e <- rows) {
+        val h = hash60(e.user_id.toString)
+        val bucket = (h >>> HllRemBits).toInt
+        val r = rho(h & ((1L << HllRemBits) - 1))
+        val prev = if (regs.containsKey(bucket)) regs.getValue(bucket) else 0
+        if (r > prev) regs.updateValue(bucket, r)
+      }
+      // estimate from the register map — the same fixed-point formula as
+      // SketchFns.hllEstimate, same operation order
+      var sumScaled = 0L
+      var nb = 0L
+      val it = regs.iterator()
+      while (it.hasNext) {
+        val kv = it.next()
+        sumScaled += 1L << (52 - kv._2)
+        nb += 1
+      }
+      val m = HllM.toDouble
+      val total = sumScaled + (HllM.toLong - nb) * HllScale
+      val est = 0.7213 / (1.0 + 1.079 / m) * m * m *
+        HllScale.toDouble / total.toDouble
+      Iterator.single(TypeEstimate(key, est, nb))
+    }
+  }
+
+  /** [[HllDistinctUsers]] wired up (RocksDB store required). */
+  def hllDistinctUsers(events: Dataset[Event]): Dataset[TypeEstimate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new HllDistinctUsers, TimeMode.None(), OutputMode.Update())
+  }
 }
