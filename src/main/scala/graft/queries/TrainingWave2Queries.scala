@@ -281,6 +281,55 @@ object TrainingWave2Queries {
                   ELSE 3.0 * triangles / wedges END AS global_cc
       FROM tri CROSS JOIN w""")),
 
+    // End-to-end curation pipeline as ONE oracle-checked query — the
+    // integration proof that the curation stages COMPOSE: language
+    // filter (pushes to the scan) → token-length band → exact dedup
+    // (min-id keeper per content hash, one shuffle) → sharded greedy
+    // packing into 256-token sequences (cumulative window PARTITIONED
+    // by shard — the text_packing scale shape). The oracle rebuilds the
+    // identical four stages in SQL, so a semantic drift in ANY stage —
+    // or in how stages hand off — breaks the hash, not just a
+    // stage-local test.
+    QueryDef("pipeline_curation_e2e", (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val survivors = t("documents")(s, dir)
+        .where(col("lang") === "en")
+        .select(col("doc_id"),
+          TextAnalysisFns.wordCount(col("text")).cast("long").as("n_toks"),
+          md5(col("text")).as("__h"))
+        .where(col("n_toks").between(5, 1000))
+        .withColumn("__rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__h")).orderBy(col("doc_id"))))
+        .where(col("__rn") === 1)
+      survivors
+        .withColumn("shard", (col("doc_id") % 16).cast("int"))
+        .withColumn("prev_cum", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+        .groupBy(col("shard"), expr("prev_cum DIV 256").as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"))
+        .orderBy(col("shard"), col("seq_id"))
+    }, Some(s"""
+      WITH en AS (
+        SELECT doc_id, CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_toks,
+               md5(text) AS h
+        FROM documents WHERE lang = 'en'),
+      band AS (SELECT * FROM en WHERE n_toks BETWEEN 5 AND 1000),
+      ded AS (
+        SELECT doc_id, n_toks FROM band
+        QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1),
+      c AS (SELECT doc_id, n_toks, CAST(doc_id % 16 AS INT) AS shard FROM ded),
+      w AS (
+        SELECT shard, doc_id, n_toks,
+               coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+        FROM c)
+      SELECT shard, CAST(prev_cum // 256 AS BIGINT) AS seq_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS total_toks
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
+
     // Schema-evolution union: two batches of the same logical table with
     // drifted physical schemas (a column dropped, a column added) union
     // BY NAME with missing columns null-filled — the lake-ingestion
