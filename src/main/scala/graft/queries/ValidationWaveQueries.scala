@@ -135,6 +135,62 @@ object ValidationWaveQueries {
              CAST(list_min(at) - 1 AS INT) AS first_pos
       FROM hits WHERE len(at) > 0 ORDER BY doc_id""")),
 
+    // Join-key skew profile — the pre-join diagnostic that decides
+    // whether a key needs salting or AQE skew handling BEFORE the 100 TB
+    // shuffle runs: per-key counts collapse map-side, then the tiny
+    // per-key histogram yields total, distinct keys, max key count, the
+    // top key's share (one division of exact BIGINTs) and the count at
+    // the p99 key (the percentile_mode cross-multiplied threshold on
+    // the count-of-counts grid). Everything downstream of the first
+    // aggregate runs on |distinct keys| rows.
+    QueryDef("profile_key_skew", (s, dir) => {
+      val keyCnt = t("lineitem")(s, dir)
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("cnt"))
+      val grid = keyCnt.groupBy(col("cnt")).agg(count(lit(1)).as("nk"))
+      val cum = grid
+        .withColumn("shard", expr("cnt DIV 256"))
+        .withColumn("icum", sum(col("nk")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("cnt"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+      val stot = cum.groupBy(col("shard")).agg(sum(col("nk")).as("snk"))
+      val off = stot.as("a")
+        .join(broadcast(stot.as("b")), col("b.shard") < col("a.shard"), "left")
+        .groupBy(col("a.shard").as("shard"))
+        .agg(coalesce(sum(col("b.snk")), lit(0L)).as("off"))
+      val withCum = cum.join(broadcast(off), Seq("shard"))
+        .select(col("cnt"), (col("icum") + col("off")).as("ccum"))
+      val tot = keyCnt.agg(sum(col("cnt")).as("n"),
+        count(lit(1)).as("n_keys"), max(col("cnt")).as("max_cnt"))
+      withCum.crossJoin(broadcast(tot))
+        .agg(
+          max(col("n")).as("n_rows"),
+          max(col("n_keys")).as("n_keys"),
+          max(col("max_cnt")).as("max_key_cnt"),
+          min(when(col("ccum") * 100 >= col("n_keys") * 99, col("cnt")))
+            .as("p99_key_cnt"))
+        .select(col("n_rows"), col("n_keys"), col("max_key_cnt"),
+          col("p99_key_cnt"),
+          (col("max_key_cnt").cast("double") / col("n_rows"))
+            .as("top_key_share"))
+    }, Some("""
+      WITH kc AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1),
+      g AS (SELECT cnt, CAST(count(*) AS BIGINT) AS nk FROM kc GROUP BY 1),
+      w AS (SELECT cnt, CAST(sum(nk) OVER (ORDER BY cnt) AS BIGINT) AS ccum
+            FROM g),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM kc)
+      SELECT t.n_rows, t.n_keys, t.max_cnt AS max_key_cnt,
+             (SELECT min(cnt) FROM w
+              WHERE ccum * 100 >= t.n_keys * 99) AS p99_key_cnt,
+             CAST(t.max_cnt AS DOUBLE) / t.n_rows AS top_key_share
+      FROM t""")),
+
     // Z-order clustering audit: Morton-interleave two 16-bit dimensions
     // of orders, bucket rows by the z-value's TOP FOUR BITS (the
     // level-2 quadrants of the curve — a pure projection, no global
