@@ -16,6 +16,54 @@ object ValidationWaveQueries {
   private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
     Tables.load(s, dir, name)
 
+  /** Orders rows with normalized (x, y) dims, Morton z, and the level-2
+    * curve-quadrant bucket (top four z bits) — shared by the clustering
+    * audit and the pruning simulation. Bounds come from ONE broadcast
+    * 1-row aggregate; everything else is pure projection.
+    */
+  private[graft] def zBuckets(o: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val keys = o.select(col("o_custkey"), col("o_orderkey"))
+    val bounds = keys.agg(
+      min(col("o_custkey")).as("mnx"), max(col("o_custkey")).as("mxx"),
+      min(col("o_orderkey")).as("mny"), max(col("o_orderkey")).as("mxy"))
+    keys.crossJoin(broadcast(bounds))
+      .select(
+        Layout.normalize(col("o_custkey"), col("mnx"), col("mxx")).as("x"),
+        Layout.normalize(col("o_orderkey"), col("mny"), col("mxy")).as("y"))
+      .withColumn("z", Layout.interleave(Seq(col("x"), col("y"))))
+      .withColumn("bucket", expr("z DIV 268435456"))
+  }
+
+  /** DuckDB mirror of [[graft.operators.Layout.normalize]] — identical
+    * IEEE op sequence: (c − min) / span FIRST, then × 65535, then floor.
+    */
+  private[graft] def sqlNorm(c: String, mn: String, mx: String): String =
+    s"""CASE WHEN CAST($mx AS DOUBLE) - CAST($mn AS DOUBLE) <= 0.0 THEN 0
+        ELSE least(65535, CAST(floor(
+          (CAST($c AS DOUBLE) - CAST($mn AS DOUBLE))
+            / (CAST($mx AS DOUBLE) - CAST($mn AS DOUBLE)) * 65535)
+          AS BIGINT)) END"""
+
+  /** DuckDB CTE chain producing (x, y, bucket) for orders — the mirror
+    * of [[zBuckets]].
+    */
+  private[graft] val sqlZBuckets: String = s"""
+      b AS (
+        SELECT min(o_custkey) AS mnx, max(o_custkey) AS mxx,
+               min(o_orderkey) AS mny, max(o_orderkey) AS mxy
+        FROM orders),
+      d AS (
+        SELECT ${sqlNorm("o_custkey", "mnx", "mxx")} AS x,
+               ${sqlNorm("o_orderkey", "mny", "mxy")} AS y
+        FROM orders CROSS JOIN b),
+      zb AS (
+        SELECT x, y,
+               CAST(list_sum(list_transform(generate_series(0, 15), bb ->
+                 (((x >> bb) & 1) << (2*bb)) + (((y >> bb) & 1) << (2*bb + 1))))
+                 AS BIGINT) // 268435456 AS bucket
+        FROM d)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Data-contract validation over orders: four row-local rules fold
@@ -199,51 +247,74 @@ object ValidationWaveQueries {
     // parquet min/max stats need for multi-dimension scan pruning — the
     // audit a layout job runs to prove its clustering worked. The
     // oracle recomputes the interleave bit-for-bit.
-    QueryDef("layout_zorder_stats", (s, dir) => {
-      val o = t("orders")(s, dir)
-        .select(col("o_custkey"), col("o_orderkey"))
-      val bounds = o.agg(
-        min(col("o_custkey")).as("mnx"), max(col("o_custkey")).as("mxx"),
-        min(col("o_orderkey")).as("mny"), max(col("o_orderkey")).as("mxy"))
-      o.crossJoin(broadcast(bounds))
-        .select(
-          Layout.normalize(col("o_custkey"), col("mnx"), col("mxx")).as("x"),
-          Layout.normalize(col("o_orderkey"), col("mny"), col("mxy")).as("y"))
-        .withColumn("z", Layout.interleave(Seq(col("x"), col("y"))))
-        .withColumn("bucket", expr("z DIV 268435456"))
+    QueryDef("layout_zorder_stats", (s, dir) =>
+      zBuckets(t("orders")(s, dir))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("x")).as("min_x"), max(col("x")).as("max_x"),
           min(col("y")).as("min_y"), max(col("y")).as("max_y"))
         .orderBy(col("bucket"))
-    }, Some {
-      // op-for-op mirror of Layout.normalize: (c − min) / span FIRST,
-      // then × 65535, then floor — identical IEEE sequence both engines
-      def norm(c: String, mn: String, mx: String): String =
-        s"""CASE WHEN CAST($mx AS DOUBLE) - CAST($mn AS DOUBLE) <= 0.0 THEN 0
-            ELSE least(65535, CAST(floor(
-              (CAST($c AS DOUBLE) - CAST($mn AS DOUBLE))
-                / (CAST($mx AS DOUBLE) - CAST($mn AS DOUBLE)) * 65535)
-              AS BIGINT)) END"""
-      s"""
-      WITH b AS (
-        SELECT min(o_custkey) AS mnx, max(o_custkey) AS mxx,
-               min(o_orderkey) AS mny, max(o_orderkey) AS mxy
-        FROM orders),
-      d AS (
-        SELECT ${norm("o_custkey", "mnx", "mxx")} AS x,
-               ${norm("o_orderkey", "mny", "mxy")} AS y
-        FROM orders CROSS JOIN b),
-      z AS (
-        SELECT x, y,
-               CAST(list_sum(list_transform(generate_series(0, 15), bb ->
-                 (((x >> bb) & 1) << (2*bb)) + (((y >> bb) & 1) << (2*bb + 1))))
-                 AS BIGINT) AS z
-        FROM d)
-      SELECT z // 268435456 AS bucket, CAST(count(*) AS BIGINT) AS n,
+    , Some(s"""
+      WITH $sqlZBuckets
+      SELECT bucket, CAST(count(*) AS BIGINT) AS n,
              min(x) AS min_x, max(x) AS max_x,
              min(y) AS min_y, max(y) AS max_y
-      FROM z GROUP BY 1 ORDER BY bucket"""
-    })
+      FROM zb GROUP BY 1 ORDER BY bucket""")),
+
+    // Metadata-pruning simulation — the CONSUMER side of the z-order
+    // stats: given the per-bucket min/max envelopes (the stand-in for
+    // parquet file/row-group stats) and a range predicate on x, decide
+    // per bucket whether its envelope can overlap, and report scanned
+    // vs pruned buckets and rows. The output carries BOTH
+    // rows_matched (full-scan truth) and rows_matched_scanned (matches
+    // inside scanned buckets) — their equality in the hash-checked
+    // result IS the soundness proof that envelope pruning loses no
+    // rows. The decision runs on the |buckets|-row stats table; at
+    // 100 TB this is the scan-100-GB-instead path.
+    QueryDef("layout_prune_sim", (s, dir) => {
+      val rows = zBuckets(t("orders")(s, dir)).cache()
+      val (lo, hi) = (10000L, 30000L)
+      val stats = rows.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("min_x"), max(col("x")).as("max_x"))
+        .withColumn("scanned", !(col("max_x") < lo || col("min_x") > hi))
+      val bucketTotals = stats.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("scanned"), 1L).otherwise(0L)).as("n_scanned"),
+        sum(col("n")).as("rows_total"),
+        sum(when(col("scanned"), col("n")).otherwise(0L)).as("rows_scanned"))
+      val matched = rows
+        .join(broadcast(stats.select(col("bucket"), col("scanned"))),
+          Seq("bucket"))
+        .agg(
+          sum(when(col("x").between(lo, hi), 1L).otherwise(0L))
+            .as("rows_matched"),
+          sum(when(col("x").between(lo, hi) && col("scanned"), 1L)
+            .otherwise(0L)).as("rows_matched_scanned"))
+      bucketTotals.crossJoin(matched)
+    }, Some(s"""
+      WITH $sqlZBuckets,
+      st AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               min(x) AS min_x, max(x) AS max_x
+        FROM zb GROUP BY 1),
+      dec AS (
+        SELECT *, NOT (max_x < 10000 OR min_x > 30000) AS scanned FROM st),
+      bt AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_scanned,
+               CAST(sum(n) AS BIGINT) AS rows_total,
+               CAST(sum(CASE WHEN scanned THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_scanned
+        FROM dec),
+      m AS (
+        SELECT
+          CAST(sum(CASE WHEN x BETWEEN 10000 AND 30000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS rows_matched,
+          CAST(sum(CASE WHEN x BETWEEN 10000 AND 30000 AND d.scanned
+                        THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched_scanned
+        FROM zb JOIN dec d USING (bucket))
+      SELECT * FROM bt CROSS JOIN m"""))
   )
 }

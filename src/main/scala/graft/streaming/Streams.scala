@@ -396,4 +396,49 @@ object Streams {
     events.groupByKey(_.event_type)
       .transformWithState(new HllDistinctUsers, TimeMode.None(), OutputMode.Update())
   }
+
+  // ---- streaming top-k ----------------------------------------------
+
+  final case class TopUser(event_type: String, rank: Int, user_id: Long,
+                           total_cents: Long)
+
+  /** Continuous per-type top-k users by lifetime value: per-user cent
+    * totals live in MapState (only touched users are read-modify-written
+    * per batch — exact LONG cents, no float accumulation), and the
+    * current top-k re-derives from the map at batch end with the
+    * deterministic (−total, user_id) order. Exact by construction —
+    * bounded-synopsis streaming top-k trades that for O(k) state; this
+    * is the exact form whose state is O(users per type), the right
+    * trade while per-key cardinality fits state (the reference's
+    * dimension sizes do).
+    */
+  class TopKUsersByValue(k: Int) extends StatefulProcessor[String, Event, TopUser] {
+    @transient private var totals: org.apache.spark.sql.streaming.MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getMapState[Long, Long](
+        "user_cents", Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[TopUser] = {
+      for (e <- rows) {
+        val cents = math.round(e.value * 100)
+        val prev = if (totals.containsKey(e.user_id)) totals.getValue(e.user_id) else 0L
+        totals.updateValue(e.user_id, prev + cents)
+      }
+      val all = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val it = totals.iterator()
+      while (it.hasNext) { val kv = it.next(); all += ((kv._1, kv._2)) }
+      all.sortBy { case (uid, cents) => (-cents, uid) }
+        .take(k).zipWithIndex.iterator
+        .map { case ((uid, cents), i) => TopUser(key, i + 1, uid, cents) }
+    }
+  }
+
+  /** [[TopKUsersByValue]] wired up (RocksDB store required). */
+  def topKUsersByValue(events: Dataset[Event], k: Int = 3): Dataset[TopUser] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new TopKUsersByValue(k), TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -65,4 +65,38 @@ class StreamingSketchSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("topKUsersByValue: ranks evolve across batches, exact cent totals") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val out = Streams.topKUsersByValue(mem.toDS(), k = 2)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("topk_stream").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.50),
+        Event(2, ts("2024-01-01 10:01:00"), 2, "click", 2.25),
+        Event(3, ts("2024-01-01 10:02:00"), 3, "click", 0.75))
+      q.processAllAvailable()
+      // batch 1 top-2: user 2 (225), user 1 (150)
+      val b1 = spark.table("topk_stream").as[Streams.TopUser].collect().toSeq
+      assert(b1.map(t => (t.rank, t.user_id, t.total_cents)) ==
+        Seq((1, 2L, 225L), (2, 1L, 150L)))
+      // batch 2: user 3 accumulates past both (state carried over)
+      mem.addData(Event(4, ts("2024-01-01 10:10:00"), 3, "click", 3.00))
+      q.processAllAvailable()
+      val all = spark.table("topk_stream").as[Streams.TopUser].collect().toSeq
+      assert(all.drop(2).map(t => (t.rank, t.user_id, t.total_cents)) ==
+        Seq((1, 3L, 375L), (2, 2L, 225L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
