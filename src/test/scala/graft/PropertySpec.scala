@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.queries.TrainingWave2Queries
+
+/** Property-based invariants over the fold/graph/sketch primitives —
+  * randomized inputs catch shapes example specs miss. Deterministic:
+  * every draw comes from a FIXED seed sequence (seeds 0..n-1), so a
+  * failure always reproduces. Each property is a law the operator must
+  * hold for EVERY input, not a pinned example.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  /** n deterministic draws from a generator (seeds 0..). */
+  private def samples[A](g: Gen[A], n: Int = 40): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => g.apply(params, Seed(i.toLong)))
+  }
+
+  private val symGen: Gen[List[String]] =
+    Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "ab")))
+  private val pairGen: Gen[(String, String)] =
+    Gen.zip(Gen.oneOf("a", "b", "c"), Gen.oneOf("a", "b", "c"))
+
+  test("applyMerge law: content preserved; symbol count drops by greedy merge count") {
+    // batch all cases through ONE DataFrame pass
+    val cases = samples(Gen.zip(symGen, pairGen), 120).map {
+      case (syms, (p1, p2)) => (syms.mkString(" "), p1, p2, syms)
+    }
+    cases.groupBy { case (_, p1, p2, _) => (p1, p2) }.foreach {
+      case ((p1, p2), group) =>
+        val merged = group.map(_._1).toDF("sym")
+          .select(col("sym"),
+            TrainingWave2Queries.applyMerge(col("sym"), p1, p2).as("m"))
+          .as[(String, String)].collect().toMap
+        group.foreach { case (sym, _, _, syms) =>
+          val m = merged(sym)
+          assert(m.replace(" ", "") == sym.replace(" ", ""),
+            s"content changed: '$sym' -> '$m' under ($p1,$p2)")
+          val expected = {
+            var c = 0; var i = 0
+            while (i < syms.length - 1) {
+              if (syms(i) == p1 && syms(i + 1) == p2) { c += 1; i += 2 }
+              else i += 1
+            }
+            c
+          }
+          assert(syms.length - m.split(" ").length == expected,
+            s"'$sym' under ($p1,$p2): drop ${syms.length - m.split(" ").length}, expected $expected")
+        }
+    }
+  }
+
+  test("ewmaFold law: result lies within [min, max] of the inputs") {
+    val valsGen = Gen.choose(1, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000.0, 1000.0)))
+    val cases = samples(valsGen, 60).filter(_.nonEmpty)
+    val got = cases.map(Tuple1(_)).toDF("v")
+      .select(col("v"), TrainingWave2Queries.ewmaFold(col("v"), 0.5).as("e"))
+      .as[(Seq[Double], Double)].collect()
+    got.foreach { case (vals, e) =>
+      assert(e >= vals.min - 1e-9 && e <= vals.max + 1e-9,
+        s"EWMA $e outside [${vals.min}, ${vals.max}]")
+    }
+  }
+
+  test("triangleCoeff law: oriented count == naive count on random graphs") {
+    val edgeGen = Gen.choose(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.choose(1L, 7L), Gen.choose(1L, 7L))))
+    samples(edgeGen, 12).foreach { raw =>
+      val edges = raw.collect { case (a, b) if a != b =>
+        (math.min(a, b), math.max(a, b))
+      }.distinct
+      if (edges.nonEmpty) {
+        val e = edges.toDF("u", "v")
+        val (tri, wedges, _) = TrainingWave2Queries.triangleCoeff(e)
+          .as[(Long, Long, Double)].first()
+        val naive = e.as("e1")
+          .join(e.as("e2"), col("e2.u") === col("e1.v"))
+          .join(e.as("e3"), col("e3.u") === col("e1.u") &&
+            col("e3.v") === col("e2.v"))
+          .count()
+        assert(tri == naive, s"oriented $tri != naive $naive on $edges")
+        // every triangle closes exactly 3 of the Σ d(d−1)/2 wedges
+        assert(wedges >= 3 * tri, s"wedges $wedges < 3·$tri on $edges")
+      }
+    }
+  }
+
+  test("quantizeInt8 law: codes bounded by 127; zero scale only for zero vectors") {
+    val vecGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-100.0f, 100.0f)))
+    val cases = samples(vecGen, 60).filter(_.nonEmpty).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val got = graft.queries.EvalStatsQueries.quantizeInt8(
+        cases.toDF("id", "v"), "id", "v")
+      .as[(Long, Double, Long, Long, Double)].collect()
+    val byId = cases.toMap
+    got.foreach { case (id, scale, _, mx, mse) =>
+      assert(mx <= 127L, s"vec $id code $mx > 127")
+      assert(mse >= 0.0)
+      if (byId(id).exists(_ != 0.0f)) assert(scale > 0.0)
+      else assert(scale == 0.0)
+    }
+  }
+}
