@@ -95,14 +95,27 @@ class LiveAgentTable(schema: StructType, props: Map[String, String])
 
 class LiveAgentScanBuilder(fullSchema: StructType, props: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownLimit {
 
   private var required: StructType = fullSchema
   private var pushed: Array[sources.Filter] = Array.empty
   private var apiFilters: Map[String, String] = Map.empty
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown — load-bearing for a PAGINATED source: `LIMIT n`
+    * must fetch ⌈n / pageSize⌉ pages, not walk the whole endpoint.
+    * Pages are planned in order, so the first ⌈n/pageSize⌉ partitions
+    * are guaranteed to contain the first n rows (the API's page order
+    * IS the scan order). Advisory: Spark keeps its own Limit on top, so
+    * over-fetch within the last page is trimmed plan-side.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
 
   /** Translate range predicates on `filterField` into the API `_filters`
     * JSON (the reference uses operators `D>` / `D<=` on the date field).
@@ -135,22 +148,29 @@ class LiveAgentScanBuilder(fullSchema: StructType, props: Map[String, String])
 
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan = new LiveAgentScan(required, props, apiFilters)
+  override def build(): Scan = new LiveAgentScan(required, props, apiFilters, limit)
 }
 
 class LiveAgentScan(required: StructType, props: Map[String, String],
-                    apiFilters: Map[String, String]) extends Scan with Batch {
+                    apiFilters: Map[String, String],
+                    limit: Option[Int] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"LiveAgentScan(${props.getOrElse("endpoint", "?")}, pushed=$apiFilters)"
+    s"LiveAgentScan(${props.getOrElse("endpoint", "?")}, pushed=$apiFilters" +
+      limit.map(l => s", limit=$l").getOrElse("") + ")"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val api = LiveAgentApiRegistry.get(props("apiRef"))
     val maxPages = props.getOrElse("maxPages", "100").toInt
     val pageSize = props.getOrElse("pageSize", "100").toInt
+    // LIMIT n needs only the first ⌈n/pageSize⌉ pages — page order is
+    // scan order, so no later page can contribute to the first n rows
+    val effPages = limit
+      .map(l => math.min(maxPages, (l + pageSize - 1) / pageSize))
+      .getOrElse(maxPages)
     // one partition per page; the reader stops early if its page is empty
-    (1 to maxPages).map(p =>
+    (1 to effPages).map(p =>
       LiveAgentInputPartition(api, props("endpoint"), p, pageSize, apiFilters)
         .asInstanceOf[InputPartition]).toArray
   }

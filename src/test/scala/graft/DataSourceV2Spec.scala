@@ -47,4 +47,40 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(df.select("id").orderBy("id").collect().map(_.getString(0)).toSeq ==
       Seq("T2", "T3"))
   }
+
+  test("DSv2 LIMIT pushdown: a limit fetches only the pages it needs") {
+    // JVM-static page log: the api object is SERIALIZED into each task,
+    // so instance state would record into copies — the static log is the
+    // one shared ledger across driver probe and task fetches
+    LiveAgentApiRegistry.register("counting", new V2CountingApi)
+    val df = spark.read.format("graft.sources.v2.LiveAgentTableProvider")
+      .option("apiRef", "counting").option("endpoint", "x")
+      .option("maxPages", "4").option("pageSize", "2")
+      .load()
+    V2CountingApi.fetched.clear() // drop the schema-inference probe
+    val rows = df.limit(3).collect()
+    assert(rows.length == 3)
+    // ⌈3/2⌉ = 2 pages — pages 3 and 4 never fetched
+    val pages = V2CountingApi.fetched
+      .toArray(Array.empty[Integer]).map(_.toInt).toSet
+    assert(pages == Set(1, 2), s"fetched pages $pages, expected {1, 2}")
+    // and the limit shows in the scan description
+    val desc = df.limit(3).queryExecution.executedPlan.toString
+    assert(desc.contains("limit=3"), s"limit not in scan description:\n$desc")
+  }
+}
+
+/** 4 pages of 2 rows; every fetch logs its page number JVM-statically. */
+class V2CountingApi extends graft.sources.LiveAgentApi {
+  override def fetchPage(endpoint: String, page: Int, perPage: Int,
+                         filters: Map[String, String]) = {
+    V2CountingApi.fetched.add(page)
+    Right(if (page <= 4)
+      Seq(s"""{"id":"P$page-a"}""", s"""{"id":"P$page-b"}""")
+    else Seq.empty)
+  }
+}
+
+object V2CountingApi {
+  val fetched = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
 }
