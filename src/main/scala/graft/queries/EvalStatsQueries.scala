@@ -274,6 +274,76 @@ object EvalStatsQueries {
          AND p.ts > vc.t2
         GROUP BY vc.user_id, vc.t1, vc.t2)
       SELECT user_id, t1, t2, t3, t3 IS NOT NULL AS matched
-      FROM vcp ORDER BY user_id"""))
+      FROM vcp ORDER BY user_id""")),
+
+    // Language-ID confusion matrix: the classifier-eval table for the
+    // langid heuristic against the ground-truth `lang` label — per
+    // (actual, predicted) cell counts plus the cell's share of its
+    // actual-row total (one exact division). The matrix is |langs|²
+    // rows at any corpus size; the heavy step is the same one-pass
+    // codegen scoring text_langid pins row-by-row.
+    QueryDef("eval_langid_confusion", (s, dir) => {
+      val cells = t("documents")(s, dir)
+        .select(col("lang").as("actual"),
+          graft.functions.TextAnalysisFns.langId(col("text")).as("predicted"))
+        .groupBy(col("actual"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy(col("actual")).agg(sum(col("n")).as("row_n"))
+      cells.join(broadcast(totals), Seq("actual"))
+        .select(col("actual"), col("predicted"), col("n"),
+          (col("n").cast("double") / col("row_n")).as("share"))
+        .orderBy(col("actual"), col("predicted"))
+    }, Some {
+      val toks = s"list_distinct(${Sql.tokens("lower(text)")})"
+      val scores = graft.functions.TextAnalysisFns.LangMarkers.map { case (lang, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_intersect($toks, $arr)) AS s_$lang"
+      }.mkString(", ")
+      val langs = graft.functions.TextAnalysisFns.LangMarkers.map(_._1)
+      val best  = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = __best THEN '$l'").mkString(" ")
+      s"""
+      WITH sc AS (SELECT doc_id, lang, $scores FROM documents),
+      b AS (SELECT *, $best AS __best FROM sc),
+      pred AS (
+        SELECT lang AS actual,
+               CASE WHEN __best = 0 THEN 'und' $cases ELSE 'und' END AS predicted
+        FROM b),
+      cells AS (
+        SELECT actual, predicted, CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2),
+      rt AS (SELECT actual, CAST(sum(n) AS BIGINT) AS row_n
+             FROM cells GROUP BY 1)
+      SELECT c.actual, c.predicted, c.n,
+             CAST(c.n AS DOUBLE) / rt.row_n AS share
+      FROM cells c JOIN rt USING (actual)
+      ORDER BY actual, predicted"""
+    }),
+
+    // Join-size estimation from per-key histograms — the CBO statistic,
+    // verified in-result: predicted |A⋈B| on the partkey = Σ_k cnt(k)²
+    // (exact BIGINT over the per-key histogram, no join executed), next
+    // to the ACTUAL self-join cardinality — their equality in the
+    // hash-checked row IS the estimator's exactness law. At 100 TB the
+    // prediction costs one histogram aggregate; the actual join costs
+    // the shuffle the prediction exists to avoid planning blind.
+    QueryDef("profile_join_size", (s, dir) => {
+      val li = t("lineitem")(s, dir)
+        .where(col("l_orderkey") <= 6000)
+        .select(col("l_partkey"))
+      val hist = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+      val predicted = hist.agg(sum(col("cnt") * col("cnt")).as("predicted_pairs"))
+      val actual = li.as("a")
+        .join(li.as("b"), col("a.l_partkey") === col("b.l_partkey"))
+        .agg(count(lit(1)).as("actual_pairs"))
+      predicted.crossJoin(actual)
+    }, Some("""
+      WITH li AS (SELECT l_partkey FROM lineitem WHERE l_orderkey <= 6000),
+      h AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+            FROM li GROUP BY 1),
+      p AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS predicted_pairs FROM h),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS actual_pairs
+            FROM li a JOIN li b ON a.l_partkey = b.l_partkey)
+      SELECT * FROM p CROSS JOIN a"""))
   )
 }
