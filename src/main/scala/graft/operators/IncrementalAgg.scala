@@ -81,6 +81,26 @@ object IncrementalAgg {
     broadcast(da).join(b0.unionByName(db), cond)
       .unionByName(a0.join(broadcast(db), cond))
 
+  /** Weighted (Z-set) per-key partials: every delta row carries a weight
+    * (+1 insert, −1 retraction), and each value column aggregates as
+    * Σ w·v with the key's live-row count as Σ w — the DBSP/differential-
+    * dataflow algebra that lets DELETIONS maintain incrementally too
+    * (plain [[Add]] deltas can only grow; min/max genuinely cannot
+    * retract without history and are excluded by construction here).
+    * Feed the result through [[applyDelta]] with [[Add]] merges, then
+    * [[dropDeadKeys]] removes keys whose live count reached zero.
+    */
+  def weightedPartial(delta: DataFrame, keys: Seq[String], weightCol: String,
+                      valueCols: Seq[String]): DataFrame = {
+    val aggs = sum(col(weightCol)).as("n") +:
+      valueCols.map(c => sum(col(c) * col(weightCol)).as(c))
+    delta.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Remove keys whose maintained live count is zero (fully retracted). */
+  def dropDeadKeys(standing: DataFrame, countCol: String = "n"): DataFrame =
+    standing.where(col(countCol) =!= 0)
+
   /** Warehouse-backed refresh: aggregate the batch to per-key partials
     * with `partialAgg`, fold them into `table` (bootstrap on first run),
     * snapshot-swap. Returns the new standing table.

@@ -70,4 +70,37 @@ class IncrementalAggSpec extends AnyFunSuite {
     val out = IncrementalAgg.applyDelta(wide, wide, Seq("user"), m)
     assert(out.columns.toSeq == "user" +: cols)
   }
+
+  test("weighted deltas: retractions subtract; fully-retracted keys drop") {
+    // standing: a → (2 rows, total 30); b → (1 row, total 5)
+    val standing = Seq(("a", 2L, 30L), ("b", 1L, 5L)).toDF("user", "n", "total")
+    // delta: insert (a, 12); retract one (a, 10) row; retract b entirely
+    val delta = Seq(
+      ("a", 12L, 1L), ("a", 10L, -1L), ("b", 5L, -1L))
+      .toDF("user", "total", "w")
+    val part = IncrementalAgg.weightedPartial(delta, Seq("user"), "w",
+      Seq("total"))
+    val merged = IncrementalAgg.applyDelta(standing, part, Seq("user"),
+      Map("n" -> Add, "total" -> Add))
+    val out = IncrementalAgg.dropDeadKeys(merged)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    // a: n 2+1−1 = 2, total 30+12−10 = 32; b: n 1−1 = 0 → dropped
+    assert(out == Seq(("a", 2L, 32L)))
+  }
+
+  test("weighted deltas: a key can retract below standing and re-insert") {
+    val standing = Seq(("k", 1L, 7L)).toDF("user", "n", "total")
+    val d1 = Seq(("k", 7L, -1L)).toDF("user", "total", "w")
+    val gone = IncrementalAgg.dropDeadKeys(
+      IncrementalAgg.applyDelta(standing,
+        IncrementalAgg.weightedPartial(d1, Seq("user"), "w", Seq("total")),
+        Seq("user"), Map("n" -> Add, "total" -> Add)))
+    assert(gone.count() == 0)
+    val d2 = Seq(("k", 9L, 1L)).toDF("user", "total", "w")
+    val back = IncrementalAgg.applyDelta(gone,
+      IncrementalAgg.weightedPartial(d2, Seq("user"), "w", Seq("total")),
+      Seq("user"), Map("n" -> Add, "total" -> Add))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(back == Seq(("k", 1L, 9L)))
+  }
 }
