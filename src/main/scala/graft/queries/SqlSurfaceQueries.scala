@@ -121,6 +121,56 @@ object SqlSurfaceQueries {
       SELECT c_mktsegment AS seg, c_nationkey % 5 AS code, count(*) AS n,
              CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS bal
       FROM customer
-      GROUP BY ALL ORDER BY ALL"""))
+      GROUP BY ALL ORDER BY ALL""")),
+
+    // ANSI FILTER clause on aggregates: per-group conditional aggregation
+    // without CASE scaffolding — one scan, every FILTER predicate
+    // evaluated inside the same partial aggregate (never a per-predicate
+    // pass). Identical syntax in both engines.
+    QueryDef("s17_agg_filter", (s, dir) => {
+      t("orders")(s, dir).createOrReplaceTempView("filter_orders_v")
+      s.sql("""
+        SELECT o_orderpriority,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f
+        FROM filter_orders_v
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }, Some("""
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_all,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+             CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS rev_f
+      FROM orders
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // Named WINDOW clause: one window definition shared by several
+    // functions — the analyzer expands all three over the SAME
+    // WindowSpec, so the plan carries ONE sort/partition pass, not
+    // three. Identical syntax in both engines.
+    QueryDef("s18_named_window", (s, dir) => {
+      t("orders")(s, dir).createOrReplaceTempView("named_win_orders_v")
+      s.sql("""
+        SELECT o_orderkey, o_custkey,
+               row_number() OVER w AS rn,
+               lag(o_orderkey) OVER w AS prev_key,
+               CAST(sum(1) OVER w AS BIGINT) AS run_n
+        FROM named_win_orders_v
+        WHERE o_orderkey <= 2000
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        ORDER BY o_custkey, o_orderkey""")
+    }, Some("""
+      SELECT o_orderkey, o_custkey,
+             CAST(row_number() OVER w AS INT) AS rn,
+             lag(o_orderkey) OVER w AS prev_key,
+             CAST(sum(1) OVER w AS BIGINT) AS run_n
+      FROM orders
+      WHERE o_orderkey <= 2000
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY o_custkey, o_orderkey"""))
   )
 }

@@ -55,4 +55,40 @@ class FormatsSpec extends AnyFunSuite {
     // malformed rows go undetected — materialize real columns to count
     assert(dropped.select("id", "name", "score").collect().length == 2)
   }
+
+  test("corrupt parquet file: fail-fast by default, skip with ignoreCorruptFiles") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-corrupt").toString
+    (1 to 10).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // drop a non-parquet file into the dataset directory
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.parquet"),
+      Array[Byte](1, 2, 3, 4, 5))
+    // default: the corrupt member fails the read loudly (no silent loss)
+    val failed = intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    assert(failed.getMessage != null)
+    // opt-in resilience: the 100 TB-crawl posture — skip and keep going
+    val prev = spark.conf.getOption("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.parquet(dir).count() == 10)
+    finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.files.ignoreCorruptFiles", p)
+      case None => spark.conf.unset("spark.sql.files.ignoreCorruptFiles")
+    }
+  }
+
+  test("compression codec matrix: zstd/snappy/gzip/lz4 parquet round-trips agree") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => (i.toLong, s"text-$i", i * 1.5)).toDF("id", "t", "x")
+    val expected = df.orderBy("id").collect().toSeq
+    Seq("zstd", "snappy", "gzip", "lz4").foreach { codec =>
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-$codec").toString
+      df.write.mode("overwrite").option("compression", codec).parquet(dir)
+      val back = spark.read.parquet(dir).orderBy("id").collect().toSeq
+      assert(back == expected, s"codec $codec round-trip diverged")
+    }
+  }
 }
