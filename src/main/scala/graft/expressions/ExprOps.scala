@@ -42,6 +42,16 @@ object ExprOps {
     new GenericArrayData(arr)
   }
 
+  /** Unicode NFC canonical composition; zero-copy when the input is
+    * already normalized (the overwhelming case on real corpora).
+    */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** Count of distinct common elements of two string arrays. */
   def intersectCount(a: ArrayData, b: ArrayData): Int = {
     val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)

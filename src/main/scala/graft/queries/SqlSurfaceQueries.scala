@@ -171,6 +171,24 @@ object SqlSurfaceQueries {
       FROM orders
       WHERE o_orderkey <= 2000
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
-      ORDER BY o_custkey, o_orderkey"""))
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // Unicode NFC normalization at ingest (custom codegen expression —
+    // Spark has no built-in): visually identical strings with different
+    // codepoint sequences fragment dedup keys and joins; normalizing
+    // collapses them. NFC is fully specified, so the JDK normalizer and
+    // DuckDB's utf8proc produce identical bytes — md5 of the normalized
+    // text is the exactness witness per row. The synthetic corpus is
+    // ASCII (changed = false everywhere); the non-ASCII path is pinned
+    // by ExpressionsSpec fixtures.
+    QueryDef("f33_nfc_normalize", (s, dir) =>
+      t("documents")(s, dir)
+        .select(col("doc_id"),
+          graft.expressions.NfcNormalize(col("text")).as("norm"))
+        .select(col("doc_id"), md5(col("norm")).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    , Some("""
+      SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5
+      FROM documents ORDER BY doc_id"""))
   )
 }

@@ -193,4 +193,29 @@ class ExpressionsSpec extends AnyFunSuite {
     assert("""\*\(\d+\) Project \[deflate_len""".r.findFirstIn(plan).isDefined,
       plan.take(400))
   }
+
+  test("NfcNormalize: composes decomposed sequences; identity on normalized text") {
+    val dec = "école"      // e + combining acute
+    val comp = "école"      // precomposed é
+    val rows = Seq((1L, dec), (2L, comp), (3L, "plain ascii"), (4L, null))
+      .toDF("id", "s")
+      .select($"id", graft.expressions.NfcNormalize($"s").as("n"))
+      .orderBy("id").as[(Long, Option[String])].collect().toSeq
+    assert(rows(0)._2 == Some(comp), "decomposed sequence not composed")
+    assert(rows(1)._2 == Some(comp), "already-normalized text changed")
+    assert(rows(2)._2 == Some("plain ascii"))
+    assert(rows(3)._2.isEmpty, "null must stay null")
+    // normalized keys collapse: the dedup-fragmentation fix in one group-by
+    val groups = Seq(dec, comp).toDF("s")
+      .groupBy(graft.expressions.NfcNormalize($"s")).count().collect()
+    assert(groups.length == 1 && groups.head.getLong(1) == 2)
+  }
+
+  test("NfcNormalize: idempotent and codegen-compatible over a real scan") {
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(graft.expressions.NfcNormalize(
+        graft.expressions.NfcNormalize($"text")).as("n2"),
+        graft.expressions.NfcNormalize($"text").as("n1"))
+    assert(df.where($"n1" =!= $"n2").count() == 0, "not idempotent")
+  }
 }
