@@ -52,6 +52,21 @@ object ExprOps {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
+  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{Mn}+")
+
+  /** Accent stripping: canonical decomposition, drop the nonspacing
+    * marks, recompose what remains — byte-identical to utf8proc's
+    * STRIPMARK semantics (DuckDB `strip_accents`): ñ → n, while letters
+    * with no decomposition (ø, Hangul syllables) pass through unchanged.
+    */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+    val stripped = CombiningMarks.matcher(nfd).replaceAll("")
+    val out = java.text.Normalizer.normalize(stripped, java.text.Normalizer.Form.NFC)
+    if (out == str) s else UTF8String.fromString(out)
+  }
+
   /** Count of distinct common elements of two string arrays. */
   def intersectCount(a: ArrayData, b: ArrayData): Int = {
     val (small, large) = if (a.numElements() <= b.numElements()) (a, b) else (b, a)

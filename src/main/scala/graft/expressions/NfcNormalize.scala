@@ -46,3 +46,34 @@ object NfcNormalize {
   import org.apache.spark.sql.graft.Bridge
   def apply(c: Column): Column = Bridge.column(NfcNormalize(Bridge.expression(c)))
 }
+
+/** Accent stripping (utf8proc STRIPMARK semantics — see
+  * [[ExprOps.stripAccents]]): the fuzzy-match normalizer that makes
+  * "José" find "Jose" without a Levenshtein pass. Same codegen shape as
+  * [[NfcNormalize]]; DuckDB mirror is `strip_accents`.
+  */
+case class StripAccents(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"strip_accents expects string, got ${child.dataType}")
+
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.stripAccents(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ExprOps.stripAccents($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object StripAccents {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.graft.Bridge
+  def apply(c: Column): Column = Bridge.column(StripAccents(Bridge.expression(c)))
+}

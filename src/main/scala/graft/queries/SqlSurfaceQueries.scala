@@ -189,6 +189,20 @@ object SqlSurfaceQueries {
         .orderBy(col("doc_id"))
     , Some("""
       SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5
+      FROM documents ORDER BY doc_id""")),
+
+    // Accent stripping (custom codegen expression, utf8proc STRIPMARK
+    // semantics): the other half of the i18n normalization toolkit —
+    // "José" matches "Jose" after one compiled projection, no edit-
+    // distance pass. md5 per row is the cross-engine exactness witness;
+    // the accent path itself is pinned by ExpressionsSpec fixtures.
+    QueryDef("f34_strip_accents", (s, dir) =>
+      t("documents")(s, dir)
+        .select(col("doc_id"),
+          md5(graft.expressions.StripAccents(col("text"))).as("stripped_md5"))
+        .orderBy(col("doc_id"))
+    , Some("""
+      SELECT doc_id, md5(strip_accents(text)) AS stripped_md5
       FROM documents ORDER BY doc_id"""))
   )
 }

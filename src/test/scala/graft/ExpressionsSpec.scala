@@ -211,6 +211,24 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(groups.length == 1 && groups.head.getLong(1) == 2)
   }
 
+  test("StripAccents: marks stripped, bare letters and Hangul untouched") {
+    val got = Seq(
+      (1L, "José"),            // precomposed é → e
+      (2L, "José"),           // decomposed e+acute → e
+      (3L, "ñ Ñ ç"), // ñ Ñ ç → n N c
+      (4L, "ørsted"),          // ø has no decomposition — unchanged
+      (5L, "한국어"),   // Hangul recomposes — unchanged
+      (6L, "plain"))
+      .toDF("id", "s")
+      .select($"id", graft.expressions.StripAccents($"s").as("t"))
+      .orderBy("id").as[(Long, String)].collect().toMap
+    assert(got(1L) == "Jose" && got(2L) == "Jose")
+    assert(got(3L) == "n N c")
+    assert(got(4L) == "ørsted")
+    assert(got(5L) == "한국어")
+    assert(got(6L) == "plain")
+  }
+
   test("NfcNormalize: idempotent and codegen-compatible over a real scan") {
     val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select(graft.expressions.NfcNormalize(
