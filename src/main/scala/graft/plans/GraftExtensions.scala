@@ -120,6 +120,16 @@ object GraftSqlFunctions {
         TopKAgg(child, k).toAggregateExpression()
       case _ => throw new IllegalArgumentException(
         "graft_top_k: second argument must be an int literal")
+    },
+    reg("graft_nfc",
+      "graft_nfc(str) - Unicode NFC canonical composition (normalize " +
+        "text keys before dedup/joins)", Seq(1)) {
+      case Seq(s) => NfcNormalize(s)
+    },
+    reg("graft_strip_accents",
+      "graft_strip_accents(str) - drop accents/combining marks " +
+        "(utf8proc STRIPMARK semantics)", Seq(1)) {
+      case Seq(s) => StripAccents(s)
     })
 }
 

@@ -117,4 +117,21 @@ class ExtensionsSpec extends AnyFunSuite {
     assert((le & gt).isEmpty && (le | gt) == ids(base))
     base.unpersist()
   }
+
+  test("i18n normalizers callable by SQL name, identical to the Column API") {
+    import spark.implicits._
+    val dec = "Jose\u0301"   // decomposed e + combining acute
+    val comp = "Jos\u00e9"   // precomposed
+    Seq(Tuple1(dec)).toDF("s").createOrReplaceTempView("i18n_v")
+    val row = spark.sql("""
+      SELECT graft_nfc(s) AS n, graft_strip_accents(s) AS t FROM i18n_v""")
+      .head()
+    assert(row.getString(0) == comp, "NFC did not compose")
+    assert(row.getString(1) == "Jose", "accents not stripped")
+    val exp = Seq(Tuple1(dec)).toDF("s").select(
+      graft.expressions.NfcNormalize($"s"),
+      graft.expressions.StripAccents($"s")).head()
+    assert(row.getString(0) == exp.getString(0) &&
+      row.getString(1) == exp.getString(1))
+  }
 }
