@@ -41,6 +41,36 @@ class Warehouse(spark: SparkSession, root: String) {
     if (!exists(name)) overwrite(name, df)
     else overwrite(name, read(name).unionByName(df, allowMissingColumns = true))
 
+  /** Small-file compaction: rewrite the current snapshot into
+    * ≈`targetFileBytes`-sized files (estimated from the snapshot's
+    * on-disk size — compression carries over within a format) and
+    * snapshot-swap. The append path accretes one file set per batch;
+    * a 100 TB table read through thousands of tiny files pays per-file
+    * open/footer costs and tiny row groups — periodic compaction is the
+    * standing maintenance job of every lake table. Rows are unchanged
+    * (the swap is atomic, readers see old or new, never a mix).
+    */
+  def compact(name: String, targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    val snap = currentSnapshot(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    val dir = tableDir(name).resolve(snap).toFile
+    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    overwrite(name, read(name).repartition(nFiles))
+  }
+
+  /** Data files of the current snapshot (compaction observability). */
+  def dataFiles(name: String): Seq[String] = {
+    val snap = currentSnapshot(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    Option(tableDir(name).resolve(snap).toFile.listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSeq.sorted
+  }
+
   /** K4 — staged merge upsert into the table (creates it when absent). */
   def upsert(name: String, staging: DataFrame, key: String,
              updateCols: Seq[String]): Unit =

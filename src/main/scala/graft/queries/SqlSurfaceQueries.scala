@@ -203,6 +203,33 @@ object SqlSurfaceQueries {
         .orderBy(col("doc_id"))
     , Some("""
       SELECT doc_id, md5(strip_accents(text)) AS stripped_md5
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // Business-day calendar math: weekdays in each order's 30-day SLA
+    // window — the declarative explode-the-calendar form (a 30-row
+    // generator per order, folded back by one aggregate; the closed-form
+    // alternative saves nothing at this width and hides the calendar).
+    // Day-of-week conventions differ per engine (Spark dayofweek:
+    // 1=Sun..7=Sat; DuckDB isodow: 1=Mon..7=Sun) — each side uses its
+    // OWN convention for the same set of weekdays, pinned by the hash.
+    QueryDef("f35_business_days", (s, dir) =>
+      t("orders")(s, dir)
+        .where(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"),
+          explode(expr(
+            "sequence(o_orderdate, date_add(o_orderdate, 29))")).as("d"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(when(!dayofweek(col("d")).isin(1, 7), 1L).otherwise(0L))
+          .as("business_days"))
+        .orderBy(col("o_orderkey"))
+    , Some("""
+      SELECT o_orderkey,
+             CAST(sum(CASE WHEN isodow(d) < 6 THEN 1 ELSE 0 END) AS BIGINT)
+               AS business_days
+      FROM (SELECT o_orderkey,
+                   unnest(generate_series(CAST(o_orderdate AS DATE),
+                     CAST(o_orderdate AS DATE) + 29, INTERVAL 1 DAY)) AS d
+            FROM orders WHERE o_orderkey <= 2000)
+      GROUP BY o_orderkey ORDER BY o_orderkey"""))
   )
 }

@@ -80,6 +80,22 @@ class FormatsSpec extends AnyFunSuite {
     }
   }
 
+  test("_metadata hidden columns: per-row file provenance without a stored column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-meta").toString
+    (1 to 6).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val withProv = spark.read.parquet(dir)
+      .select($"id", col("_metadata.file_path").as("src_file"),
+        col("_metadata.file_size").as("src_bytes"))
+    val rows = withProv.collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getString(1).endsWith(".parquet")))
+    assert(rows.map(_.getString(1)).distinct.length == 3,
+      "expected three distinct source files")
+    assert(rows.forall(_.getLong(2) > 0))
+  }
+
   test("compression codec matrix: zstd/snappy/gzip/lz4 parquet round-trips agree") {
     import spark.implicits._
     val df = (1 to 500).map(i => (i.toLong, s"text-$i", i * 1.5)).toDF("id", "t", "x")

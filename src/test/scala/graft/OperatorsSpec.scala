@@ -78,6 +78,23 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(("a", 1), ("b", 99), ("c", 3)))
   }
 
+  test("Warehouse compact: many small files collapse, rows unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-compact").toString
+    val wh = new Warehouse(spark, dir)
+    // a snapshot written with excess parallelism → 16 tiny files (the
+    // shape every shuffle-then-write job produces)
+    wh.overwrite("t",
+      (1 to 16).map(i => (s"k$i", i)).toDF("id", "v").repartition(16))
+    val before = wh.dataFiles("t").length
+    // empty partitions write no file, so ≥8 of the 16 — still "many"
+    assert(before >= 8, s"expected many small files, saw $before")
+    val rowsBefore = wh.read("t").orderBy("id").collect().toSeq
+    wh.compact("t") // tiny table → one target file
+    assert(wh.dataFiles("t").length == 1,
+      s"compaction left ${wh.dataFiles("t").length} files")
+    assert(wh.read("t").orderBy("id").collect().toSeq == rowsBefore)
+  }
+
   test("Warehouse partitioned: pruned reads + dynamic-partition replace") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh-part").toString
     val wh = new Warehouse(spark, dir)
