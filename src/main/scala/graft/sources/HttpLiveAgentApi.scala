@@ -122,3 +122,36 @@ final class HttpLiveAgentApi(
     }
   }
 }
+
+/** Retry decorator for any [[LiveAgentApi]] transport: transient
+  * failures — transport errors (status 0), 429 throttling, and 5xx —
+  * retry with exponential backoff; client errors (other 4xx) surface
+  * immediately (retrying a 404 only burns the rate budget). Deterministic
+  * for tests via the injectable `sleep`. Wrap OUTSIDE any rate limiter
+  * the inner client holds, so backoff sleeps don't occupy a limiter slot.
+  */
+final class RetryingApi(
+    inner: LiveAgentApi,
+    maxAttempts: Int = 3,
+    baseDelayMillis: Long = 200,
+    sleep: Long => Unit = Thread.sleep) extends LiveAgentApi {
+
+  require(maxAttempts >= 1, "maxAttempts must be at least 1")
+
+  private def transient(e: ApiError): Boolean =
+    e.status == 0 || e.status == 429 || e.status / 100 == 5
+
+  override def fetchPage(endpoint: String, page: Int, perPage: Int,
+                         filters: Map[String, String]): Either[ApiError, Seq[String]] = {
+    var attempt = 1
+    var last: Either[ApiError, Seq[String]] =
+      inner.fetchPage(endpoint, page, perPage, filters)
+    while (attempt < maxAttempts &&
+        (last match { case Left(e) => transient(e); case _ => false })) {
+      sleep(baseDelayMillis << (attempt - 1)) // 1x, 2x, 4x, ...
+      attempt += 1
+      last = inner.fetchPage(endpoint, page, perPage, filters)
+    }
+    last
+  }
+}

@@ -174,4 +174,43 @@ class HttpLiveAgentApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     // launches; arrivals can compress slightly but never collapse
     assert(gaps.forall(_ >= 100), s"request gaps too small: $gaps")
   }
+
+  test("RetryingApi: transient errors retry with exponential backoff; 4xx do not") {
+    import graft.sources.{ApiError, LiveAgentApi, RetryingApi}
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    // fails twice with 503, then succeeds
+    var calls = 0
+    val flaky = new LiveAgentApi {
+      override def fetchPage(e: String, p: Int, pp: Int, f: Map[String, String]) = {
+        calls += 1
+        if (calls <= 2) Left(ApiError(503, "unavailable"))
+        else Right(Seq("""{"id":"ok"}"""))
+      }
+    }
+    val api = new RetryingApi(flaky, maxAttempts = 4,
+      baseDelayMillis = 100, sleep = delays += _)
+    assert(api.fetchPage("t", 1, 10, Map.empty) == Right(Seq("""{"id":"ok"}""")))
+    assert(calls == 3)
+    assert(delays.toSeq == Seq(100L, 200L), "expected 1x, 2x backoff")
+    // a 404 must NOT retry
+    var calls404 = 0
+    val notFound = new LiveAgentApi {
+      override def fetchPage(e: String, p: Int, pp: Int, f: Map[String, String]) = {
+        calls404 += 1; Left(ApiError(404, "no"))
+      }
+    }
+    assert(new RetryingApi(notFound, maxAttempts = 4, sleep = _ => ())
+      .fetchPage("t", 1, 10, Map.empty) == Left(ApiError(404, "no")))
+    assert(calls404 == 1)
+    // exhausted transient retries surface the last error
+    var callsDown = 0
+    val down = new LiveAgentApi {
+      override def fetchPage(e: String, p: Int, pp: Int, f: Map[String, String]) = {
+        callsDown += 1; Left(ApiError(0, "connect timeout"))
+      }
+    }
+    assert(new RetryingApi(down, maxAttempts = 3, sleep = _ => ())
+      .fetchPage("t", 1, 10, Map.empty) == Left(ApiError(0, "connect timeout")))
+    assert(callsDown == 3)
+  }
 }
