@@ -61,6 +61,26 @@ class Warehouse(spark: SparkSession, root: String) {
     overwrite(name, read(name).repartition(nFiles))
   }
 
+  /** Retained snapshots, oldest first (time-travel surface; bounded by
+    * [[keepSnapshots]]).
+    */
+  def snapshots(name: String): Seq[String] =
+    Option(tableDir(name).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+      .map(_.getName).toSeq.sorted // snap-<nanotime> sorts chronologically
+
+  /** Time travel: read a RETAINED historical snapshot by name — the
+    * audit/repro read ("what did the table say before that batch?").
+    * The pointer stays untouched; GC retention ([[keepSnapshots]])
+    * bounds how far back this reaches.
+    */
+  def readAt(name: String, snapshot: String): DataFrame = {
+    require(snapshots(name).contains(snapshot),
+      s"no retained snapshot '$snapshot' for table '$name' " +
+        s"(have: ${snapshots(name).mkString(", ")})")
+    spark.read.parquet(tableDir(name).resolve(snapshot).toString)
+  }
+
   /** Data files of the current snapshot (compaction observability). */
   def dataFiles(name: String): Seq[String] = {
     val snap = currentSnapshot(name).getOrElse(

@@ -78,6 +78,27 @@ class OperatorsSpec extends AnyFunSuite {
       Seq(("a", 1), ("b", 99), ("c", 3)))
   }
 
+  test("Warehouse time travel: retained snapshots stay readable by name") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-tt").toString
+    val wh = new Warehouse(spark, dir)
+    wh.overwrite("t", Seq(("a", 1)).toDF("id", "v"))
+    val first = wh.snapshots("t").last
+    wh.overwrite("t", Seq(("a", 2), ("b", 3)).toDF("id", "v"))
+    // current read sees v2; time travel sees v1; pointer untouched
+    assert(wh.read("t").count() == 2)
+    assert(wh.readAt("t", first).as[(String, Int)].collect().toSeq ==
+      Seq(("a", 1)))
+    assert(wh.read("t").count() == 2)
+    // GC'd snapshots are refused with the retained list, not a raw IO error
+    val err = intercept[IllegalArgumentException] {
+      wh.readAt("t", "snap-0")
+    }
+    assert(err.getMessage.contains("no retained snapshot"))
+    // retention bound: after keepSnapshots+ overwrites the oldest is gone
+    (1 to 4).foreach(i => wh.overwrite("t", Seq(("x", i)).toDF("id", "v")))
+    assert(!wh.snapshots("t").contains(first))
+  }
+
   test("Warehouse compact: many small files collapse, rows unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh-compact").toString
     val wh = new Warehouse(spark, dir)
