@@ -330,6 +330,41 @@ object TrainingWave2Queries {
              CAST(sum(n_toks) AS BIGINT) AS total_toks
       FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
 
+    // Incremental batch dedup — the PRODUCTION dedup mode: a new batch
+    // dedupes against the standing corpus's fingerprint set AND within
+    // itself, without ever re-reading standing text. The standing side
+    // reduces to content hashes (the only state a dedup service keeps);
+    // cross-corpus checks are one hash equi-join (left_anti); the
+    // within-batch keeper is the usual min-id window. At 100 TB the
+    // standing fingerprints are a fraction of corpus bytes and bloom-
+    // prunable (bloom_anti_join is the pre-filter for exactly this
+    // join); the corpus text itself never moves.
+    QueryDef("dedup_incremental_batch", (s, dir) => {
+      val docs = t("documents")(s, dir)
+      val standingHashes = docs.where(col("doc_id") < 250)
+        .select(md5(col("text")).as("h")).distinct()
+      val batch = docs.where(col("doc_id") >= 250)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val newVsStanding = batch.join(standingHashes, Seq("h"), "left_anti")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("h")).orderBy(col("doc_id"))
+      newVsStanding
+        .withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH standing AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250),
+      batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250),
+      fresh AS (
+        SELECT b.doc_id, b.h FROM batch b
+        WHERE NOT EXISTS (SELECT 1 FROM standing s WHERE s.h = b.h))
+      SELECT doc_id FROM fresh
+      QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
+      ORDER BY doc_id""")),
+
     // Schema-evolution union: two batches of the same logical table with
     // drifted physical schemas (a column dropped, a column added) union
     // BY NAME with missing columns null-filled — the lake-ingestion
