@@ -433,4 +433,32 @@ class PlanAuditSpec extends AnyFunSuite {
         s"chunk scan reads ${s.requiredSchema.fieldNames.mkString(",")}")
     }
   }
+
+  test("anomaly_seasonal: baseline broadcast back onto the fact, no shuffle join") {
+    val plan = planOf("anomaly_seasonal")
+    assert(plan.contains("BroadcastHashJoin"), "baseline stopped broadcasting")
+    assert(!plan.contains("SortMergeJoin"), "fact shuffled for the baseline join")
+  }
+
+  test("gdpr_cascade_audit: every membership test is a broadcast semi join") {
+    val plan = planOf("gdpr_cascade_audit")
+    val semis = "LeftSemi".r.findAllIn(plan).size
+    assert(semis >= 2, s"expected the order/lineitem semi joins, saw $semis")
+    assert(!plan.contains("SortMergeJoin"),
+      "a fact table shuffled for a victim-set membership test")
+  }
+
+  test("dedup_incremental_batch: standing check is an anti join — text never re-read") {
+    val plan = planOf("dedup_incremental_batch")
+    assert(plan.contains("LeftAnti"), "standing-fingerprint anti join missing")
+    assert(!plan.contains("SortMergeJoin"),
+      "fingerprint check degenerated to a shuffle join")
+  }
+
+  test("s18_named_window: three functions share ONE window pass") {
+    val plan = planOf("s18_named_window")
+    val windows = "Window \\[".r.findAllIn(plan).size
+    assert(windows == 1,
+      s"named window expanded to $windows Window operators:\n${plan.take(600)}")
+  }
 }
