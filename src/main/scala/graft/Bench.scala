@@ -27,25 +27,33 @@ object Bench {
     // JVM/codegen warmup outside the measured window
     try run((s, d) => Tables.load(s, d, "nation")) catch { case _: Throwable => }
 
-    // steady-state timing: best of N runs per query (first run carries JIT
-    // compilation of generated code — observed 2-5x noise on cold paths).
-    // A query that throws on EVERY run is an ERROR, not a timing — its
-    // time-to-exception (often ~0.05 s) would otherwise read as a fake
-    // speedup in any per-query comparison against the baseline.
+    // steady-state timing: best of N INTERLEAVED full passes (first touch
+    // of a query carries JIT compilation of generated code — observed 2-5x
+    // noise on cold paths). Interleaving (pass 1 over ALL queries, then
+    // pass 2 over all, ...) instead of consecutive best-of-N per query
+    // means a transiently loaded stretch of the box poisons at most ONE
+    // sample of any given query — its other samples land minutes away —
+    // so the per-query min stays a plan-cost measurement, not a load
+    // measurement. A query that throws on EVERY pass is an ERROR, not a
+    // timing — its time-to-exception (often ~0.05 s) would otherwise read
+    // as a fake speedup in any per-query comparison against the baseline.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     // dev-mode isolation: SPARK_GRAFT_BENCH_ONLY=q1_agg,f30_xml_extract
     // times just those queries (for separating plan cost from box load)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val timed = SparkEntry.queries.toSeq.sortBy(_._1)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
-      .map { case (name, fn) =>
-      val times = (1 to runs).flatMap { _ =>
+    val samples = (1 to runs).flatMap { _ =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { run(fn); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case _: Throwable => None }
+        try { run(fn); name -> Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => name -> None }
       }
-      name -> times.minOption
+    }
+    val byName = samples.groupBy(_._1)
+    val timed = selected.map { case (name, _) =>
+      name -> byName(name).flatMap(_._2).minOption
     }
     val results = timed.collect { case (n, Some(t)) => n -> t }
     val errors = timed.collect { case (n, None) => n }

@@ -52,10 +52,14 @@ object ExprOps {
       java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
   }
 
-  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{Mn}+")
+  // All of Unicode's mark categories — nonspacing (Mn), spacing-combining
+  // (Mc: e.g. Devanagari/Bengali vowel signs), and enclosing (Me). utf8proc
+  // STRIPMARK removes every \p{M} codepoint, not just Mn; stripping only Mn
+  // diverges from the DuckDB oracle on Indic scripts.
+  private val CombiningMarks = java.util.regex.Pattern.compile("\\p{M}+")
 
-  /** Accent stripping: canonical decomposition, drop the nonspacing
-    * marks, recompose what remains — byte-identical to utf8proc's
+  /** Accent stripping: canonical decomposition, drop the combining marks
+    * (all of \p{M}), recompose what remains — byte-identical to utf8proc's
     * STRIPMARK semantics (DuckDB `strip_accents`): ñ → n, while letters
     * with no decomposition (ø, Hangul syllables) pass through unchanged.
     */

@@ -92,15 +92,17 @@ object Multimodal {
     else Some((img.getWidth, img.getHeight, luminanceGrid(img)))
   }
 
-  /** 4×4 grid of luminance means over a decoded raster, row-major;
+  /** grid×grid cells of luminance means over a decoded raster, row-major;
     * partial edge cells use their true pixel counts. Shared by the image
-    * path and the per-frame video path.
+    * path (4×4 = [[FeatureDim]]), the per-frame video path, and the 8×8
+    * (64-cell) perceptual-hash path.
     */
-  private def luminanceGrid(img: java.awt.image.BufferedImage): Array[Float] = {
+  private def luminanceGrid(img: java.awt.image.BufferedImage,
+                            grid: Int = 4): Array[Float] = {
     val (w, h) = (img.getWidth, img.getHeight)
-    val grid = 4 // 4×4 cells = FeatureDim
-    val sums = new Array[Double](FeatureDim)
-    val counts = new Array[Long](FeatureDim)
+    val cells = grid * grid
+    val sums = new Array[Double](cells)
+    val counts = new Array[Long](cells)
     var y = 0
     while (y < h) {
       var x = 0
@@ -115,7 +117,7 @@ object Multimodal {
       }
       y += 1
     }
-    Array.tabulate(FeatureDim)(i =>
+    Array.tabulate(cells)(i =>
       if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
   }
 
@@ -536,9 +538,35 @@ object Multimodal {
       (a, x) => a + x.cast("double")) / size(features)
     val bits = transform(features,
       f => when(f.cast("double") > mean, lit(1L)).otherwise(lit(0L)))
-    // bit i = cell i: fold the REVERSED bit array with acc·2 + bit, so
-    // cell 0 lands in the least-significant bit — no per-element shift
-    aggregate(reverse(bits), lit(0L), (a, b) => a * 2 + b)
+    // bit i = cell i: fold the REVERSED bit array with (acc << 1) | bit, so
+    // cell 0 lands in the least-significant bit — no per-element shift.
+    // Bitwise, not acc*2+bit: at 64 cells the final shift carries into the
+    // sign bit, which ANSI-mode Multiply rejects as long overflow.
+    aggregate(reverse(bits), lit(0L), (a, b) => shiftleft(a, 1).bitwiseOR(b))
+  }
+
+  /** Raw grid×grid luminance cells per image (the wide-hash decode path):
+    * (media_id, cells, decoded). Same typed-mapPartitions batch shape as
+    * [[extractImageFeatures]]; undecodable payloads emit `decoded=false`
+    * with empty cells.
+    */
+  def extractImageGrid(media: DataFrame, grid: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          val img =
+            if (p == null || p.isEmpty) null
+            else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth == 0 || img.getHeight == 0)
+            (id, Array.empty[Float], false)
+          else (id, luminanceGrid(img, grid), true)
+        }
+      }
+      .toDF("media_id", "cells", "decoded")
   }
 
   /** Near-duplicate image detection on the perceptual hash: hashes band
@@ -549,16 +577,26 @@ object Multimodal {
     * Output: (media_id, phash, is_dup) where a row is a dup iff some
     * LOWER id matches within the Hamming radius — the keep-lowest-id
     * convention of the text dedup family.
+    *
+    * The hash is a dedicated 8×8 (64-bit) aHash, NOT the 16-dim feature
+    * grid: at 16 bits the band key space is ≤2^8 values per band, so
+    * common degenerate images (flat rasters → hash 0) pile into one
+    * bucket and the banded self-join degenerates toward quadratic, and
+    * unrelated images collide outright on any non-trivial corpus. 64
+    * bits is the standard aHash width for real near-dup detection.
     */
-  def dedupByPerceptualHash(media: DataFrame, maxHamming: Int = 1): DataFrame = {
-    require(maxHamming >= 0 && FeatureDim % (maxHamming + 1) == 0,
-      s"bands must split $FeatureDim bits evenly")
+  def dedupByPerceptualHash(media: DataFrame, maxHamming: Int = 1,
+                            grid: Int = 8): DataFrame = {
+    val hashBits = grid * grid
+    require(hashBits > 0 && hashBits <= 64, s"grid² must fit a long, got $hashBits bits")
+    require(maxHamming >= 0 && hashBits % (maxHamming + 1) == 0,
+      s"bands must split $hashBits bits evenly")
     val nBands = maxHamming + 1
-    val bandBits = FeatureDim / nBands
-    val mask = (1L << bandBits) - 1
-    val ph = extractImageFeatures(media)
+    val bandBits = hashBits / nBands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
+    val ph = extractImageGrid(media, grid)
       .where(col("decoded"))
-      .select(col("media_id"), perceptualHash(col("features")).as("phash"))
+      .select(col("media_id"), perceptualHash(col("cells")).as("phash"))
     val banded = ph.select(col("media_id"), col("phash"),
       explode(array((0 until nBands).map(b =>
         struct(lit(b).as("band"),

@@ -15,6 +15,52 @@ class Warehouse(spark: SparkSession, root: String) {
   private def tableDir(name: String) = Paths.get(root, name)
   private def pointer(name: String)  = tableDir(name).resolve("_current")
 
+  /** Next snapshot name: max(existing ids) + 1, zero-padded to a fixed 20
+    * digits so lexicographic order IS chronological order. The previous
+    * `snap-<nanoTime>` scheme broke on digit-count rollover (10^14 →
+    * 10^15 ns uptime) and nanoTime has no guaranteed sign/epoch — a
+    * listing-derived counter is monotonic per table by construction
+    * (20 digits also swallows legacy unpadded nanotime names). Writers on
+    * one Warehouse instance are serialized by [[swapPointer]]'s pointer
+    * move; multi-writer coordination is the lake-format layer's job.
+    */
+  private def nextSnap(name: String): String = {
+    val maxId = Option(tableDir(name).toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("snap-").toLong).toOption)
+      .maxOption.getOrElse(-1L)
+    f"snap-${math.max(maxId, -1L) + 1}%020d"
+  }
+
+  /** Recursive on-disk size of a snapshot's parquet data — partitioned
+    * snapshots nest files under `col=value/` directories, so a top-level
+    * listing alone undercounts (to zero) and mis-sizes compaction.
+    */
+  private def parquetBytes(dir: java.io.File): Long = {
+    val children = Option(dir.listFiles()).getOrElse(Array.empty)
+    children.collect {
+      case f if f.isFile && f.getName.endsWith(".parquet") => f.length()
+      case d if d.isDirectory => parquetBytes(d)
+    }.sum
+  }
+
+  /** Partition columns of a snapshot, read off the `col=value` directory
+    * chain (empty for unpartitioned layouts).
+    */
+  private def partitionColsOf(snapDir: java.io.File): Seq[String] = {
+    val cols = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = snapDir
+    var continue = true
+    while (continue) {
+      Option(cur.listFiles()).getOrElse(Array.empty)
+        .find(d => d.isDirectory && d.getName.contains("=")) match {
+        case Some(d) => cols += d.getName.takeWhile(_ != '='); cur = d
+        case None => continue = false
+      }
+    }
+    cols.toSeq
+  }
+
   def exists(name: String): Boolean = Files.exists(pointer(name))
 
   private def currentSnapshot(name: String): Option[String] =
@@ -28,8 +74,8 @@ class Warehouse(spark: SparkSession, root: String) {
 
   /** K2 — truncate-overwrite: write a fresh snapshot, swap the pointer. */
   def overwrite(name: String, df: DataFrame): Unit = {
-    val snap = s"snap-${System.nanoTime()}"
     Files.createDirectories(tableDir(name))
+    val snap = nextSnap(name)
     df.write.mode("overwrite").parquet(tableDir(name).resolve(snap).toString)
     swapPointer(name, snap)
   }
@@ -54,11 +100,20 @@ class Warehouse(spark: SparkSession, root: String) {
     val snap = currentSnapshot(name).getOrElse(
       throw new IllegalArgumentException(s"no such table: $name"))
     val dir = tableDir(name).resolve(snap).toFile
-    val bytes = Option(dir.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.length()).sum
+    val bytes = parquetBytes(dir) // recursive: partitioned snapshots nest files
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    overwrite(name, read(name).repartition(nFiles))
+    val pCols = partitionColsOf(dir)
+    if (pCols.isEmpty) overwrite(name, read(name).repartition(nFiles))
+    else {
+      // preserve the partition layout — compacting through plain overwrite()
+      // would silently flatten the table and lose partition pruning.
+      // Clustering the shuffle by the partition columns keeps each
+      // partition's rows in few tasks, so partitionBy writes few files per
+      // partition instead of nFiles × nPartitions splinters.
+      import org.apache.spark.sql.functions.col
+      val clustered = read(name).repartition(nFiles, pCols.map(col): _*)
+      overwritePartitioned(name, clustered, pCols)
+    }
   }
 
   /** Retained snapshots, oldest first (time-travel surface; bounded by
@@ -67,7 +122,7 @@ class Warehouse(spark: SparkSession, root: String) {
   def snapshots(name: String): Seq[String] =
     Option(tableDir(name).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
-      .map(_.getName).toSeq.sorted // snap-<nanotime> sorts chronologically
+      .map(_.getName).toSeq.sorted // fixed-width ids: lexicographic == chronological
 
   /** Time travel: read a RETAINED historical snapshot by name — the
     * audit/repro read ("what did the table say before that batch?").
@@ -81,14 +136,21 @@ class Warehouse(spark: SparkSession, root: String) {
     spark.read.parquet(tableDir(name).resolve(snapshot).toString)
   }
 
-  /** Data files of the current snapshot (compaction observability). */
+  /** Data files of the current snapshot, as snapshot-relative paths
+    * (compaction observability) — recursive, so partitioned snapshots'
+    * nested `col=value/part-*.parquet` files are listed too.
+    */
   def dataFiles(name: String): Seq[String] = {
     val snap = currentSnapshot(name).getOrElse(
       throw new IllegalArgumentException(s"no such table: $name"))
-    Option(tableDir(name).resolve(snap).toFile.listFiles())
-      .getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-      .map(_.getName).toSeq.sorted
+    val base = tableDir(name).resolve(snap)
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f)
+        case d2 if d2.isDirectory => walk(d2)
+        case _ => Nil
+      }
+    walk(base.toFile).map(f => base.relativize(f.toPath).toString).sorted
   }
 
   /** K4 — staged merge upsert into the table (creates it when absent). */
@@ -106,8 +168,8 @@ class Warehouse(spark: SparkSession, root: String) {
     */
   def overwritePartitioned(name: String, df: DataFrame,
                            partitionCols: Seq[String]): Unit = {
-    val snap = s"snap-${System.nanoTime()}"
     Files.createDirectories(tableDir(name))
+    val snap = nextSnap(name)
     df.write.mode("overwrite").partitionBy(partitionCols: _*)
       .parquet(tableDir(name).resolve(snap).toString)
     swapPointer(name, snap)

@@ -61,6 +61,19 @@ object ColumnLineage {
     // bottom-up: children first, then this node's defining expressions
     def walk(p: LogicalPlan): Unit = {
       p.children.foreach(walk)
+      // Union outputs reuse the FIRST child's exprIds in analyzed plans, so
+      // without this the later branches' leaves would silently vanish from
+      // lineage — merge every child's same-position column set instead.
+      p match {
+        case u: org.apache.spark.sql.catalyst.plans.logical.Union =>
+          u.output.zipWithIndex.foreach { case (out, i) =>
+            val merged = u.children
+              .flatMap(c => acc.getOrElse(c.output(i).exprId, Set.empty[String]))
+              .toSet
+            acc(out.exprId) = acc.getOrElse(out.exprId, Set.empty) ++ merged
+          }
+        case _ =>
+      }
       // any expression that DEFINES an attribute (Alias & friends)
       p.expressions.foreach { e =>
         e.foreach {

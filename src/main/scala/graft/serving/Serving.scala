@@ -42,6 +42,12 @@ object Serving {
     * `tables.py:18-19`), then fetch-with-envelope: a missing/failed table
     * is an ERROR envelope with the reference's message, not an exception
     * (`Extractor.py:191-198`).
+    *
+    * The limited page runs EXACTLY ONE job: CollectLimit stops after the
+    * first partitions, the collected rows are counted locally, and the
+    * envelope carries a LocalRelation over those rows — so the serving
+    * edge's own collect/show is free instead of re-running the scan
+    * (previously `page.count()` + the caller's collect ran the job twice).
     */
   def fetch(wh: Warehouse, table: String, limit: Int = 10): Either[HttpError, Envelope] =
     if (!FetchWhitelist(table)) Left(HttpError(404, "Table not found!"))
@@ -49,7 +55,10 @@ object Serving {
       Right(Envelope(Error, "0", None, Some("Table not found!")))
     else {
       val page = wh.read(table).limit(limit)
-      Right(Envelope(Success, page.count().toString, Some(page), None))
+      val rows = page.collect() // the one job; limit is in this plan
+      val local = page.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), page.schema)
+      Right(Envelope(Success, rows.length.toString, Some(local), None))
     }
 
   /** Per-model token totals for one extraction window

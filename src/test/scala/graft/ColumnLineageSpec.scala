@@ -42,6 +42,18 @@ class ColumnLineageSpec extends AnyFunSuite {
     assert(lin("o_orderkey").exists(_.endsWith(".o_orderkey")))
   }
 
+  test("union merges every branch's lineage, not just the first child's") {
+    val o = Tables.load(spark, dir, "orders")
+    val c = Tables.load(spark, dir, "customer")
+    val left = o.select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+    val right = c.select(col("c_custkey").as("k"), col("c_acctbal").as("v"))
+    val lin = ColumnLineage.of(left.unionAll(right))
+    assert(lin("k").exists(_.endsWith(".o_orderkey")) &&
+      lin("k").exists(_.endsWith(".c_custkey")), s"k: ${lin("k")}")
+    assert(lin("v").exists(_.endsWith(".o_totalprice")) &&
+      lin("v").exists(_.endsWith(".c_acctbal")), s"v: ${lin("v")}")
+  }
+
   test("multi-hop renames keep tracing to the original leaf") {
     val o = Tables.load(spark, dir, "orders")
     val df = o.select(col("o_totalprice").as("a"))

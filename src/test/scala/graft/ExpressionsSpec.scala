@@ -218,7 +218,11 @@ class ExpressionsSpec extends AnyFunSuite {
       (3L, "ñ Ñ ç"), // ñ Ñ ç → n N c
       (4L, "ørsted"),          // ø has no decomposition — unchanged
       (5L, "한국어"),   // Hangul recomposes — unchanged
-      (6L, "plain"))
+      (6L, "plain"),
+      // utf8proc STRIPMARK drops ALL mark categories, not just nonspacing:
+      (7L, "कि"),   // Devanagari क + vowel sign ि (Mc) → क
+      (8L, "কা"),   // Bengali ক + vowel sign া (Mc) → ক
+      (9L, "a⃝"))        // a + combining enclosing circle (Me) → a
       .toDF("id", "s")
       .select($"id", graft.expressions.StripAccents($"s").as("t"))
       .orderBy("id").as[(Long, String)].collect().toMap
@@ -227,6 +231,9 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got(4L) == "ørsted")
     assert(got(5L) == "한국어")
     assert(got(6L) == "plain")
+    assert(got(7L) == "क", "spacing-combining (Mc) mark not stripped")
+    assert(got(8L) == "ক", "spacing-combining (Mc) mark not stripped")
+    assert(got(9L) == "a", "enclosing (Me) mark not stripped")
   }
 
   test("NfcNormalize: idempotent and codegen-compatible over a real scan") {

@@ -25,18 +25,44 @@ class ServingSpec extends AnyFunSuite {
     assert(env.message.contains("Table not found!"))
   }
 
-  test("fetch: limit passthrough, success envelope, limit reaches the plan") {
+  test("fetch: limit passthrough, success envelope, limit reaches the plan, ONE job") {
     val wh = freshWh()
-    wh.overwrite("tickets", (1 to 100).map(i => (s"T$i", s"s$i")).toDF("id", "subject"))
-    val env = Serving.fetch(wh, "tickets", limit = 10).toOption.get
-    assert(env.status == Serving.Success && env.count == "10")
-    val page = env.data.get
-    assert(page.count() == 10)
-    // the limit must be IN the plan (CollectLimit/GlobalLimit) — serving a
-    // preview must not scan the whole table
-    val plan = page.queryExecution.executedPlan.toString
+    // single data file: CollectLimit's incremental executeCollect satisfies
+    // the limit from the first partition, making "exactly one job" exact
+    wh.overwrite("tickets",
+      (1 to 100).map(i => (s"T$i", s"s$i")).toDF("id", "subject").repartition(1))
+    // the limit must be IN the executed plan (CollectLimit/GlobalLimit) —
+    // serving a preview must not scan the whole table. fetch() executes
+    // exactly this plan, so pin it on the same read it runs.
+    val plan = wh.read("tickets").limit(10).queryExecution.executedPlan.toString
     assert(plan.contains("CollectLimit") || plan.contains("GlobalLimit"),
       s"limit not pushed into the plan:\n$plan")
+    // fetch runs ONE data job (the collect; parquet schema inference adds a
+    // driver metadata job we don't count); the envelope's page is a local
+    // relation, so the serving edge's own count/collect launches ZERO
+    // further jobs — previously `page.count()` + the caller's collect
+    // scanned twice.
+    val collects = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (js.stageInfos.exists(_.name.startsWith("collect")))
+          collects.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val env = Serving.fetch(wh, "tickets", limit = 10).toOption.get
+      assert(env.status == Serving.Success && env.count == "10")
+      val page = env.data.get
+      assert(page.collect().length == 10) // LocalTableScan.executeCollect: no job
+      assert(page.columns.toSeq == Seq("id", "subject"))
+      // listener events are async: wait for the first collect event, then a
+      // grace window to catch any (unexpected) second one
+      val deadline = System.nanoTime() + 2_000_000_000L
+      while (collects.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(250)
+      assert(collects.get() == 1,
+        s"fetch+read ran ${collects.get()} collect jobs, expected 1")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("tokenTotals: per-model sums inside the window; empty window → (N/A, 0)") {
