@@ -34,9 +34,11 @@ object TextAnalysisFns {
     *  - it never OVERCOUNTS (BPE merges cannot join across pretoken
     *    boundaries).
     * So the value is a deterministic lower bound on the tiktoken count.
-    * Swapping in an exact count means shipping the o200k_base ranks file
-    * and a merge loop (or a JNI tokenizer) behind this same Column
-    * signature. The reference's failure mode (any exception → 0,
+    * For EXACT counts use [[graft.expressions.BpeCountTokens]] — the real
+    * byte-level merge-loop BPE over a GPT-2-format merges table (shipped:
+    * the corpus-trained table; drop in OpenAI's published merges.txt for
+    * GPT-2-exact counts). This regex variant stays as the zero-table
+    * fallback. The reference's failure mode (any exception → 0,
     * `ConvoDataExtract.py:78-82`) is not reproduced: the regex cannot
     * throw.
     */

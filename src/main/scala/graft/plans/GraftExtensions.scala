@@ -130,6 +130,12 @@ object GraftSqlFunctions {
       "graft_strip_accents(str) - drop accents/combining marks " +
         "(utf8proc STRIPMARK semantics)", Seq(1)) {
       case Seq(s) => StripAccents(s)
+    },
+    reg("graft_bpe_count_tokens",
+      "graft_bpe_count_tokens(str) - exact byte-level BPE token count " +
+        "(GPT-2 pretokenizer + merge loop over the shipped merges table)",
+      Seq(1)) {
+      case Seq(s) => BpeCountTokens(s)
     })
 }
 

@@ -147,9 +147,14 @@ object ScaleOpsWave2Queries {
 
     // Compression-ratio quality signal (CCNet/RefinedWeb-style): deflated
     // bytes / raw bytes per document, flagged against the prose band.
-    // DEFLATE is not expressible in the DuckDB oracle → rows-only gate;
-    // the expression's semantics are spec-pinned (ExpressionsSpec:
-    // repetitive < prose < noise ordering, empty/null, codegen).
+    // DEFLATE has no DuckDB scalar, so the oracle reads the deflate byte
+    // counts from the committed fixture parquet (regenerate with
+    // `runMain graft.tools.GenFixtures` after a testdata refresh) and
+    // recomputes ratio/keep from them — a full hash gate instead of the
+    // former rows-only check. The fixture pins stability; the SEMANTICS
+    // (repetitive < prose < noise ordering, empty/null, codegen) stay
+    // pinned by ExpressionsSpec. Ratio is ONE double division of two
+    // exact integers in both engines — bit-identical.
     // Scale shape: one projection over the scan, no shuffle — the
     // cheapest quality cut a 100 TB curation pass runs first.
     QueryDef("text_compress_ratio", (s, dir) => {
@@ -161,6 +166,19 @@ object ScaleOpsWave2Queries {
         .withColumn("keep",
           col("compress_ratio") >= 0.25 && col("compress_ratio") <= 0.95)
         .orderBy(col("doc_id"))
-    }, None)
+    }, Some("""
+      WITH f AS (SELECT doc_id, n_deflate_bytes
+                 FROM read_parquet('/root/repo/fixtures/compress_ratio_sf0.01.parquet')),
+      m AS (
+        SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_raw_bytes,
+               f.n_deflate_bytes,
+               CASE WHEN strlen(d.text) = 0 THEN 1.0
+                    ELSE CAST(f.n_deflate_bytes AS DOUBLE) /
+                         CAST(strlen(d.text) AS DOUBLE) END AS compress_ratio
+        FROM documents d JOIN f USING (doc_id))
+      SELECT doc_id, n_raw_bytes, n_deflate_bytes, compress_ratio,
+             compress_ratio >= CAST(0.25 AS DOUBLE) AND
+             compress_ratio <= CAST(0.95 AS DOUBLE) AS keep
+      FROM m ORDER BY doc_id"""))
   )
 }

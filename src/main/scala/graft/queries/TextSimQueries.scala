@@ -385,6 +385,57 @@ object TextSimQueries {
       FROM documents ORDER BY doc_id"""
     }),
 
+    // Text analysis: EXACT byte-level BPE token counting (closes F14's
+    // lower bound): GPT-2 pretokenizer + byte→unicode mapping + the real
+    // merge loop over the shipped GPT-2-format merges table. The Spark
+    // side is one codegen'd static call per row over the scan — no
+    // shuffle, cache-accelerated. The oracle replays ENCODING (not
+    // training) in DuckDB: the same merges table as literal VALUES, each
+    // pretoken's symbol string folded through every merge in rank order
+    // (rank-order application ≡ the min-rank loop for any valid trained
+    // table — BpeSpec pins the equivalence corpus-wide). The corpus is
+    // single-spaced ASCII, where the RE2-safe pretokenizer below is
+    // exactly the GPT-2 pattern (the lookahead branch only matters for
+    // multi-whitespace runs).
+    QueryDef("text_tokens_bpe", (s, dir) =>
+      t("documents")(s, dir)
+        .select(col("doc_id"),
+          graft.expressions.BpeCountTokens(col("text")).as("n_bpe_tokens"))
+        .orderBy(col("doc_id"))
+    , Some {
+      val vals = graft.expressions.BpeOps.default.merges.zipWithIndex
+        .map { case ((p1, p2), i) =>
+          s"(${i + 1},'${p1.replace("'", "''")}','${p2.replace("'", "''")}')" }
+        .mkString(",")
+      // NB: no line here may START with '|' (stripMargin); '||' concat
+      // stays mid-line.
+      s"""
+      WITH merges AS (SELECT * FROM (VALUES $vals) m(rank, p1, p2)),
+      mlist AS (SELECT list(p1 || ' ' || p2 ORDER BY rank) AS ms FROM merges),
+      pt AS (SELECT doc_id, unnest(regexp_extract_all(text,
+               '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS pt
+             FROM documents),
+      enc AS (
+        SELECT doc_id, len(str_split(
+          list_reduce(
+            list_prepend(array_to_string(str_split(replace(pt, ' ', 'Ġ'), ''), ' '), ms),
+            (acc, mg) -> list_reduce(
+              list_prepend('', str_split(acc, ' ')),
+              (a2, x) -> CASE WHEN a2 = '' THEN x
+                WHEN x = split_part(mg, ' ', 2) AND (a2 = split_part(mg, ' ', 1)
+                     OR ends_with(a2, ' ' || split_part(mg, ' ', 1)))
+                  THEN CASE WHEN a2 = split_part(mg, ' ', 1) THEN replace(mg, ' ', '')
+                       ELSE concat(substr(a2, 1, length(a2) - length(split_part(mg, ' ', 1)) - 1),
+                                   ' ', replace(mg, ' ', '')) END
+                ELSE a2 || ' ' || x END)
+          ), ' ')) AS n
+        FROM pt CROSS JOIN mlist)
+      SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_bpe_tokens
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, sum(n) AS n FROM enc GROUP BY doc_id) s USING(doc_id)
+      ORDER BY doc_id"""
+    }),
+
     // Composite training-data filter — the realistic production shape:
     // keep documents that pass quality, are detected English, and are
     // their exact-dup cluster's keeper — all in one plan (filters fused

@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.{BpeCountTokens, BpeOps}
+
+/** Exact byte-level BPE: the GPT-2 byte→unicode map, the pretokenizer
+  * (incl. the lookahead whitespace branch), the authentic min-rank merge
+  * loop pinned on hand-computed fixtures (multi-byte/emoji included), the
+  * GPT-2 merges-file format loader, and the rank-order ≡ min-rank
+  * equivalence the DuckDB oracle relies on — corpus-wide.
+  */
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  test("byteToChar is the GPT-2 bytes_to_unicode map") {
+    val m = BpeOps.byteToChar
+    assert(m('a'.toInt) == 'a' && m('!'.toInt) == '!' && m('~'.toInt) == '~')
+    assert(m(0x20) == 'Ġ', "space must map to U+0120") // 256 + 32 remapped-before
+    assert(m(0x0A) == 'Ċ', "newline must map to U+010A")
+    assert(m(0x09) == 'ĉ', "tab must map to U+0109")
+    assert(m(0x00) == 'Ā', "byte 0 is the first remapped value")
+    assert(m.distinct.length == 256, "mapping must be a bijection")
+  }
+
+  test("GPT-2 pretokenizer: contractions, space attachment, whitespace lookahead") {
+    def pts(s: String): Seq[String] = {
+      val m = BpeOps.Gpt2Pattern.matcher(s)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }
+    assert(pts("I'll go") == Seq("I", "'ll", " go"))
+    assert(pts("it's 42 items!") == Seq("it", "'s", " 42", " items", "!"))
+    // the (?!\S) branch: a multi-space run leaves its LAST space attached
+    // to the following word — the GPT-2 behavior tiktoken reproduces
+    assert(pts("a  b") == Seq("a", " ", " b"))
+    assert(pts("a   b") == Seq("a", "  ", " b"))
+    assert(pts("a \n b") == Seq("a", " \n", " b"))
+  }
+
+  test("merge loop: hand-computed fixtures on the shipped table") {
+    val tok = BpeOps.default
+    // "the" -> t,h,e: no merge in the table applies -> 3 tokens
+    assert(tok.countPretoken("the") == 3)
+    // " s" -> Ġ,s -> merge 1 (Ġ s) -> 1 token
+    assert(tok.countPretoken(" s") == 1)
+    // " join": Ġ,j,o,i,n -> (j o)->jo -> (i n)->in -> (jo in)->join ->
+    // (Ġ join) -> 1 token
+    assert(tok.countPretoken(" join") == 1)
+    // "match": m,a,t,c,h -> (a t) -> (at c) -> (atc h) -> [m, atch] = 2
+    assert(tok.countPretoken("match") == 2)
+    // " customer": Ġ,c,u,s,t,o,m,e,r -> (e r)->er -> (m er)->mer ->
+    // (Ġ c)->Ġc -> (s t)->st -> (o mer)->omer -> [Ġc,u,st,omer] = 4
+    assert(tok.countPretoken(" customer") == 4)
+    // full text: pretokens "the" + " customer" = 3 + 4
+    assert(tok.countTokens("the customer") == 7L)
+    assert(tok.countTokens("") == 0L && tok.countTokens(null) == 0L)
+  }
+
+  test("multi-byte text: each UTF-8 byte is an initial symbol") {
+    val tok = BpeOps.default
+    // é = 2 UTF-8 bytes, no merges apply -> 2 tokens
+    assert(tok.countPretoken("é") == 2)
+    // 👍 = 4 UTF-8 bytes -> 4 tokens
+    assert(tok.countPretoken("👍") == 4)
+    // mixed: "ok 👍" -> ["ok", " 👍"]: o,k=2; Ġ+4 bytes=5 -> 7
+    assert(tok.countTokens("ok 👍") == 7L)
+  }
+
+  test("merges-file loader: GPT-2 format with #version header") {
+    val parsed = BpeOps.parseMerges(Iterator(
+      "#version: 0.2", "Ġ t", "h e", "Ġt he", ""))
+    assert(parsed == Vector(("Ġ", "t"), ("h", "e"), ("Ġt", "he")))
+    // a table loaded this way drives the same loop: " the" -> Ġ,t,h,e ->
+    // (Ġ t) -> (h e) -> (Ġt he) -> 1 token
+    val tok = new BpeOps.Tokenizer(parsed)
+    assert(tok.encodeMapped(BpeOps.mapBytes(" the")) == Vector("Ġthe"))
+    intercept[IllegalArgumentException](BpeOps.parseMerges(Iterator("nospace")))
+  }
+
+  test("rank-order fold ≡ min-rank loop on every corpus pretoken (oracle's law)") {
+    val tok = BpeOps.default
+    val texts = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("text")).collect().map(_.getString(0)).filter(_ != null)
+    val pretokens = texts.iterator.flatMap { t =>
+      val m = BpeOps.Gpt2Pattern.matcher(t)
+      val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group()
+      b.result()
+    }.toSet
+    assert(pretokens.nonEmpty)
+    pretokens.foreach { pt =>
+      val mapped = BpeOps.mapBytes(pt)
+      assert(tok.applyMergesInOrder(mapped) == tok.encodeMapped(mapped),
+        s"fold/min-rank divergence on pretoken '$pt'")
+    }
+  }
+
+  test("expression: codegen column over a real scan, SQL name registered") {
+    import spark.implicits._
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), BpeCountTokens(col("text")).as("n"))
+    val viaCol = df.orderBy("doc_id").as[(Long, Long)].collect()
+    assert(viaCol.forall(_._2 > 0))
+    // exact spot check against the driver-side tokenizer
+    val first = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .orderBy("doc_id").select("text").head().getString(0)
+    assert(viaCol.head._2 == BpeOps.default.countTokens(first))
+    // SQL registration
+    Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .createOrReplaceTempView("bpe_docs_v")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_bpe_count_tokens(text) AS n FROM bpe_docs_v ORDER BY doc_id")
+      .as[(Long, Long)].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // BPE count is bounded below by the pretokenizer count's property:
+    // merges only ever SHRINK a pretoken's symbol count, never below 1
+    val cmp = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(
+        BpeCountTokens(col("text")).as("bpe"),
+        graft.functions.TextAnalysisFns.bpeishTokenCount(col("text")).as("lower"),
+        length(col("text")).cast("long").as("upper"))
+      .where(col("bpe") < col("lower") || col("bpe") > col("upper"))
+    assert(cmp.isEmpty, "BPE count must sit between pretoken count and char count")
+  }
+}
