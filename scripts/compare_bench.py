@@ -1,0 +1,41 @@
+#!/usr/bin/env python3
+"""Compare a Bench run (bench_full.json) against BASELINE.md's standing
+per-query table: prints the standing-subset ratio, total, and every query
+over the given per-query ratio threshold (default 2.0).
+
+Usage: compare_bench.py [bench_full.json] [--threshold 2.0]
+"""
+import json
+import re
+import sys
+
+bench_path = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-") \
+    else "bench_full.json"
+thr = 2.0
+if "--threshold" in sys.argv:
+    thr = float(sys.argv[sys.argv.index("--threshold") + 1])
+
+with open(bench_path) as f:
+    bench = json.load(f)["queries"]
+
+baseline = {}
+with open("BASELINE.md") as f:
+    for m in re.finditer(r"`([a-z0-9_]+)` ([0-9]+\.[0-9]+)", f.read()):
+        baseline[m.group(1)] = float(m.group(2))
+
+common = sorted(set(bench) & set(baseline))
+missing = sorted(set(baseline) - set(bench))
+b_tot = sum(bench[q] for q in common)
+base_tot = sum(baseline[q] for q in common)
+print(f"standing subset: {len(common)} queries "
+      f"(baseline has {len(baseline)}; missing from bench: {missing})")
+print(f"bench {b_tot:.2f} s vs baseline {base_tot:.2f} s -> "
+      f"ratio {b_tot / base_tot:.3f}x")
+over = [(q, bench[q], baseline[q], bench[q] / baseline[q])
+        for q in common if bench[q] > thr * baseline[q]]
+over.sort(key=lambda r: -r[3])
+print(f"queries over {thr}x baseline: {len(over)}")
+for q, b, ba, r in over:
+    print(f"  {q}: {b:.2f} vs {ba:.2f} ({r:.2f}x)")
+new = sorted(set(bench) - set(baseline))
+print(f"beyond-baseline queries timed: {len(new)}")

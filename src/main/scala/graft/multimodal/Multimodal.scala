@@ -326,13 +326,25 @@ object Multimodal {
   val ZeroDelayFrameMs = 100L
 
   /** Real video container index — METADATA ONLY, no pixel decode: frame
-    * start timestamps (ms) and total duration for an animated GIF (the
-    * one multi-frame container the JDK ships a codec for). Per-frame
-    * delay comes from the GraphicControlExtension `delayTime` (units of
-    * 10 ms; 0 → [[ZeroDelayFrameMs]]). None when the payload isn't a GIF
-    * ImageIO can open.
+    * start timestamps (ms) and total duration. Two container families:
+    *
+    *  - animated GIF (the one multi-frame container the JDK ships a
+    *    codec for): per-frame delay from the GraphicControlExtension
+    *    `delayTime` (units of 10 ms; 0 → [[ZeroDelayFrameMs]]);
+    *  - ISO BMFF (MP4/MOV): real frame timing parsed from the container
+    *    boxes (`moov/trak/mdia/{mdhd,hdlr,minf/stbl/{stts,stco}}`) — see
+    *    [[mp4FrameIndex]]. Pixels stay honest-degrade (no H.264 decoder
+    *    in the JDK): [[decodeVideoFrame]] still returns None for MP4, so
+    *    downstream rows carry real `frame_ms`/duration with
+    *    `decoded=false` features.
+    *
+    * None when the payload is neither.
     */
-  def videoFrameIndex(payload: Array[Byte]): Option[(Long, Array[Long])] = {
+  def videoFrameIndex(payload: Array[Byte]): Option[(Long, Array[Long])] =
+    gifFrameIndex(payload).orElse(
+      mp4FrameIndex(payload).map { case (dur, starts, _) => (dur, starts) })
+
+  private def gifFrameIndex(payload: Array[Byte]): Option[(Long, Array[Long])] = {
     if (payload == null || payload.isEmpty) return None
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -358,6 +370,121 @@ object Multimodal {
         } finally reader.dispose()
       } finally iis.close()
     } catch { case _: Exception => None }
+  }
+
+  /** ISO BMFF (MP4/MOV) container metadata, parsed straight off the box
+    * structure (ISO/IEC 14496-12, public): for the FIRST video track
+    * (`hdlr` handler `vide`), returns (duration ms, frame start times ms,
+    * chunk count).
+    *
+    *  - timing: `stts` (decoding time-to-sample) run-length entries
+    *    accumulated in `mdhd` timescale units, converted with integer
+    *    `t * 1000 / timescale`;
+    *  - duration: the `mdhd` duration when declared (0 / all-ones means
+    *    unknown → fall back to the stts sum);
+    *  - chunks: `stco` (32-bit) or `co64` chunk-offset count — the
+    *    sample-data layout a real frame extractor would seek by.
+    *
+    * Metadata only — no sample decode; malformed boxes → None, never a
+    * throw. Frame count is capped so a hostile header can't allocate GBs.
+    */
+  def mp4FrameIndex(payload: Array[Byte]): Option[(Long, Array[Long], Int)] = {
+    if (payload == null || payload.length < 16) return None
+    try {
+      val top = boxChildren(payload, 0, payload.length)
+      // brand check: ISO BMFF files lead with ftyp (MOV: also accepted)
+      if (!top.exists(_._1 == "ftyp")) return None
+      val moov = top.find(_._1 == "moov").getOrElse(return None)
+      val traks = boxChildren(payload, moov._2, moov._3).filter(_._1 == "trak")
+      traks.foreach { trak =>
+        val mdia = boxChildren(payload, trak._2, trak._3).find(_._1 == "mdia")
+          .getOrElse(return None)
+        val mc = boxChildren(payload, mdia._2, mdia._3)
+        val isVideo = mc.find(_._1 == "hdlr").exists { h =>
+          // hdlr payload: version+flags(4) pre_defined(4) handler_type(4)
+          h._3 - h._2 >= 12 &&
+            new String(payload, h._2 + 8, 4, java.nio.charset.StandardCharsets.ISO_8859_1) == "vide"
+        }
+        if (isVideo) {
+          val mdhd = mc.find(_._1 == "mdhd").getOrElse(return None)
+          val v = payload(mdhd._2) & 0xFF
+          val (timescale, declaredDur) =
+            if (v == 1) (be32u(payload, mdhd._2 + 20), be64(payload, mdhd._2 + 24))
+            else (be32u(payload, mdhd._2 + 12), be32u(payload, mdhd._2 + 16))
+          if (timescale <= 0) return None
+          val stbl = mc.find(_._1 == "minf")
+            .flatMap(m => boxChildren(payload, m._2, m._3).find(_._1 == "stbl"))
+            .getOrElse(return None)
+          val sc = boxChildren(payload, stbl._2, stbl._3)
+          val stts = sc.find(_._1 == "stts").getOrElse(return None)
+          val nEntries = be32u(payload, stts._2 + 4)
+          if (nEntries < 0 || stts._2 + 8 + nEntries * 8 > stts._3) return None
+          val starts = Array.newBuilder[Long]
+          var t = 0L
+          var total = 0L
+          var e = 0
+          val MaxFrames = 1 << 22
+          while (e < nEntries) {
+            val off = stts._2 + 8 + e * 8
+            val cnt = be32u(payload, off.toInt)
+            val delta = be32u(payload, off.toInt + 4)
+            if (total + cnt > MaxFrames) return None
+            var i = 0L
+            while (i < cnt) {
+              starts += t * 1000L / timescale
+              t += delta
+              i += 1
+            }
+            total += cnt
+            e += 1
+          }
+          if (total == 0) return None
+          // mdhd duration in v0 files uses all-ones for "unknown"
+          val dur =
+            if (declaredDur > 0 && declaredDur != 0xFFFFFFFFL) declaredDur
+            else t
+          val chunks = sc.find(c => c._1 == "stco" || c._1 == "co64")
+            .map(c => be32u(payload, c._2 + 4).toInt).getOrElse(0)
+          return Some((dur * 1000L / timescale, starts.result(), chunks))
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** Child boxes of the byte range [start, end): (type, payloadStart,
+    * payloadEnd). Handles 32-bit sizes, 64-bit largesize (size == 1), and
+    * to-end-of-file (size == 0); stops at the first malformed header.
+    */
+  private def boxChildren(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = start
+    var continue = true
+    while (continue && off + 8 <= end) {
+      val size32 = be32u(b, off)
+      val typ = new String(b, off + 4, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+      val (hdr, size): (Int, Long) =
+        if (size32 == 1L && off + 16 <= end) (16, be64(b, off + 8))
+        else if (size32 == 0L) (8, (end - off).toLong)
+        else (8, size32)
+      if (size < hdr || off + size > end) continue = false
+      else {
+        out += ((typ, off + hdr, off + size.toInt))
+        off += size.toInt
+      }
+    }
+    out.result()
+  }
+
+  private def be32u(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
+      ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], i: Int): Long = {
+    var v = 0L
+    var k = 0
+    while (k < 8) { v = (v << 8) | (b(i + k) & 0xFFL); k += 1 }
+    v
   }
 
   private def frameDelayMs(md: javax.imageio.metadata.IIOMetadata): Long = {

@@ -33,6 +33,51 @@ object GeocodeJoin {
       .drop("__addr", "__ref")
   }
 
+  /** Phase-1 candidates, SCALE PATH (SURVEY §7.3): the broadcast NL form
+    * above is right for the reference's 70-row PSGC table; when the
+    * reference table is itself large (a country-scale gazetteer), the
+    * nonzero-Jaccard pair set is generated through a shingle inverted
+    * index instead — EXACTLY the same pairs, never a cartesian:
+    *
+    *   nonzero n-gram Jaccard ⟺ the two strings share ≥ 1 n-gram
+    *   (at the INPUT side's dynamic n, `SimFns.refNgramSize`),
+    *
+    * so candidates = equi-join of the two exploded gram sets on (n, gram).
+    * The reference side is gram-indexed once per DISTINCT n in the input
+    * batch (n is ⌈√(len/2)⌉-bounded — a handful of values, broadcast), the
+    * gram join is a plain distributed hash join, and each candidate pair
+    * is then scored with the same exact Jaccard and filtered the same way.
+    * Shuffle volume is O(grams + candidates), not |inputs| × |ref|.
+    *
+    * Requires unique `inputKey` / `refKey` per row (the rejoin would
+    * multiply duplicates).
+    */
+  def phase1CandidatesBlocked(inputs: DataFrame, refTable: DataFrame,
+                              addrCol: String, refNameCol: String,
+                              inputKey: String, refKey: String): DataFrame = {
+    val cleanedIn = inputs
+      .withColumn("__addr", TextFns.cleanStr(col(addrCol)))
+      .withColumn("__n", SimFns.refNgramSize(col("__addr")))
+    val inGrams = cleanedIn.select(col(inputKey).as("__ik"), col("__n"),
+      explode(SimFns.charNgrams(col("__addr"), col("__n"))).as("__g"))
+    // the distinct dynamic-n values in this batch: tiny by construction
+    val ns = cleanedIn.select(col("__n")).distinct()
+    val refGrams = refTable
+      .withColumn("__ref", TextFns.cleanStr(col(refNameCol)))
+      .crossJoin(broadcast(ns)) // bounded replicate: |distinct n| copies
+      .select(col(refKey).as("__rk"), col("__n"),
+        explode(SimFns.charNgrams(col("__ref"), col("__n"))).as("__g"))
+    val pairs = inGrams.join(refGrams, Seq("__n", "__g"))
+      .select(col("__ik"), col("__rk")).distinct()
+    val left = inputs.withColumn("__addr", TextFns.cleanStr(col(addrCol)))
+    val right = refTable.withColumn("__ref", TextFns.cleanStr(col(refNameCol)))
+    left.join(pairs, col(inputKey) === col("__ik"))
+      .join(right, col(refKey) === col("__rk"))
+      .withColumn("score", SimFns.jaccardNgram(col("__addr"), col("__ref")))
+      .where(col("score") =!= 0)
+      .drop("__addr", "__ref", "__ik", "__rk")
+  }
+
   /** Phase 2 + top-1: keep the best nonzero-scored reference row per input,
     * accepted when score ≥ threshold.
     *

@@ -469,6 +469,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("TopKPerProbe"), s"plan:\n$plan")
   }
 
+  test("blocked phase-1 (inverted gram index) ≡ broadcast NL phase-1, no cartesian") {
+    val dir = "/root/testdata/sf0.001"
+    val inputs = Tables.load(spark, dir, "part")
+      .select(col("p_partkey").as("in_key"), col("p_name").as("addr"))
+      .where(col("in_key") <= 120)
+    val ref = Tables.load(spark, dir, "part")
+      .where(col("p_partkey") % 3 === 0)
+      .select(col("p_partkey").as("ref_key"), col("p_name").as("ref_name"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("in_key", "ref_key", "score")
+        .as[(Long, Long, Double)].collect().toSet
+    val broadcastForm = pairs(GeocodeJoin.phase1Candidates(
+      inputs, ref, "addr", "ref_name"))
+    val blocked = GeocodeJoin.phase1CandidatesBlocked(
+      inputs, ref, "addr", "ref_name", "in_key", "ref_key")
+    assert(broadcastForm.nonEmpty)
+    assert(pairs(blocked) == broadcastForm,
+      "blocked candidate generation must produce the identical scored pair set")
+    // plan audit: no cartesian input×ref; the only NL join is the bounded
+    // |distinct n| replicate of the reference table
+    val plan = blocked.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+    val nlJoins = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(nlJoins <= 1, s"expected at most the bounded n-replicate NL join:\n$plan")
+  }
+
   test("TopKPerProbe: k>1 ordering and tie-break determinism") {
     val probes = Seq(Tuple1("abcdefgh")).toDF("s")
     val ref = Seq(Tuple1("abcdefgh"), Tuple1("abcdefgX"), Tuple1("zzzzzzzz"))
