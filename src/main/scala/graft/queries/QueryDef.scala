@@ -114,6 +114,53 @@ object Sql {
   def cmsCell(j: String, v: String, width: Int): String =
     s"CAST(concat('0x', substr(md5(CAST($j AS VARCHAR) || ':' || CAST($v AS VARCHAR)), 1, 8)) AS BIGINT) % $width"
 
+  /** The shipped BPE merges table as VALUES rows (rank, p1, p2) — the
+    * SINGLE source of truth is the classpath resource BpeOps loads, so
+    * the oracle can never drift from the engine's table.
+    */
+  def bpeMergesValues: String =
+    graft.expressions.BpeOps.default.merges.zipWithIndex
+      .map { case ((p1, p2), i) =>
+        s"(${i + 1},'${p1.replace("'", "''")}','${p2.replace("'", "''")}')" }
+      .mkString(",")
+
+  /** CTE chain computing per-document EXACT BPE token counts —
+    * `bpe_counts(doc_id, n_bpe)` over `documents` — by replaying ENCODING
+    * in DuckDB (mirrors expressions.BpeOps): RE2-safe GPT-2 pretokenizer
+    * (the lookahead branch only matters for multi-whitespace runs, which
+    * the corpus has none of), space→Ġ byte-symbol mapping, then each
+    * pretoken's symbol string folded through every merge in rank order
+    * (≡ the min-rank loop for any valid trained table — BpeSpec pins the
+    * law corpus-wide). Compose as `WITH $bpeDocCountCtes, ...`.
+    * NB: no line may START with '|' (stripMargin); '||' stays mid-line.
+    */
+  def bpeDocCountCtes: String = s"""
+      bpe_m AS (SELECT * FROM (VALUES $bpeMergesValues) m(rank, p1, p2)),
+      bpe_ml AS (SELECT list(p1 || ' ' || p2 ORDER BY rank) AS ms FROM bpe_m),
+      bpe_pt AS (SELECT doc_id, unnest(regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS pt
+                 FROM documents),
+      bpe_enc AS (
+        SELECT doc_id, len(str_split(
+          list_reduce(
+            list_prepend(array_to_string(str_split(replace(pt, ' ', 'Ġ'), ''), ' '), ms),
+            (acc, mg) -> list_reduce(
+              list_prepend('', str_split(acc, ' ')),
+              (a2, x) -> CASE WHEN a2 = '' THEN x
+                WHEN x = split_part(mg, ' ', 2) AND (a2 = split_part(mg, ' ', 1)
+                     OR ends_with(a2, ' ' || split_part(mg, ' ', 1)))
+                  THEN CASE WHEN a2 = split_part(mg, ' ', 1) THEN replace(mg, ' ', '')
+                       ELSE concat(substr(a2, 1, length(a2) - length(split_part(mg, ' ', 1)) - 1),
+                                   ' ', replace(mg, ' ', '')) END
+                ELSE a2 || ' ' || x END)
+          ), ' ')) AS n
+        FROM bpe_pt CROSS JOIN bpe_ml),
+      bpe_counts AS (
+        SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_bpe
+        FROM documents d
+        LEFT JOIN (SELECT doc_id, sum(n) AS n FROM bpe_enc GROUP BY doc_id) s
+        USING (doc_id))"""
+
   /** Rolling fingerprint (mirrors HashFns.rollingFingerprint). */
   def rollingFingerprint(toks: String): String = {
     val vals = s"list_transform($toks, t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))"

@@ -402,39 +402,9 @@ object TextSimQueries {
         .select(col("doc_id"),
           graft.expressions.BpeCountTokens(col("text")).as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
-    , Some {
-      val vals = graft.expressions.BpeOps.default.merges.zipWithIndex
-        .map { case ((p1, p2), i) =>
-          s"(${i + 1},'${p1.replace("'", "''")}','${p2.replace("'", "''")}')" }
-        .mkString(",")
-      // NB: no line here may START with '|' (stripMargin); '||' concat
-      // stays mid-line.
-      s"""
-      WITH merges AS (SELECT * FROM (VALUES $vals) m(rank, p1, p2)),
-      mlist AS (SELECT list(p1 || ' ' || p2 ORDER BY rank) AS ms FROM merges),
-      pt AS (SELECT doc_id, unnest(regexp_extract_all(text,
-               '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS pt
-             FROM documents),
-      enc AS (
-        SELECT doc_id, len(str_split(
-          list_reduce(
-            list_prepend(array_to_string(str_split(replace(pt, ' ', 'Ġ'), ''), ' '), ms),
-            (acc, mg) -> list_reduce(
-              list_prepend('', str_split(acc, ' ')),
-              (a2, x) -> CASE WHEN a2 = '' THEN x
-                WHEN x = split_part(mg, ' ', 2) AND (a2 = split_part(mg, ' ', 1)
-                     OR ends_with(a2, ' ' || split_part(mg, ' ', 1)))
-                  THEN CASE WHEN a2 = split_part(mg, ' ', 1) THEN replace(mg, ' ', '')
-                       ELSE concat(substr(a2, 1, length(a2) - length(split_part(mg, ' ', 1)) - 1),
-                                   ' ', replace(mg, ' ', '')) END
-                ELSE a2 || ' ' || x END)
-          ), ' ')) AS n
-        FROM pt CROSS JOIN mlist)
-      SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_bpe_tokens
-      FROM documents d
-      LEFT JOIN (SELECT doc_id, sum(n) AS n FROM enc GROUP BY doc_id) s USING(doc_id)
-      ORDER BY doc_id"""
-    }),
+    , Some(s"""
+      WITH ${Sql.bpeDocCountCtes}
+      SELECT doc_id, n_bpe AS n_bpe_tokens FROM bpe_counts ORDER BY doc_id""")),
 
     // Composite training-data filter — the realistic production shape:
     // keep documents that pass quality, are detected English, and are

@@ -31,9 +31,12 @@ object TrainingPipelineQueries {
     * only for inputs small enough to sort on a single executor.
     */
   def packed(docs: org.apache.spark.sql.DataFrame,
-             shards: Option[Int]): org.apache.spark.sql.DataFrame = {
+             shards: Option[Int],
+             nToks: org.apache.spark.sql.Column =
+               TextAnalysisFns.wordCount(col("text")).cast("long"))
+      : org.apache.spark.sql.DataFrame = {
     val sharded = docs
-      .select(col("doc_id"), TextAnalysisFns.wordCount(col("text")).as("n_toks"))
+      .select(col("doc_id"), nToks.as("n_toks"))
       .withColumn("shard",
         shards.map(n => (col("doc_id") % n).cast("int")).getOrElse(lit(0)))
     val cum = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
@@ -91,6 +94,28 @@ object TrainingPipelineQueries {
       WITH c AS (SELECT doc_id, CAST(doc_id % $NShards AS INT) AS shard,
                         CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_toks
                  FROM documents),
+      w AS (SELECT shard, doc_id, n_toks,
+                   coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+            FROM c)
+      SELECT shard, CAST(prev_cum // $B AS BIGINT) AS seq_id, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS total_toks
+      FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // The same sharded packing under an EXACT BPE token budget — what a
+    // real pretraining pipeline packs by (context windows are measured in
+    // BPE tokens, not words). Spark side: one codegen'd BpeCountTokens
+    // per doc feeding the identical shard-partitioned cumulative window;
+    // the oracle replays BPE encoding through the shared fold CTEs
+    // (Sql.bpeDocCountCtes) and then the same window arithmetic.
+    QueryDef("text_packing_bpe", (s, dir) =>
+      packed(t("documents")(s, dir), shards = Some(NShards),
+        nToks = graft.expressions.BpeCountTokens(col("text")))
+    , Some(s"""
+      WITH ${Sql.bpeDocCountCtes},
+      c AS (SELECT doc_id, CAST(doc_id % $NShards AS INT) AS shard,
+                   n_bpe AS n_toks
+            FROM bpe_counts),
       w AS (SELECT shard, doc_id, n_toks,
                    coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum

@@ -116,6 +116,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wh.read("t").orderBy("id").collect().toSeq == rowsBefore)
   }
 
+  test("Warehouse compact: partitioned snapshot keeps its partition layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-pcompact").toString
+    val wh = new Warehouse(spark, dir)
+    wh.overwritePartitioned("ev",
+      (1 to 40).map(i => (s"2024-01-0${i % 2 + 1}", i.toLong)).toDF("dt", "id")
+        .repartition(8), Seq("dt"))
+    val rowsBefore = wh.read("ev").orderBy("id").collect().toSeq
+    assert(wh.dataFiles("ev").count(_.startsWith("dt=")) >= 4,
+      "fixture must start with several nested files")
+    wh.compact("ev")
+    // rows unchanged AND files still nested under dt= partition dirs —
+    // compaction must not silently flatten the table
+    assert(wh.read("ev").orderBy("id").collect().toSeq == rowsBefore)
+    val files = wh.dataFiles("ev")
+    assert(files.nonEmpty && files.forall(_.startsWith("dt=")),
+      s"partition layout lost: $files")
+    // and a partition predicate still prunes to one directory
+    val pruned = wh.read("ev").where(col("dt") === "2024-01-01")
+      .queryExecution.executedPlan.toString
+    assert(!pruned.contains("dt=2024-01-02"), "pruning lost after compact")
+  }
+
+  test("Warehouse snapshot ids: fixed-width, strictly increasing, GC-safe order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-ids").toString
+    val wh = new Warehouse(spark, dir)
+    wh.keepSnapshots = 10
+    (1 to 4).foreach(i => wh.overwrite("t", Seq(("a", i)).toDF("id", "v")))
+    val snaps = wh.snapshots("t")
+    assert(snaps.length == 4)
+    // fixed width → lexicographic order IS numeric order (the property
+    // time travel and GC sort by; raw nanoTime broke it on digit rollover)
+    assert(snaps.forall(_.matches("snap-\\d{20}")), s"ids: $snaps")
+    val ids = snaps.map(_.stripPrefix("snap-").toLong)
+    assert(ids == ids.sorted && ids.distinct == ids, s"ids not increasing: $ids")
+    assert(snaps == snaps.sorted)
+  }
+
   test("Warehouse partitioned: pruned reads + dynamic-partition replace") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wh-part").toString
     val wh = new Warehouse(spark, dir)
