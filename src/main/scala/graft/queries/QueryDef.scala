@@ -140,8 +140,8 @@ object Sql {
       bpe_pt AS (SELECT doc_id, unnest(regexp_extract_all(text,
                    '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS pt
                  FROM documents),
-      bpe_enc AS (
-        SELECT doc_id, len(str_split(
+      bpe_sym AS (
+        SELECT doc_id,
           list_reduce(
             list_prepend(array_to_string(str_split(replace(pt, ' ', 'Ġ'), ''), ' '), ms),
             (acc, mg) -> list_reduce(
@@ -153,8 +153,9 @@ object Sql {
                        ELSE concat(substr(a2, 1, length(a2) - length(split_part(mg, ' ', 1)) - 1),
                                    ' ', replace(mg, ' ', '')) END
                 ELSE a2 || ' ' || x END)
-          ), ' ')) AS n
+          ) AS fs
         FROM bpe_pt CROSS JOIN bpe_ml),
+      bpe_enc AS (SELECT doc_id, len(str_split(fs, ' ')) AS n FROM bpe_sym),
       bpe_counts AS (
         SELECT d.doc_id, CAST(coalesce(s.n, 0) AS BIGINT) AS n_bpe
         FROM documents d

@@ -406,6 +406,24 @@ object TextSimQueries {
       WITH ${Sql.bpeDocCountCtes}
       SELECT doc_id, n_bpe AS n_bpe_tokens FROM bpe_counts ORDER BY doc_id""")),
 
+    // BPE vocabulary statistics: corpus-wide token frequencies over the
+    // EXACT encoding — the coverage report a tokenizer pipeline prints
+    // (which merges actually fire, what the head of the distribution
+    // looks like). Spark: explode the codegen'd token sequence → one
+    // map-side-combinable count shuffle → top 20 (count desc, token asc
+    // — unique tie-break, rank boundary deterministic). Oracle: the
+    // shared encoding-replay CTEs, then the same unnest + group.
+    QueryDef("bpe_token_freq", (s, dir) =>
+      t("documents")(s, dir)
+        .select(explode(graft.expressions.BpeEncodeTokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    , Some(s"""
+      WITH ${Sql.bpeDocCountCtes}
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(str_split(fs, ' ')) AS token FROM bpe_sym)
+      GROUP BY token ORDER BY n DESC, token LIMIT 20""")),
+
     // Composite training-data filter — the realistic production shape:
     // keep documents that pass quality, are detected English, and are
     // their exact-dup cluster's keeper — all in one plan (filters fused
