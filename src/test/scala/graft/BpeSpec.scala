@@ -97,6 +97,23 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeTokens: sequence agrees with the count, concatenation round-trips") {
+    import spark.implicits._
+    val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .limit(50)
+      .select(col("text"),
+        graft.expressions.BpeEncodeTokens(col("text")).as("toks"),
+        graft.expressions.BpeCountTokens(col("text")).as("n"))
+      .as[(String, Seq[String], Long)].collect()
+    assert(df.nonEmpty)
+    df.foreach { case (text, toks, n) =>
+      assert(toks.size.toLong == n, s"size/count disagree for '$text'")
+      // concatenating the mapped tokens reproduces the mapped text exactly
+      // (BPE is a partition of the symbol stream — nothing lost or added)
+      assert(toks.mkString == graft.expressions.BpeOps.mapBytes(text))
+    }
+  }
+
   test("expression: codegen column over a real scan, SQL name registered") {
     import spark.implicits._
     val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")

@@ -461,4 +461,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(windows == 1,
       s"named window expanded to $windows Window operators:\n${plan.take(600)}")
   }
+
+  test("text_tokens_bpe: pruned two-column scan, BPE count inside codegen, no join") {
+    val scans = scansOf("text_tokens_bpe")
+    assert(scans.nonEmpty)
+    assert(scans.head.requiredSchema.fieldNames.toSet == Set("doc_id", "text"),
+      s"scan reads ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+    val plan = planOf("text_tokens_bpe")
+    assert(plan.contains("bpecounttokens") || plan.contains("BpeCountTokens") ||
+      plan.contains("WholeStageCodegen"), s"plan:\n${plan.take(400)}")
+    assert(!plan.contains("Join"), "per-row projection must not join")
+  }
+
+  test("bpe_token_freq: map-side partial aggregate before the one count shuffle") {
+    val plan = planOf("bpe_token_freq")
+    // partial + final HashAggregate pair around exactly one exchange
+    // (plus the TakeOrderedAndProject for the top-20) — the explode must
+    // not shuffle raw tokens unaggregated
+    val aggs = "HashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final aggregates:\n${plan.take(600)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-20 must be a bounded TakeOrdered, not a global sort")
+  }
+
+  test("text_packing_bpe: cumulative window partitioned by shard — never global") {
+    val plan = planOf("text_packing_bpe")
+    assert("windowspecdefinition\\(shard".r.findFirstIn(plan).isDefined,
+      s"window lost its shard partitioning (a global window serializes " +
+        s"the corpus through one task):\n${plan.take(800)}")
+  }
 }
