@@ -136,6 +136,16 @@ object GraftSqlFunctions {
         "(GPT-2 pretokenizer + merge loop over the shipped merges table)",
       Seq(1)) {
       case Seq(s) => BpeCountTokens(s)
+    },
+    reg("graft_bpe_tokens",
+      "graft_bpe_tokens(str) - the exact BPE token sequence (mapped-symbol " +
+        "strings, document order)", Seq(1)) {
+      case Seq(s) => BpeEncodeTokens(s)
+    },
+    reg("graft_bpe_ids",
+      "graft_bpe_ids(str) - exact BPE token ids (base bytes 0-255, merges " +
+        "256+rank), document order", Seq(1)) {
+      case Seq(s) => BpeEncodeIds(s)
     })
 }
 

@@ -138,10 +138,12 @@ object Sql {
       bpe_m AS (SELECT * FROM (VALUES $bpeMergesValues) m(rank, p1, p2)),
       bpe_ml AS (SELECT list(p1 || ' ' || p2 ORDER BY rank) AS ms FROM bpe_m),
       bpe_pt AS (SELECT doc_id, unnest(regexp_extract_all(text,
-                   '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS pt
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS pt,
+                   unnest(generate_series(1, len(regexp_extract_all(text,
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')))) AS pt_ord
                  FROM documents),
       bpe_sym AS (
-        SELECT doc_id,
+        SELECT doc_id, pt_ord,
           list_reduce(
             list_prepend(array_to_string(str_split(replace(pt, ' ', 'Ġ'), ''), ' '), ms),
             (acc, mg) -> list_reduce(
@@ -161,6 +163,21 @@ object Sql {
         FROM documents d
         LEFT JOIN (SELECT doc_id, sum(n) AS n FROM bpe_enc GROUP BY doc_id) s
         USING (doc_id))"""
+
+  /** The full derived vocabulary as VALUES rows (tok, id): 256 base byte
+    * symbols (byte-value ids) + merge outputs (256 + rank) — mirrors
+    * `BpeOps.Tokenizer.tokenToId`, generated from the same resource.
+    */
+  def bpeVocabValues: String = {
+    val base = (0 until 256).map { b =>
+      val tok = graft.expressions.BpeOps.byteToChar(b).toString
+      s"('${tok.replace("'", "''")}',$b)"
+    }
+    val merged = graft.expressions.BpeOps.default.merges.zipWithIndex.map {
+      case ((p1, p2), r) => s"('${(p1 + p2).replace("'", "''")}',${256 + r})"
+    }
+    (base ++ merged).mkString(",")
+  }
 
   /** Rolling fingerprint (mirrors HashFns.rollingFingerprint). */
   def rollingFingerprint(toks: String): String = {

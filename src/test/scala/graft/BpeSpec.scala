@@ -114,6 +114,43 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("encodeIds: id convention pinned, agrees with the token sequence") {
+    val tok = BpeOps.default
+    // base bytes keep their byte value; merges are 256 + rank
+    assert(tok.tokenToId.get("a") == 97)
+    assert(tok.tokenToId.get("Ġs") == 256, "merge rank 0 must be id 256")
+    assert(tok.encodeIds("a").toSeq == Seq(97))
+    assert(tok.encodeIds(" s").toSeq == Seq(256))
+    // ids are exactly the token sequence mapped through the vocab
+    val text = "the customer can join a batch of rows"
+    val viaTokens = {
+      val m = BpeOps.Gpt2Pattern.matcher(text)
+      val b = Seq.newBuilder[Int]
+      while (m.find())
+        tok.encodeMapped(BpeOps.mapBytes(m.group()))
+          .foreach(t => b += tok.tokenToId.get(t).intValue())
+      b.result()
+    }
+    assert(tok.encodeIds(text).toSeq == viaTokens)
+    // no token is out of vocabulary, ever (multi-byte included)
+    assert(tok.encodeIds("emoji 👍 test").forall(_ >= 0))
+  }
+
+  test("pretoken cache is bounded: adversarial cardinality cannot leak memory") {
+    // a fresh tokenizer over the same table, fed > CacheCap (2^17) distinct
+    // pretokens — counts stay correct while the cache stops admitting
+    val tok = new BpeOps.Tokenizer(BpeOps.default.merges)
+    var i = 0
+    while (i < 140000) {
+      val w = "zq" + java.lang.Long.toString(i.toLong + 1000000, 26)
+      assert(tok.countPretoken(w) >= 1)
+      i += 1
+    }
+    // correctness unaffected at/after the cap: a fixture with known count
+    assert(tok.countPretoken(" customer") == 4)
+    assert(tok.countPretoken(" join") == 1)
+  }
+
   test("expression: codegen column over a real scan, SQL name registered") {
     import spark.implicits._
     val df = Tables.load(spark, "/root/testdata/sf0.001", "documents")
