@@ -38,6 +38,14 @@ object SketchFns {
   def hash52(v: Column): Column =
     conv(substring(md5(v.cast("string")), 1, 13), 16, 10).cast("long")
 
+  /** 32-bit hash (first 8 md5 hex chars): small enough that
+    * `hash32 · count` stays inside int64 for counts up to ~2^31 — the
+    * exact-integer Bernoulli test (`hash32·n < rate_num·2^32`) the
+    * mixture sampler uses instead of a float threshold.
+    */
+  def hash32(v: Column): Column =
+    conv(substring(md5(v.cast("string")), 1, 8), 16, 10).cast("long")
+
   def hllBucket(h: Column): Column = shiftright(h, HllRemBits)
 
   def hllRem(h: Column): Column = h.bitwiseAND(lit((1L << HllRemBits) - 1))

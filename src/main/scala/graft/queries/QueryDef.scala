@@ -98,6 +98,10 @@ object Sql {
   def hash52(v: String): String =
     s"CAST(concat('0x', substr(md5(CAST($v AS VARCHAR)), 1, 13)) AS BIGINT)"
 
+  /** 32-bit md5-prefix hash (mirrors SketchFns.hash32). */
+  def hash32(v: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($v AS VARCHAR)), 1, 8)) AS BIGINT)"
+
   /** Leading-one rank in the 51-bit HLL remainder window (mirrors
     * SketchFns.hllRho — a generated branch chain, NOT log2: libm rounding
     * is not portable across engines).

@@ -23,6 +23,15 @@ object TrainingPipelineQueries {
   private val B = 256
   /** packing shard count (at scale: pick ~#cores × a few) */
   private val NShards = 16
+  /** mixture target weights, per-mille by language (integer-exact), and
+    * the total token budget the mixture aims at
+    */
+  private val MixtureWeightsPm: Map[String, Long] =
+    Map("en" -> 400L, "de" -> 200L, "es" -> 150L, "fr" -> 150L, "zh" -> 100L)
+  private val MixtureBudget = 50000L
+  private def mixtureWeightsSqlValues: String =
+    MixtureWeightsPm.toSeq.sortBy(_._1)
+      .map { case (l, w) => s"('$l',$w)" }.mkString(",")
 
   /** Sequence packing over `documents`. `shards = Some(n)` (the default
     * query form) partitions the cumulative window by `doc_id % n` — each
@@ -123,6 +132,89 @@ object TrainingPipelineQueries {
       SELECT shard, CAST(prev_cum // $B AS BIGINT) AS seq_id, count(*) AS n_docs,
              CAST(sum(n_toks) AS BIGINT) AS total_toks
       FROM w GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // Data-mixture planning (the Pile/DoReMi-style step): per language
+    // domain, available exact-BPE tokens vs a target mixture — keep rate
+    // when over-supplied, epoch count when under-supplied. All integer
+    // except the single-division keep_rate (identical double op both
+    // engines). One scan + one small agg shuffle; weights ride as a
+    // broadcast literal table. At 100 TB the plan is the cheap step; the
+    // point is it needs only per-domain token totals, never the docs.
+    QueryDef("mixture_plan", (s, dir) => {
+      import s.implicits._
+      val wDf = MixtureWeightsPm.toSeq.sortBy(_._1).toDF("lang", "w_pm")
+      t("documents")(s, dir)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(graft.expressions.BpeCountTokens(col("text"))).as("n_tokens"))
+        .join(broadcast(wDf), Seq("lang"))
+        .withColumn("target_tokens", expr(s"$MixtureBudget * w_pm DIV 1000"))
+        .withColumn("n_epochs",
+          expr("(target_tokens + n_tokens - 1) DIV n_tokens"))
+        .withColumn("keep_rate",
+          least(lit(1.0),
+            col("target_tokens").cast("double") / col("n_tokens").cast("double")))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("target_tokens"), col("keep_rate"), col("n_epochs"))
+        .orderBy(col("lang"))
+    }, Some(s"""
+      WITH ${Sql.bpeDocCountCtes},
+      w AS (SELECT * FROM (VALUES $mixtureWeightsSqlValues) w(lang, w_pm)),
+      agg AS (
+        SELECT d.lang, count(*) AS n_docs,
+               CAST(sum(c.n_bpe) AS BIGINT) AS n_tokens
+        FROM documents d JOIN bpe_counts c USING (doc_id)
+        GROUP BY d.lang)
+      SELECT a.lang, a.n_docs, a.n_tokens,
+             CAST($MixtureBudget * w.w_pm // 1000 AS BIGINT) AS target_tokens,
+             least(1.0, CAST($MixtureBudget * w.w_pm // 1000 AS DOUBLE) /
+                        CAST(a.n_tokens AS DOUBLE)) AS keep_rate,
+             CAST((($MixtureBudget * w.w_pm // 1000) + a.n_tokens - 1)
+                  // a.n_tokens AS BIGINT) AS n_epochs
+      FROM agg a JOIN w USING (lang) ORDER BY a.lang""")),
+
+    // Mixture EXECUTION, deterministically: each over-supplied domain's
+    // docs pass an exact-integer Bernoulli test (hash32(doc_id)·avail <
+    // target·2³²  ⟺  hash-fraction < target/avail, no float threshold —
+    // both products stay inside int64); under-supplied domains keep all.
+    // Per-domain realized tokens come back — the report a mixture run
+    // emits. The plan aggregate is broadcast back onto the doc stream:
+    // one scan, one agg shuffle, one broadcast join.
+    QueryDef("mixture_sample", (s, dir) => {
+      import s.implicits._
+      val wDf = MixtureWeightsPm.toSeq.sortBy(_._1).toDF("lang", "w_pm")
+      val perDoc = t("documents")(s, dir)
+        .select(col("doc_id"), col("lang"),
+          graft.expressions.BpeCountTokens(col("text")).as("n_toks"))
+      val plan = perDoc.groupBy(col("lang"))
+        .agg(sum(col("n_toks")).as("avail"))
+        .join(broadcast(wDf), Seq("lang"))
+        .withColumn("target", expr(s"$MixtureBudget * w_pm DIV 1000"))
+        .select(col("lang"), col("avail"), col("target"))
+      perDoc.join(broadcast(plan), Seq("lang"))
+        .where(col("target") >= col("avail") ||
+          graft.functions.SketchFns.hash32(col("doc_id")) * col("avail") <
+            col("target") * lit(4294967296L))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_toks")).as("n_tokens_kept"))
+        .orderBy(col("lang"))
+    }, Some(s"""
+      WITH ${Sql.bpeDocCountCtes},
+      w AS (SELECT * FROM (VALUES $mixtureWeightsSqlValues) w(lang, w_pm)),
+      perdoc AS (
+        SELECT d.doc_id, d.lang, c.n_bpe AS n_toks
+        FROM documents d JOIN bpe_counts c USING (doc_id)),
+      plan AS (
+        SELECT p.lang, CAST(sum(p.n_toks) AS BIGINT) AS avail,
+               CAST($MixtureBudget * any_value(w.w_pm) // 1000 AS BIGINT) AS target
+        FROM perdoc p JOIN w USING (lang) GROUP BY p.lang)
+      SELECT p.lang, count(*) AS n_docs_kept,
+             CAST(sum(p.n_toks) AS BIGINT) AS n_tokens_kept
+      FROM perdoc p JOIN plan USING (lang)
+      WHERE plan.target >= plan.avail
+         OR ${Sql.hash32("p.doc_id")} * plan.avail < plan.target * 4294967296
+      GROUP BY p.lang ORDER BY p.lang""")),
 
     // Benchmark decontamination: flag every training document (source ≠
     // src0) sharing at least one exact word-8-gram with the held-out
