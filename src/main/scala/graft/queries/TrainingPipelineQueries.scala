@@ -216,6 +216,61 @@ object TrainingPipelineQueries {
          OR ${Sql.hash32("p.doc_id")} * plan.avail < plan.target * 4294967296
       GROUP BY p.lang ORDER BY p.lang""")),
 
+    // Assembled-sequence fingerprints: each packed training sequence gets
+    // an order-sensitive hash — chain the per-doc id-sequence hash (the
+    // bpe_ids_fingerprint fold) through the pack's docs in doc order.
+    // The end-to-end reproducibility check a training run records: same
+    // corpus + tokenizer + packing ⇒ same fingerprints, and any drift
+    // (different merge table, lost doc, reordered pack) moves the hash.
+    // Same shard-partitioned window as text_packing_bpe; the second fold
+    // is per-pack over already-aggregated rows.
+    QueryDef("pack_fingerprint", (s, dir) => {
+      val ids = graft.expressions.BpeEncodeIds(col("text"))
+      val perDoc = t("documents")(s, dir)
+        .select(col("doc_id"),
+          size(ids).cast("long").as("n_toks"),
+          aggregate(ids, lit(0L),
+            (a, x) => (a * 31 + x.cast("long")) % 1000000007L).as("doc_hash"))
+        .withColumn("shard", (col("doc_id") % NShards).cast("int"))
+      val cum = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perDoc
+        .withColumn("prev_cum", coalesce(sum(col("n_toks")).over(cum), lit(0L)))
+        .withColumn("seq_id", expr(s"prev_cum DIV $B"))
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_toks"),
+          aggregate(transform(sort_array(collect_list(
+              struct(col("doc_id"), col("doc_hash")))), e => e.getField("doc_hash")),
+            lit(0L), (a, h) => (a * 37 + h) % 1000000007L).as("pack_hash"))
+        .orderBy(col("shard"), col("seq_id"))
+    }, Some(s"""
+      WITH ${Sql.bpeDocCountCtes},
+      vocab AS (SELECT * FROM (VALUES ${Sql.bpeVocabValues}) v(tok, id)),
+      tk AS (SELECT doc_id, pt_ord,
+                    unnest(str_split(fs, ' ')) AS tok,
+                    unnest(generate_series(1, len(str_split(fs, ' ')))) AS ord
+             FROM bpe_sym),
+      dh AS (SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_toks,
+                    list_reduce(list_prepend(CAST(0 AS BIGINT),
+                      list(v.id ORDER BY pt_ord, ord)),
+                      (a, x) -> (a * 31 + x) % 1000000007) AS doc_hash
+             FROM tk JOIN vocab v ON v.tok = tk.tok GROUP BY doc_id),
+      sharded AS (SELECT d.doc_id, coalesce(dh.n_toks, 0) AS n_toks,
+                         coalesce(dh.doc_hash, 0) AS doc_hash,
+                         CAST(d.doc_id % $NShards AS INT) AS shard
+                  FROM documents d LEFT JOIN dh USING (doc_id)),
+      w AS (SELECT shard, doc_id, n_toks, doc_hash,
+                   coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+            FROM sharded)
+      SELECT shard, CAST(prev_cum // $B AS BIGINT) AS seq_id,
+             count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_toks,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                    list(doc_hash ORDER BY doc_id)),
+                    (a, h) -> (a * 37 + h) % 1000000007) AS BIGINT) AS pack_hash
+      FROM w GROUP BY shard, seq_id ORDER BY shard, seq_id""")),
+
     // Benchmark decontamination: flag every training document (source ≠
     // src0) sharing at least one exact word-8-gram with the held-out
     // eval source. Explode-to-grams + distinct eval side + equi join —

@@ -490,4 +490,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window lost its shard partitioning (a global window serializes " +
         s"the corpus through one task):\n${plan.take(800)}")
   }
+
+  test("pack_fingerprint: shard-partitioned window, no extra corpus pass") {
+    val plan = planOf("pack_fingerprint")
+    assert("windowspecdefinition\\(shard".r.findFirstIn(plan).isDefined,
+      s"window lost its shard partitioning:\n${plan.take(800)}")
+    // the per-doc ids hash is computed once in the projection — joining
+    // the corpus back to itself would show as a Join
+    assert(!plan.contains("Join"), s"unexpected join:\n${plan.take(600)}")
+  }
+
+  test("mixture_sample: plan side broadcast back onto the doc stream") {
+    val plan = planOf("mixture_sample")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"mixture plan must broadcast, not shuffle the docs:\n${plan.take(600)}")
+    assert(!plan.contains("SortMergeJoin"), s"plan:\n${plan.take(600)}")
+  }
 }
