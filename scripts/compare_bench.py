@@ -13,7 +13,10 @@ bench_path = sys.argv[1] if len(sys.argv) > 1 and not sys.argv[1].startswith("-"
     else "bench_full.json"
 thr = 2.0
 if "--threshold" in sys.argv:
-    thr = float(sys.argv[sys.argv.index("--threshold") + 1])
+    i = sys.argv.index("--threshold")
+    if i + 1 >= len(sys.argv):
+        sys.exit("--threshold needs a value")
+    thr = float(sys.argv[i + 1])
 
 with open(bench_path) as f:
     bench = json.load(f)["queries"]
@@ -29,8 +32,11 @@ b_tot = sum(bench[q] for q in common)
 base_tot = sum(baseline[q] for q in common)
 print(f"standing subset: {len(common)} queries "
       f"(baseline has {len(baseline)}; missing from bench: {missing})")
-print(f"bench {b_tot:.2f} s vs baseline {base_tot:.2f} s -> "
-      f"ratio {b_tot / base_tot:.3f}x")
+if common and base_tot > 0:
+    print(f"bench {b_tot:.2f} s vs baseline {base_tot:.2f} s -> "
+          f"ratio {b_tot / base_tot:.3f}x")
+else:
+    print("no overlap with the baseline table - nothing to compare")
 over = [(q, bench[q], baseline[q], bench[q] / baseline[q])
         for q in common if bench[q] > thr * baseline[q]]
 over.sort(key=lambda r: -r[3])

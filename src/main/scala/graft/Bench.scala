@@ -53,7 +53,9 @@ object Bench {
     }
     val byName = samples.groupBy(_._1)
     val timed = selected.map { case (name, _) =>
-      name -> byName(name).flatMap(_._2).minOption
+      // getOrElse: RUNS=0 means no samples at all — report every query as
+      // an error rather than crash
+      name -> byName.getOrElse(name, Seq.empty).flatMap(_._2).minOption
     }
     val results = timed.collect { case (n, Some(t)) => n -> t }
     val errors = timed.collect { case (n, None) => n }

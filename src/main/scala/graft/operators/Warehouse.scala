@@ -16,21 +16,27 @@ class Warehouse(spark: SparkSession, root: String) {
   private def pointer(name: String)  = tableDir(name).resolve("_current")
 
   /** Next snapshot name: max(existing ids) + 1, zero-padded to a fixed 20
-    * digits so lexicographic order IS chronological order. The previous
-    * `snap-<nanoTime>` scheme broke on digit-count rollover (10^14 →
-    * 10^15 ns uptime) and nanoTime has no guaranteed sign/epoch — a
-    * listing-derived counter is monotonic per table by construction
-    * (20 digits also swallows legacy unpadded nanotime names). Writers on
-    * one Warehouse instance are serialized by [[swapPointer]]'s pointer
-    * move; multi-writer coordination is the lake-format layer's job.
+    * digits. The previous `snap-<nanoTime>` scheme broke LEXICOGRAPHIC
+    * ordering on digit-count rollover (10^14 → 10^15 ns uptime) and
+    * nanoTime has no guaranteed sign/epoch — a listing-derived counter is
+    * monotonic per table by construction. Ordering everywhere else goes
+    * through [[snapId]] (NUMERIC parse), so legacy unpadded names from
+    * older tables still order correctly against new padded ones.
+    * Single-writer per table: writes on one Warehouse instance are
+    * serialized ([[overwrite]]/[[overwritePartitioned]] synchronize);
+    * cross-process coordination is the lake-format layer's job.
     */
   private def nextSnap(name: String): String = {
     val maxId = Option(tableDir(name).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
-      .flatMap(f => scala.util.Try(f.getName.stripPrefix("snap-").toLong).toOption)
+      .flatMap(f => snapId(f.getName))
       .maxOption.getOrElse(-1L)
     f"snap-${math.max(maxId, -1L) + 1}%020d"
   }
+
+  /** Numeric id of a snapshot directory name (None for foreign names). */
+  private def snapId(snapName: String): Option[Long] =
+    scala.util.Try(snapName.stripPrefix("snap-").toLong).toOption
 
   /** Recursive on-disk size of a snapshot's parquet data — partitioned
     * snapshots nest files under `col=value/` directories, so a top-level
@@ -73,7 +79,7 @@ class Warehouse(spark: SparkSession, root: String) {
   }
 
   /** K2 — truncate-overwrite: write a fresh snapshot, swap the pointer. */
-  def overwrite(name: String, df: DataFrame): Unit = {
+  def overwrite(name: String, df: DataFrame): Unit = synchronized {
     Files.createDirectories(tableDir(name))
     val snap = nextSnap(name)
     df.write.mode("overwrite").parquet(tableDir(name).resolve(snap).toString)
@@ -122,7 +128,10 @@ class Warehouse(spark: SparkSession, root: String) {
   def snapshots(name: String): Seq[String] =
     Option(tableDir(name).toFile.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
-      .map(_.getName).toSeq.sorted // fixed-width ids: lexicographic == chronological
+      .map(_.getName).toSeq
+      // NUMERIC id order (oldest first): a lexicographic sort would put
+      // new zero-padded ids BEFORE legacy unpadded nanotime names
+      .sortBy(n => (snapId(n).getOrElse(Long.MinValue), n))
 
   /** Time travel: read a RETAINED historical snapshot by name — the
     * audit/repro read ("what did the table say before that batch?").
@@ -167,7 +176,7 @@ class Warehouse(spark: SparkSession, root: String) {
     * the table.
     */
   def overwritePartitioned(name: String, df: DataFrame,
-                           partitionCols: Seq[String]): Unit = {
+                           partitionCols: Seq[String]): Unit = synchronized {
     Files.createDirectories(tableDir(name))
     val snap = nextSnap(name)
     df.write.mode("overwrite").partitionBy(partitionCols: _*)
@@ -210,7 +219,9 @@ class Warehouse(spark: SparkSession, root: String) {
     val dir = tableDir(name).toFile
     val snaps = Option(dir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("snap-"))
-      .sortBy(_.getName).reverse // snap-<nanotime>: newest first
+      // numeric id, newest first — lexicographic would misrank legacy
+      // unpadded names above new padded ids and GC the wrong snapshot
+      .sortBy(f => (snapId(f.getName).getOrElse(Long.MinValue), f.getName)).reverse
     snaps.filterNot(_.getName == cur).drop(keepSnapshots - 1).foreach { f =>
       def rm(x: java.io.File): Unit = {
         Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)

@@ -167,7 +167,7 @@ object ScaleOpsWave2Queries {
           col("compress_ratio") >= 0.25 && col("compress_ratio") <= 0.95)
         .orderBy(col("doc_id"))
     }, Some("""
-      WITH f AS (SELECT doc_id, n_deflate_bytes
+      WITH f AS (SELECT doc_id, text_md5, n_deflate_bytes
                  FROM read_parquet('/root/repo/fixtures/compress_ratio_sf0.01.parquet')),
       m AS (
         SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_raw_bytes,
@@ -175,7 +175,9 @@ object ScaleOpsWave2Queries {
                CASE WHEN strlen(d.text) = 0 THEN 1.0
                     ELSE CAST(f.n_deflate_bytes AS DOUBLE) /
                          CAST(strlen(d.text) AS DOUBLE) END AS compress_ratio
-        FROM documents d JOIN f USING (doc_id))
+        FROM documents d JOIN f
+          ON d.doc_id = f.doc_id
+         AND f.text_md5 = md5(coalesce(d.text, ''))) -- stale/wrong-SF fixture drops rows → loud row-count FAIL
       SELECT doc_id, n_raw_bytes, n_deflate_bytes, compress_ratio,
              compress_ratio >= CAST(0.25 AS DOUBLE) AND
              compress_ratio <= CAST(0.95 AS DOUBLE) AS keep

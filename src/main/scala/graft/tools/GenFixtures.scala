@@ -30,9 +30,15 @@ object GenFixtures {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val tmp = Files.createTempDirectory("graft-fixture").toString
-    // the very same expression the gated query runs — bit-identical values
+    // the very same expression the gated query runs — bit-identical
+    // values. text_md5 rides along so the oracle's join can REQUIRE the
+    // fixture row to match the document text it was computed from: a
+    // stale fixture (testdata regenerated) or the wrong scale factor then
+    // drops rows and fails the gate loudly, instead of silently comparing
+    // against another corpus's deflate counts.
     graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("text_md5"),
         graft.functions.TextAnalysisFns.deflateLen(col("text"))
           .cast("long").as("n_deflate_bytes"))
       .coalesce(1)
