@@ -75,10 +75,36 @@ object BpeOps {
         (l.substring(0, i), l.substring(i + 1))
       }.toVector
 
+  /** Parse a GPT-2 `encoder.json` vocabulary (public file format: a JSON
+    * object of mapped-token-string → id). When present it OVERRIDES the
+    * derived merge-order ids, making id output byte-identical to a
+    * published tokenizer's. Jackson keeps the exact unicode token keys.
+    */
+  def parseVocab(json: String): Map[String, Int] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    require(root != null && root.isObject, "encoder.json must be a JSON object")
+    import scala.jdk.CollectionConverters._
+    root.fields().asScala.map { e =>
+      require(e.getValue.isIntegralNumber,
+        s"encoder.json id for '${e.getKey}' is not an integer")
+      e.getKey -> e.getValue.asInt()
+    }.toMap
+  }
+
   /** A BPE encoder over one merges table. Thread-safe; share one instance
     * per JVM (the expression path uses [[BpeOps.default]]).
+    *
+    * `explicitVocab`: a GPT-2 `encoder.json` map (see [[BpeOps.parseVocab]])
+    * replacing the derived merge-order ids. `specialTokens`: atomic
+    * strings (e.g. `<|endoftext|>` → 50256) cut out BEFORE pretokenization
+    * and emitted as single ids — the tiktoken `allowed_special` behavior a
+    * sequence assembler needs for document separators.
     */
-  final class Tokenizer(val merges: Vector[(String, String)]) extends Serializable {
+  final class Tokenizer(val merges: Vector[(String, String)],
+                        explicitVocab: Option[Map[String, Int]] = None,
+                        val specialTokens: Map[String, Int] = Map.empty)
+      extends Serializable {
     private val ranks: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](merges.size * 2)
       merges.zipWithIndex.foreach { case ((a, b), r) => m.put(a + "\u0000" + b, r) }
@@ -162,18 +188,55 @@ object BpeOps {
       */
     lazy val tokenToId: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](512 + merges.size * 2)
-      (0 until 256).foreach(b => m.put(BpeOps.byteToChar(b).toString, b))
-      merges.zipWithIndex.foreach { case ((p1, p2), r) => m.put(p1 + p2, 256 + r) }
+      explicitVocab match {
+        case Some(v) => v.foreach { case (t, id) => m.put(t, id) }
+        case None =>
+          (0 until 256).foreach(b => m.put(BpeOps.byteToChar(b).toString, b))
+          merges.zipWithIndex.foreach { case ((p1, p2), r) => m.put(p1 + p2, 256 + r) }
+      }
       m
     }
 
-    /** Exact BPE token ids of a text, document order. */
+    // longest-first so overlapping special strings resolve like tiktoken
+    @transient private lazy val specialsByLength: Seq[(String, Int)] =
+      specialTokens.toSeq.sortBy { case (t, _) => (-t.length, t) }
+
+    /** Exact BPE token ids of a text, document order. Special tokens are
+      * atomic: each occurrence emits its reserved id and never merges
+      * with surrounding text.
+      */
     def encodeIds(text: String): Array[Int] = {
       if (text == null || text.isEmpty) return Array.empty
       val out = Array.newBuilder[Int]
-      val m = BpeOps.Gpt2Pattern.matcher(text)
-      while (m.find())
-        encodePretoken(m.group()).foreach(t => out += tokenToId.get(t).intValue())
+      def encodePlain(seg: String): Unit = {
+        val m = BpeOps.Gpt2Pattern.matcher(seg)
+        while (m.find())
+          encodePretoken(m.group()).foreach { t =>
+            val id = tokenToId.get(t)
+            require(id != null, s"token '$t' missing from the explicit vocabulary")
+            out += id.intValue()
+          }
+      }
+      if (specialTokens.isEmpty) encodePlain(text)
+      else {
+        var rest = text
+        while (rest.nonEmpty) {
+          // earliest special occurrence; longest wins at the same position
+          val hit = specialsByLength
+            .map { case (t, id) => (rest.indexOf(t), t, id) }
+            .filter(_._1 >= 0)
+            .sortBy { case (pos, t, _) => (pos, -t.length) }
+            .headOption
+          hit match {
+            case Some((pos, t, id)) =>
+              if (pos > 0) encodePlain(rest.substring(0, pos))
+              out += id
+              rest = rest.substring(pos + t.length)
+            case None =>
+              encodePlain(rest); rest = ""
+          }
+        }
+      }
       out.result()
     }
 

@@ -136,6 +136,29 @@ class BpeSpec extends AnyFunSuite {
     assert(tok.encodeIds("emoji 👍 test").forall(_ >= 0))
   }
 
+  test("encoder.json vocab and special tokens: GPT-2 file drop-in behavior") {
+    // explicit vocab overrides the derived ids (GPT-2 publishes
+    // encoder.json with its own assignment)
+    val merges = BpeOps.parseMerges(Iterator("#version: 0.2", "Ġ t", "h e", "Ġt he"))
+    val vocabJson = """{"Ġthe": 262, "Ġt": 83, "he": 258, "a": 64,
+      "Ġ": 220, "t": 84, "h": 71, "e": 68}"""
+    val tok = new BpeOps.Tokenizer(merges,
+      explicitVocab = Some(BpeOps.parseVocab(vocabJson)),
+      specialTokens = Map("<|endoftext|>" -> 50256))
+    assert(tok.encodeIds(" the").toSeq == Seq(262))
+    assert(tok.encodeIds("a").toSeq == Seq(64))
+    // special tokens are atomic, with surrounding text encoded normally
+    assert(tok.encodeIds("a<|endoftext|>a").toSeq == Seq(64, 50256, 64))
+    assert(tok.encodeIds("<|endoftext|><|endoftext|>").toSeq ==
+      Seq(50256, 50256))
+    // a token missing from an explicit vocab is an error, not a wrong id
+    val holey = new BpeOps.Tokenizer(merges,
+      explicitVocab = Some(BpeOps.parseVocab("""{"a": 1}""")))
+    intercept[IllegalArgumentException](holey.encodeIds("b"))
+    // malformed encoder.json rejected
+    intercept[IllegalArgumentException](BpeOps.parseVocab("[1,2]"))
+  }
+
   test("pretoken cache is bounded: adversarial cardinality cannot leak memory") {
     // a fresh tokenizer over the same table, fed > CacheCap (2^17) distinct
     // pretokens — counts stay correct while the cache stops admitting
