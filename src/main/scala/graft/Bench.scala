@@ -88,7 +88,7 @@ object Bench {
       "ann_topk_ivf", "ann_topk_lsh", "text_quality", "tfidf_top_terms",
       "stream_sessionize", "k4_merge_upsert", "pipeline_doc_filter",
       "session_window_native", "topk_per_segment", "scalar_subquery_select",
-      "asof_prev_purchase")
+      "asof_prev_purchase", "text_tokens_bpe", "mixture_sample")
     val shown = if (only.nonEmpty) results else results.filter(r => headline(r._1))
     val summary = line(shown, shown.size)
 
