@@ -37,7 +37,8 @@ if common and base_tot > 0:
           f"ratio {b_tot / base_tot:.3f}x")
 else:
     print("no overlap with the baseline table - nothing to compare")
-over = [(q, bench[q], baseline[q], bench[q] / baseline[q])
+over = [(q, bench[q], baseline[q],
+         bench[q] / baseline[q] if baseline[q] > 0 else float("inf"))
         for q in common if bench[q] > thr * baseline[q]]
 over.sort(key=lambda r: -r[3])
 print(f"queries over {thr}x baseline: {len(over)}")

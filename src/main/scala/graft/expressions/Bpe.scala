@@ -67,13 +67,23 @@ object BpeOps {
   /** Parse the GPT-2 `merges.txt` format: optional `#version` header,
     * then one "<first> <second>" pair per line, rank = line order.
     */
-  def parseMerges(lines: Iterator[String]): Vector[(String, String)] =
-    lines.map(_.stripLineEnd).filter(l => l.nonEmpty && !l.startsWith("#"))
+  def parseMerges(lines: Iterator[String]): Vector[(String, String)] = {
+    val merges = lines.map(_.stripLineEnd)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
       .map { l =>
         val i = l.lastIndexOf(' ')
         require(i > 0 && i < l.length - 1, s"malformed merges line: '$l'")
         (l.substring(0, i), l.substring(i + 1))
       }.toVector
+    // two merges with the same OUTPUT would make the derived token→id map
+    // ambiguous (HashMap last-put wins) while the oracle's vocab VALUES
+    // kept both rows — fail loudly instead of silently diverging
+    val dupOut = merges.groupBy { case (a, b) => a + b }
+      .collectFirst { case (out, ms) if ms.size > 1 => out }
+    require(dupOut.isEmpty,
+      s"merges table has two merges producing '${dupOut.get}' — ambiguous ids")
+    merges
+  }
 
   /** Parse a GPT-2 `encoder.json` vocabulary (public file format: a JSON
     * object of mapped-token-string → id). When present it OVERRIDES the
@@ -219,21 +229,30 @@ object BpeOps {
       }
       if (specialTokens.isEmpty) encodePlain(text)
       else {
-        var rest = text
-        while (rest.nonEmpty) {
-          // earliest special occurrence; longest wins at the same position
-          val hit = specialsByLength
-            .map { case (t, id) => (rest.indexOf(t), t, id) }
-            .filter(_._1 >= 0)
-            .sortBy { case (pos, t, _) => (pos, -t.length) }
-            .headOption
-          hit match {
-            case Some((pos, t, id)) =>
-              if (pos > 0) encodePlain(rest.substring(0, pos))
-              out += id
-              rest = rest.substring(pos + t.length)
-            case None =>
-              encodePlain(rest); rest = ""
+        // single forward scan: each special's next occurrence is cached
+        // and only re-searched once the cursor passes it — amortized
+        // O(specials · |text|), no substring copies. specialsByLength is
+        // longest-first, so at equal positions the longest special wins
+        // (the tiktoken resolution).
+        val specials = specialsByLength.toArray
+        val nextAt = Array.fill(specials.length)(-2) // -2 = stale, -1 = absent
+        var pos = 0
+        while (pos < text.length) {
+          var bestPos = -1
+          var bestIdx = -1
+          var i = 0
+          while (i < specials.length) {
+            if (nextAt(i) != -1 && nextAt(i) < pos)
+              nextAt(i) = text.indexOf(specials(i)._1, pos)
+            val p = nextAt(i)
+            if (p >= 0 && (bestPos < 0 || p < bestPos)) { bestPos = p; bestIdx = i }
+            i += 1
+          }
+          if (bestIdx < 0) { encodePlain(text.substring(pos)); pos = text.length }
+          else {
+            if (bestPos > pos) encodePlain(text.substring(pos, bestPos))
+            out += specials(bestIdx)._2
+            pos = bestPos + specials(bestIdx)._1.length
           }
         }
       }

@@ -45,6 +45,15 @@ object TextAnalysisFns {
   val BpeishPattern = "'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+"
   def bpeishTokenCount(text: Column): Column = regexp_count(text, lit(BpeishPattern))
 
+  /** Order-sensitive integer fold hash of a BPE id sequence
+    * (`((0·31+id₀)·31+id₁)… mod 1e9+7`) — the ONE definition both
+    * `bpe_ids_fingerprint` and `pack_fingerprint`'s per-doc hash use, so
+    * their cross-query invariant (pack hashes chain doc hashes) cannot
+    * drift. Mirrored by the fold inside [[graft.queries.Sql.bpeIdCtes]].
+    */
+  def bpeIdsFoldHash(ids: Column): Column =
+    aggregate(ids, lit(0L), (a, x) => (a * 31 + x.cast("long")) % 1000000007L)
+
   /** Stopword marker lists for the n-gram/stopword language-ID heuristic.
     * Scores are counts of distinct token hits per language; deterministic
     * priority order breaks ties.

@@ -89,9 +89,13 @@ class Warehouse(spark: SparkSession, root: String) {
   /** K1 — append: union with current snapshot into a new snapshot (keeps
     * swap atomicity; no in-place mutation of a live snapshot).
     */
-  def append(name: String, df: DataFrame): Unit =
+  def append(name: String, df: DataFrame): Unit = synchronized {
+    // synchronized around the WHOLE read-modify-write, not just the inner
+    // overwrite: two concurrent appends that both resolved the same base
+    // snapshot before either committed would silently drop one batch
     if (!exists(name)) overwrite(name, df)
     else overwrite(name, read(name).unionByName(df, allowMissingColumns = true))
+  }
 
   /** Small-file compaction: rewrite the current snapshot into
     * ≈`targetFileBytes`-sized files (estimated from the snapshot's
@@ -162,11 +166,14 @@ class Warehouse(spark: SparkSession, root: String) {
     walk(base.toFile).map(f => base.relativize(f.toPath).toString).sorted
   }
 
-  /** K4 — staged merge upsert into the table (creates it when absent). */
+  /** K4 — staged merge upsert into the table (creates it when absent).
+    * Synchronized read-modify-write, like [[append]].
+    */
   def upsert(name: String, staging: DataFrame, key: String,
-             updateCols: Seq[String]): Unit =
+             updateCols: Seq[String]): Unit = synchronized {
     if (!exists(name)) overwrite(name, staging)
     else overwrite(name, Upsert.merge(read(name), staging, key, updateCols))
+  }
 
   /** Partition-laid-out snapshot: same pointer-swap contract, but the
     * snapshot is written `partitionBy(cols)` so reads with a partition
@@ -191,7 +198,7 @@ class Warehouse(spark: SparkSession, root: String) {
     * would avoid rewriting carried-over data at scale).
     */
   def replacePartitions(name: String, df: DataFrame,
-                        partitionCols: Seq[String]): Unit =
+                        partitionCols: Seq[String]): Unit = synchronized {
     if (!exists(name)) overwritePartitioned(name, df, partitionCols)
     else {
       val incoming = df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*).distinct()
@@ -199,6 +206,7 @@ class Warehouse(spark: SparkSession, root: String) {
       overwritePartitioned(name,
         kept.unionByName(df, allowMissingColumns = true), partitionCols)
     }
+  }
 
   private def swapPointer(name: String, snap: String): Unit = {
     val tmp = tableDir(name).resolve(s"_current.tmp.${System.nanoTime()}")

@@ -168,6 +168,36 @@ object Sql {
         LEFT JOIN (SELECT doc_id, sum(n) AS n FROM bpe_enc GROUP BY doc_id) s
         USING (doc_id))"""
 
+  /** CTE chain extending [[bpeDocCountCtes]] to per-document BPE id
+    * SEQUENCES: `bpe_doc_ids(doc_id, n_toks, doc_hash)` — tokens joined
+    * to the generated vocab, per-doc id lists reassembled in (pretoken,
+    * symbol) order via zip-unnest ordinality, and the order-sensitive
+    * `(a·31+id) mod 1e9+7` fold (mirrors
+    * `TextAnalysisFns.bpeIdsFoldHash`). Shared by `bpe_ids_fingerprint`
+    * and `pack_fingerprint` so the chained-hash invariant between them
+    * has one source of truth. Docs with no tokens keep (0, 0) rows.
+    */
+  def bpeIdCtes: String = s"""
+      $bpeDocCountCtes,
+      bpe_vocab AS (SELECT * FROM (VALUES $bpeVocabValues) v(tok, id)),
+      bpe_tk AS (SELECT doc_id, pt_ord,
+                        unnest(str_split(fs, ' ')) AS tok,
+                        unnest(generate_series(1, len(str_split(fs, ' ')))) AS ord
+                 FROM bpe_sym),
+      bpe_dh0 AS (SELECT doc_id,
+                         CAST(count(*) AS BIGINT) AS n_toks,
+                         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                           list(v.id ORDER BY pt_ord, ord)),
+                           (a, x) -> (a * 31 + x) % 1000000007) AS doc_hash,
+                         CAST(max(v.id) AS BIGINT) AS max_id
+                  FROM bpe_tk JOIN bpe_vocab v ON v.tok = bpe_tk.tok
+                  GROUP BY doc_id),
+      bpe_doc_ids AS (SELECT d.doc_id,
+                             coalesce(h.n_toks, 0) AS n_toks,
+                             coalesce(h.doc_hash, 0) AS doc_hash,
+                             coalesce(h.max_id, -1) AS max_id
+                      FROM documents d LEFT JOIN bpe_dh0 h USING (doc_id))"""
+
   /** The full derived vocabulary as VALUES rows (tok, id): 256 base byte
     * symbols (byte-value ids) + merge outputs (256 + rank) — mirrors
     * `BpeOps.Tokenizer.tokenToId`, generated from the same resource.

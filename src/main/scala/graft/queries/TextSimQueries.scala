@@ -433,30 +433,19 @@ object TextSimQueries {
     // list reassembles in (pretoken, symbol) order, and the same integer
     // fold runs in SQL. All integer-exact.
     QueryDef("bpe_ids_fingerprint", (s, dir) => {
-      val ids = graft.expressions.BpeEncodeIds(col("text"))
+      // coalesce: the oracle's LEFT JOIN emits (0, 0, -1) for token-less
+      // docs, so NULL text must encode as empty, not propagate NULL
+      val ids = graft.expressions.BpeEncodeIds(coalesce(col("text"), lit("")))
       t("documents")(s, dir)
         .select(col("doc_id"),
           size(ids).cast("long").as("n_tokens"),
-          aggregate(ids, lit(0L),
-            (a, x) => (a * 31 + x.cast("long")) % 1000000007L).as("ids_hash"),
+          TextAnalysisFns.bpeIdsFoldHash(ids).as("ids_hash"),
           coalesce(array_max(ids), lit(-1)).cast("long").as("max_id"))
         .orderBy(col("doc_id"))
     }, Some(s"""
-      WITH ${Sql.bpeDocCountCtes},
-      vocab AS (SELECT * FROM (VALUES ${Sql.bpeVocabValues}) v(tok, id)),
-      tk AS (SELECT doc_id, pt_ord,
-                    unnest(str_split(fs, ' ')) AS tok,
-                    unnest(generate_series(1, len(str_split(fs, ' ')))) AS ord
-             FROM bpe_sym),
-      idl AS (SELECT doc_id, list(v.id ORDER BY pt_ord, ord) AS ids
-              FROM tk JOIN vocab v ON v.tok = tk.tok GROUP BY doc_id)
-      SELECT d.doc_id,
-             CAST(coalesce(len(ids), 0) AS BIGINT) AS n_tokens,
-             CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), ids),
-                    (a, x) -> (a * 31 + x) % 1000000007), 0) AS BIGINT) AS ids_hash,
-             CAST(coalesce(list_max(ids), -1) AS BIGINT) AS max_id
-      FROM documents d LEFT JOIN idl USING (doc_id)
-      ORDER BY doc_id""")),
+      WITH ${Sql.bpeIdCtes}
+      SELECT doc_id, n_toks AS n_tokens, doc_hash AS ids_hash, max_id
+      FROM bpe_doc_ids ORDER BY doc_id""")),
 
     // Composite training-data filter — the realistic production shape:
     // keep documents that pass quality, are detected English, and are

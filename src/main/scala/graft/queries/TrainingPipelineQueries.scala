@@ -175,26 +175,31 @@ object TrainingPipelineQueries {
 
     // Mixture EXECUTION, deterministically: each over-supplied domain's
     // docs pass an exact-integer Bernoulli test (hash32(doc_id)·avail <
-    // target·2³²  ⟺  hash-fraction < target/avail, no float threshold —
-    // both products stay inside int64); under-supplied domains keep all.
-    // Per-domain realized tokens come back — the report a mixture run
-    // emits. The plan aggregate is broadcast back onto the doc stream:
-    // one scan, one agg shuffle, one broadcast join.
+    // target·2³²  ⟺  hash-fraction < target/avail — no float threshold).
+    // The products run in DECIMAL(38,0) on both engines, so the test
+    // stays exact at ANY domain size (int64 would overflow past ~2³¹
+    // tokens per domain — silently under Spark non-ANSI, loudly in
+    // DuckDB). ONE pass over the docs: the expensive per-doc BPE count
+    // is computed once and the per-domain total rides a lang-partitioned
+    // window over those cheap (id, lang, count) rows — never a second
+    // corpus scan re-running the tokenizer. (At extreme scale you'd
+    // materialize the per-doc counts and two-pass instead; the window
+    // form keeps the gate query self-contained.)
     QueryDef("mixture_sample", (s, dir) => {
       import s.implicits._
       val wDf = MixtureWeightsPm.toSeq.sortBy(_._1).toDF("lang", "w_pm")
-      val perDoc = t("documents")(s, dir)
+      val dec = "decimal(38,0)"
+      t("documents")(s, dir)
         .select(col("doc_id"), col("lang"),
           graft.expressions.BpeCountTokens(col("text")).as("n_toks"))
-      val plan = perDoc.groupBy(col("lang"))
-        .agg(sum(col("n_toks")).as("avail"))
+        .withColumn("avail",
+          sum(col("n_toks")).over(Window.partitionBy(col("lang"))))
         .join(broadcast(wDf), Seq("lang"))
         .withColumn("target", expr(s"$MixtureBudget * w_pm DIV 1000"))
-        .select(col("lang"), col("avail"), col("target"))
-      perDoc.join(broadcast(plan), Seq("lang"))
         .where(col("target") >= col("avail") ||
-          graft.functions.SketchFns.hash32(col("doc_id")) * col("avail") <
-            col("target") * lit(4294967296L))
+          graft.functions.SketchFns.hash32(col("doc_id")).cast(dec) *
+            col("avail").cast(dec) <
+          col("target").cast(dec) * lit(4294967296L).cast(dec))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs_kept"),
           sum(col("n_toks")).as("n_tokens_kept"))
@@ -203,17 +208,15 @@ object TrainingPipelineQueries {
       WITH ${Sql.bpeDocCountCtes},
       w AS (SELECT * FROM (VALUES $mixtureWeightsSqlValues) w(lang, w_pm)),
       perdoc AS (
-        SELECT d.doc_id, d.lang, c.n_bpe AS n_toks
-        FROM documents d JOIN bpe_counts c USING (doc_id)),
-      plan AS (
-        SELECT p.lang, CAST(sum(p.n_toks) AS BIGINT) AS avail,
-               CAST($MixtureBudget * any_value(w.w_pm) // 1000 AS BIGINT) AS target
-        FROM perdoc p JOIN w USING (lang) GROUP BY p.lang)
+        SELECT d.doc_id, d.lang, c.n_bpe AS n_toks,
+               sum(c.n_bpe) OVER (PARTITION BY d.lang) AS avail
+        FROM documents d JOIN bpe_counts c USING (doc_id))
       SELECT p.lang, count(*) AS n_docs_kept,
              CAST(sum(p.n_toks) AS BIGINT) AS n_tokens_kept
-      FROM perdoc p JOIN plan USING (lang)
-      WHERE plan.target >= plan.avail
-         OR ${Sql.hash32("p.doc_id")} * plan.avail < plan.target * 4294967296
+      FROM perdoc p JOIN w USING (lang)
+      WHERE ($MixtureBudget * w.w_pm // 1000) >= p.avail
+         OR CAST(${Sql.hash32("p.doc_id")} AS DECIMAL(38,0)) * CAST(p.avail AS DECIMAL(38,0))
+            < CAST($MixtureBudget * w.w_pm // 1000 AS DECIMAL(38,0)) * CAST(4294967296 AS DECIMAL(38,0))
       GROUP BY p.lang ORDER BY p.lang""")),
 
     // Assembled-sequence fingerprints: each packed training sequence gets
@@ -225,12 +228,14 @@ object TrainingPipelineQueries {
     // Same shard-partitioned window as text_packing_bpe; the second fold
     // is per-pack over already-aggregated rows.
     QueryDef("pack_fingerprint", (s, dir) => {
-      val ids = graft.expressions.BpeEncodeIds(col("text"))
+      // coalesce mirrors the oracle's token-less-doc (0, 0) rows; the
+      // fold is the SHARED bpeIdsFoldHash so this query's chained hashes
+      // stay bit-identical to bpe_ids_fingerprint's per-doc hashes
+      val ids = graft.expressions.BpeEncodeIds(coalesce(col("text"), lit("")))
       val perDoc = t("documents")(s, dir)
         .select(col("doc_id"),
           size(ids).cast("long").as("n_toks"),
-          aggregate(ids, lit(0L),
-            (a, x) => (a * 31 + x.cast("long")) % 1000000007L).as("doc_hash"))
+          TextAnalysisFns.bpeIdsFoldHash(ids).as("doc_hash"))
         .withColumn("shard", (col("doc_id") % NShards).cast("int"))
       val cum = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -244,22 +249,10 @@ object TrainingPipelineQueries {
             lit(0L), (a, h) => (a * 37 + h) % 1000000007L).as("pack_hash"))
         .orderBy(col("shard"), col("seq_id"))
     }, Some(s"""
-      WITH ${Sql.bpeDocCountCtes},
-      vocab AS (SELECT * FROM (VALUES ${Sql.bpeVocabValues}) v(tok, id)),
-      tk AS (SELECT doc_id, pt_ord,
-                    unnest(str_split(fs, ' ')) AS tok,
-                    unnest(generate_series(1, len(str_split(fs, ' ')))) AS ord
-             FROM bpe_sym),
-      dh AS (SELECT doc_id,
-                    CAST(count(*) AS BIGINT) AS n_toks,
-                    list_reduce(list_prepend(CAST(0 AS BIGINT),
-                      list(v.id ORDER BY pt_ord, ord)),
-                      (a, x) -> (a * 31 + x) % 1000000007) AS doc_hash
-             FROM tk JOIN vocab v ON v.tok = tk.tok GROUP BY doc_id),
-      sharded AS (SELECT d.doc_id, coalesce(dh.n_toks, 0) AS n_toks,
-                         coalesce(dh.doc_hash, 0) AS doc_hash,
-                         CAST(d.doc_id % $NShards AS INT) AS shard
-                  FROM documents d LEFT JOIN dh USING (doc_id)),
+      WITH ${Sql.bpeIdCtes},
+      sharded AS (SELECT doc_id, n_toks, doc_hash,
+                         CAST(doc_id % $NShards AS INT) AS shard
+                  FROM bpe_doc_ids),
       w AS (SELECT shard, doc_id, n_toks, doc_hash,
                    coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum

@@ -500,10 +500,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), s"unexpected join:\n${plan.take(600)}")
   }
 
-  test("mixture_sample: plan side broadcast back onto the doc stream") {
+  test("mixture_sample: ONE corpus scan (no double BPE pass), weights broadcast") {
     val plan = planOf("mixture_sample")
     assert(plan.contains("BroadcastHashJoin"),
-      s"mixture plan must broadcast, not shuffle the docs:\n${plan.take(600)}")
+      s"weights must broadcast, not shuffle the docs:\n${plan.take(600)}")
     assert(!plan.contains("SortMergeJoin"), s"plan:\n${plan.take(600)}")
+    // per-domain totals ride a window over the already-computed per-doc
+    // counts — re-deriving them from a second scan would re-run the
+    // expensive BPE encode over the whole corpus
+    val scans = scansOf("mixture_sample")
+    assert(scans.length == 1,
+      s"expected one documents scan, saw ${scans.length}")
   }
 }
