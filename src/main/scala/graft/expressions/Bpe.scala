@@ -284,6 +284,53 @@ object BpeOps {
     }
   }
 
+  /** Train a merges table from pretoken frequencies — the reference
+    * procedure the SHIPPED resource was produced with (and the same
+    * weighted-pair-counting trick as the distributed `bpe_merge_train`
+    * gate query: after the one corpus pass that built `freqs`, every
+    * round runs on the vocab table, never the corpus). Deterministic:
+    * each round merges the (count DESC, "p1 p2" ASC) argmax pair,
+    * applied leftmost-greedily. BpeSpec pins that re-running this on the
+    * corpus reproduces the resource byte-for-byte — the table is derived
+    * data with recorded provenance, not a magic blob.
+    */
+  def train(freqs: Map[String, Long], rounds: Int): Vector[(String, String)] = {
+    var vocab: Map[Vector[String], Long] =
+      freqs.toSeq.groupMapReduce { case (pt, _) => mapBytes(pt).map(_.toString).toVector }(_._2)(_ + _)
+    val out = Vector.newBuilder[(String, String)]
+    var r = 0
+    var continue = true
+    while (r < rounds && continue) {
+      val pairs = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairs.update(k, pairs.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) continue = false
+      else {
+        val (p1, p2) = pairs.toSeq
+          .minBy { case ((a, b), c) => (-c, a + " " + b) }._1
+        out += ((p1, p2))
+        vocab = vocab.toSeq.groupMapReduce { case (syms, _) =>
+          val m = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == p1 && syms(j + 1) == p2) {
+              m += p1 + p2; j += 2
+            } else { m += syms(j); j += 1 }
+          }
+          m.result()
+        }(_._2)(_ + _)
+        r += 1
+      }
+    }
+    out.result()
+  }
+
   /** The shipped corpus-trained table (GPT-2 file format, classpath
     * resource) — swap the resource for OpenAI's `merges.txt` to count
     * exactly as GPT-2.

@@ -136,6 +136,27 @@ class BpeSpec extends AnyFunSuite {
     assert(tok.encodeIds("emoji 👍 test").forall(_ >= 0))
   }
 
+  test("shipped merges table has recorded provenance: retraining reproduces it") {
+    import spark.implicits._
+    // pretoken frequencies from the sf0.01 corpus — ONE distributed pass
+    // (the trainer itself then runs on the vocab table, corpus-free)
+    val freqs = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select(col("text")).as[String].collect().iterator
+      .filter(_ != null)
+      .flatMap { t =>
+        val m = BpeOps.Gpt2Pattern.matcher(t)
+        val b = Seq.newBuilder[String]
+        while (m.find()) b += m.group()
+        b.result()
+      }
+      .foldLeft(Map.empty[String, Long]) { (acc, pt) =>
+        acc.updated(pt, acc.getOrElse(pt, 0L) + 1L)
+      }
+    val retrained = BpeOps.train(freqs, rounds = 32)
+    assert(retrained == BpeOps.default.merges,
+      "shipped merges.txt must be exactly what training on the corpus produces")
+  }
+
   test("encoder.json vocab and special tokens: GPT-2 file drop-in behavior") {
     // explicit vocab overrides the derived ids (GPT-2 publishes
     // encoder.json with its own assignment)
