@@ -92,6 +92,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("BPE laws on random text: count ≡ tokens ≡ ids; lossless; fold ≡ min-rank") {
+    import graft.expressions.BpeOps
+    val tok = BpeOps.default
+    val textGen: Gen[String] = Gen.choose(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.alphaLowerChar, 2 -> Gen.const(' '), 1 -> Gen.numChar,
+        1 -> Gen.oneOf('!', '.', '\'', 'é', '中'))).map(_.mkString))
+    samples(textGen, 120).foreach { text =>
+      val toks = {
+        val m = BpeOps.Gpt2Pattern.matcher(text)
+        val b = Vector.newBuilder[String]
+        while (m.find()) b ++= tok.encodePretoken(m.group())
+        b.result()
+      }
+      val ids = tok.encodeIds(text)
+      // the three surfaces agree
+      assert(tok.countTokens(text) == toks.size.toLong, s"count/tokens: '$text'")
+      assert(ids.length == toks.size, s"ids/tokens: '$text'")
+      // encoding is a lossless partition of the mapped byte stream
+      assert(toks.mkString == BpeOps.mapBytes(text), s"round-trip: '$text'")
+      // ids map tokens through the vocab
+      assert(ids.toSeq == toks.map(t => tok.tokenToId.get(t).intValue()),
+        s"vocab map: '$text'")
+      // the oracle's rank-order fold agrees with the min-rank loop
+      val m2 = BpeOps.Gpt2Pattern.matcher(text)
+      while (m2.find()) {
+        val mapped = BpeOps.mapBytes(m2.group())
+        assert(tok.applyMergesInOrder(mapped) == tok.encodeMapped(mapped),
+          s"fold/min-rank: '${m2.group()}'")
+      }
+    }
+  }
+
   test("quantizeInt8 law: codes bounded by 127; zero scale only for zero vectors") {
     val vecGen = Gen.choose(1, 8).flatMap(n =>
       Gen.listOfN(n, Gen.choose(-100.0f, 100.0f)))
