@@ -115,6 +115,21 @@ object BpeOps {
                         explicitVocab: Option[Map[String, Int]] = None,
                         val specialTokens: Map[String, Int] = Map.empty)
       extends Serializable {
+    // a special token sharing an id with a vocab token would make two
+    // distinct tokens indistinguishable in downstream id sequences — fail
+    // at construction, not in data. With an explicit vocab the special may
+    // legitimately BE a vocab entry (GPT-2's encoder.json carries
+    // <|endoftext|> at 50256) as long as the same string maps to the id.
+    specialTokens.foreach { case (tok, id) =>
+      explicitVocab match {
+        case Some(v) =>
+          require(!v.exists { case (t, i) => i == id && t != tok },
+            s"special token '$tok' id $id collides with a different vocab token")
+        case None =>
+          require(id < 0 || id > 255 + merges.size,
+            s"special token '$tok' id $id lies inside the derived id range 0..${255 + merges.size}")
+      }
+    }
     private val ranks: java.util.HashMap[String, Integer] = {
       val m = new java.util.HashMap[String, Integer](merges.size * 2)
       merges.zipWithIndex.foreach { case ((a, b), r) => m.put(a + "\u0000" + b, r) }

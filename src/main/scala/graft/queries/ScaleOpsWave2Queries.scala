@@ -148,9 +148,12 @@ object ScaleOpsWave2Queries {
     // Compression-ratio quality signal (CCNet/RefinedWeb-style): deflated
     // bytes / raw bytes per document, flagged against the prose band.
     // DEFLATE has no DuckDB scalar, so the oracle reads the deflate byte
-    // counts from the committed fixture parquet (regenerate with
-    // `runMain graft.tools.GenFixtures` after a testdata refresh) and
-    // recomputes ratio/keep from them — a full hash gate instead of the
+    // counts from the committed fixture parquets — the GLOB unions every
+    // per-SF fixture (regenerate with `runMain graft.tools.GenFixtures
+    // <sfDir>` after a testdata refresh), and the (doc_id, text_md5) join
+    // picks exactly the rows computed from THIS corpus's texts, so the
+    // gate passes at any SF with a committed fixture and fails loudly
+    // (dropped rows) at one without. A full hash gate instead of the
     // former rows-only check. The fixture pins stability; the SEMANTICS
     // (repetitive < prose < noise ordering, empty/null, codegen) stay
     // pinned by ExpressionsSpec. Ratio is ONE double division of two
@@ -167,8 +170,8 @@ object ScaleOpsWave2Queries {
           col("compress_ratio") >= 0.25 && col("compress_ratio") <= 0.95)
         .orderBy(col("doc_id"))
     }, Some("""
-      WITH f AS (SELECT doc_id, text_md5, n_deflate_bytes
-                 FROM read_parquet('/root/repo/fixtures/compress_ratio_sf0.01.parquet')),
+      WITH f AS (SELECT DISTINCT doc_id, text_md5, n_deflate_bytes
+                 FROM read_parquet('/root/repo/fixtures/compress_ratio_sf*.parquet')),
       m AS (
         SELECT d.doc_id, CAST(strlen(d.text) AS BIGINT) AS n_raw_bytes,
                f.n_deflate_bytes,

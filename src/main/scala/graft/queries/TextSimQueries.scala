@@ -399,8 +399,12 @@ object TextSimQueries {
     // multi-whitespace runs).
     QueryDef("text_tokens_bpe", (s, dir) =>
       t("documents")(s, dir)
+        // coalesce: BpeCountTokens is null-intolerant, but the oracle's
+        // LEFT JOIN emits 0 for a token-less doc — NULL text must count
+        // as 0, not propagate NULL (same guard as bpe_ids_fingerprint)
         .select(col("doc_id"),
-          graft.expressions.BpeCountTokens(col("text")).as("n_bpe_tokens"))
+          graft.expressions.BpeCountTokens(coalesce(col("text"), lit("")))
+            .as("n_bpe_tokens"))
         .orderBy(col("doc_id"))
     , Some(s"""
       WITH ${Sql.bpeDocCountCtes}

@@ -119,7 +119,9 @@ object TrainingPipelineQueries {
     // (Sql.bpeDocCountCtes) and then the same window arithmetic.
     QueryDef("text_packing_bpe", (s, dir) =>
       packed(t("documents")(s, dir), shards = Some(NShards),
-        nToks = graft.expressions.BpeCountTokens(col("text")))
+        // coalesce: the oracle's bpe_counts LEFT JOIN yields 0 for NULL
+        // text; the null-intolerant expression must agree
+        nToks = graft.expressions.BpeCountTokens(coalesce(col("text"), lit(""))))
     , Some(s"""
       WITH ${Sql.bpeDocCountCtes},
       c AS (SELECT doc_id, CAST(doc_id % $NShards AS INT) AS shard,
@@ -146,14 +148,20 @@ object TrainingPipelineQueries {
       t("documents")(s, dir)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          sum(graft.expressions.BpeCountTokens(col("text"))).as("n_tokens"))
+          sum(graft.expressions.BpeCountTokens(coalesce(col("text"), lit(""))))
+            .as("n_tokens"))
         .join(broadcast(wDf), Seq("lang"))
         .withColumn("target_tokens", expr(s"$MixtureBudget * w_pm DIV 1000"))
+        // n_tokens = 0 guard: Spark non-ANSI would return NULL for the
+        // integer division but DuckDB's // RAISES — emit 0 epochs / keep
+        // everything on both engines for an empty-token domain
         .withColumn("n_epochs",
-          expr("(target_tokens + n_tokens - 1) DIV n_tokens"))
+          expr("CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (target_tokens + n_tokens - 1) DIV n_tokens END"))
         .withColumn("keep_rate",
-          least(lit(1.0),
-            col("target_tokens").cast("double") / col("n_tokens").cast("double")))
+          when(col("n_tokens") === 0, lit(1.0)).otherwise(
+            least(lit(1.0),
+              col("target_tokens").cast("double") / col("n_tokens").cast("double"))))
         .select(col("lang"), col("n_docs"), col("n_tokens"),
           col("target_tokens"), col("keep_rate"), col("n_epochs"))
         .orderBy(col("lang"))
@@ -167,10 +175,12 @@ object TrainingPipelineQueries {
         GROUP BY d.lang)
       SELECT a.lang, a.n_docs, a.n_tokens,
              CAST($MixtureBudget * w.w_pm // 1000 AS BIGINT) AS target_tokens,
-             least(1.0, CAST($MixtureBudget * w.w_pm // 1000 AS DOUBLE) /
-                        CAST(a.n_tokens AS DOUBLE)) AS keep_rate,
-             CAST((($MixtureBudget * w.w_pm // 1000) + a.n_tokens - 1)
-                  // a.n_tokens AS BIGINT) AS n_epochs
+             CASE WHEN a.n_tokens = 0 THEN 1.0
+                  ELSE least(1.0, CAST($MixtureBudget * w.w_pm // 1000 AS DOUBLE) /
+                             CAST(a.n_tokens AS DOUBLE)) END AS keep_rate,
+             CASE WHEN a.n_tokens = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((($MixtureBudget * w.w_pm // 1000) + a.n_tokens - 1)
+                       // a.n_tokens AS BIGINT) END AS n_epochs
       FROM agg a JOIN w USING (lang) ORDER BY a.lang""")),
 
     // Mixture EXECUTION, deterministically: each over-supplied domain's
@@ -191,7 +201,8 @@ object TrainingPipelineQueries {
       val dec = "decimal(38,0)"
       t("documents")(s, dir)
         .select(col("doc_id"), col("lang"),
-          graft.expressions.BpeCountTokens(col("text")).as("n_toks"))
+          graft.expressions.BpeCountTokens(coalesce(col("text"), lit("")))
+            .as("n_toks"))
         .withColumn("avail",
           sum(col("n_toks")).over(Window.partitionBy(col("lang"))))
         .join(broadcast(wDf), Seq("lang"))
