@@ -8,6 +8,36 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Common surface of the two byte-level-BPE tokenizer families the engine
+  * loads — the explicit-merges GPT-2 file format ([[BpeOps.Tokenizer]])
+  * and the base64 rank-file tiktoken format ([[BpeOps.RankTokenizer]],
+  * the format the reference's actual `gpt-4o-mini`/o200k_base encoding
+  * ships in — `core/extract/ConvoDataExtract.py:74-82`). Top-level trait
+  * so whole-stage-codegen'd Java references the interface by its clean
+  * binary name; the expressions pass the encoder instance through
+  * `ctx.addReferenceObj`, so the per-row cost is one virtual call.
+  */
+trait BpeEncoder extends Serializable {
+  /** Pretokens of a text under this encoding's pretokenizer, in order. */
+  def pretokenize(text: String): Vector[String]
+  /** Exact token count; null/empty → 0. Specials count as plain text. */
+  def countTokens(text: String): Long
+  /** Exact token ids in document order; special tokens are atomic. */
+  def encodeIds(text: String): Array[Int]
+  /** The token sequence as mapped-symbol strings (GPT-2 byte→unicode),
+    * pretokens concatenated in order; specials treated as plain text.
+    */
+  def encodeTokenStrings(text: String): Vector[String]
+
+  // --- codegen entry points (called from generated Java) ---
+  final def countTokensUtf8(s: UTF8String): Long = countTokens(s.toString)
+  final def encodeIdsUtf8(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(encodeIds(s.toString))
+  final def encodeTokensUtf8(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      encodeTokenStrings(s.toString).map(t => UTF8String.fromString(t): Any).toArray)
+}
+
 /** Exact byte-level BPE (the GPT-2 / tiktoken tokenizer family), closing
   * F14's documented lower bound: the reference counts with a real BPE
   * (`core/extract/ConvoDataExtract.py:74-82`, tiktoken for "gpt-4o-mini");
@@ -64,6 +94,49 @@ object BpeOps {
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+(?!\\S)|\\s+",
     java.util.regex.Pattern.UNICODE_CHARACTER_CLASS)
 
+  /** Pretokens of `text` under `pattern`, in order. */
+  def pretokenize(pattern: java.util.regex.Pattern, text: String): Vector[String] = {
+    if (text == null || text.isEmpty) return Vector.empty
+    val m = pattern.matcher(text)
+    val b = Vector.newBuilder[String]
+    while (m.find()) b += m.group()
+    b.result()
+  }
+
+  /** Single forward scan splitting `text` at special-token occurrences:
+    * each special's next position is cached and only re-searched once the
+    * cursor passes it — amortized O(specials · |text|), no substring
+    * copies. `specialsByLength` must be longest-first so at equal
+    * positions the longest special wins (the tiktoken resolution).
+    * Shared by both tokenizer families.
+    */
+  private[expressions] def scanSpecials(text: String,
+      specialsByLength: Seq[(String, Int)])(
+      emitSpecial: Int => Unit, encodePlain: String => Unit): Unit = {
+    if (specialsByLength.isEmpty) { encodePlain(text); return }
+    val specials = specialsByLength.toArray
+    val nextAt = Array.fill(specials.length)(-2) // -2 = stale, -1 = absent
+    var pos = 0
+    while (pos < text.length) {
+      var bestPos = -1
+      var bestIdx = -1
+      var i = 0
+      while (i < specials.length) {
+        if (nextAt(i) != -1 && nextAt(i) < pos)
+          nextAt(i) = text.indexOf(specials(i)._1, pos)
+        val p = nextAt(i)
+        if (p >= 0 && (bestPos < 0 || p < bestPos)) { bestPos = p; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) { encodePlain(text.substring(pos)); pos = text.length }
+      else {
+        if (bestPos > pos) encodePlain(text.substring(pos, bestPos))
+        emitSpecial(specials(bestIdx)._2)
+        pos = bestPos + specials(bestIdx)._1.length
+      }
+    }
+  }
+
   /** Parse the GPT-2 `merges.txt` format: optional `#version` header,
     * then one "<first> <second>" pair per line, rank = line order.
     */
@@ -109,12 +182,15 @@ object BpeOps {
     * replacing the derived merge-order ids. `specialTokens`: atomic
     * strings (e.g. `<|endoftext|>` → 50256) cut out BEFORE pretokenization
     * and emitted as single ids — the tiktoken `allowed_special` behavior a
-    * sequence assembler needs for document separators.
+    * sequence assembler needs for document separators. `pattern`: the
+    * encoding's pretokenizer (defaults to GPT-2's; each published encoding
+    * defines its own — see [[BpeOps.Encodings]]).
     */
   final class Tokenizer(val merges: Vector[(String, String)],
                         explicitVocab: Option[Map[String, Int]] = None,
-                        val specialTokens: Map[String, Int] = Map.empty)
-      extends Serializable {
+                        val specialTokens: Map[String, Int] = Map.empty,
+                        val pattern: java.util.regex.Pattern = BpeOps.Gpt2Pattern)
+      extends BpeEncoder {
     // a special token sharing an id with a vocab token would make two
     // distinct tokens indistinguishable in downstream id sequences — fail
     // at construction, not in data. With an explicit vocab the special may
@@ -192,15 +268,26 @@ object BpeOps {
     /** Token count of one pretoken (cached). */
     def countPretoken(pretoken: String): Int = encodePretoken(pretoken).size
 
-    /** Exact BPE token count of a text: GPT-2 pretokenize, then encode
-      * each pretoken. Empty/blank → 0.
+    override def pretokenize(text: String): Vector[String] =
+      BpeOps.pretokenize(pattern, text)
+
+    /** Exact BPE token count of a text: pretokenize, then encode each
+      * pretoken. Empty/blank → 0.
       */
-    def countTokens(text: String): Long = {
+    override def countTokens(text: String): Long = {
       if (text == null || text.isEmpty) return 0L
-      val m = Gpt2Pattern.matcher(text)
+      val m = pattern.matcher(text)
       var n = 0L
       while (m.find()) n += countPretoken(m.group())
       n
+    }
+
+    override def encodeTokenStrings(text: String): Vector[String] = {
+      if (text == null || text.isEmpty) return Vector.empty
+      val out = Vector.newBuilder[String]
+      val m = pattern.matcher(text)
+      while (m.find()) encodePretoken(m.group()).foreach(out += _)
+      out.result()
     }
 
     /** Token → id, the standard derivation for a trained-from-scratch
@@ -230,11 +317,11 @@ object BpeOps {
       * atomic: each occurrence emits its reserved id and never merges
       * with surrounding text.
       */
-    def encodeIds(text: String): Array[Int] = {
+    override def encodeIds(text: String): Array[Int] = {
       if (text == null || text.isEmpty) return Array.empty
       val out = Array.newBuilder[Int]
       def encodePlain(seg: String): Unit = {
-        val m = BpeOps.Gpt2Pattern.matcher(seg)
+        val m = pattern.matcher(seg)
         while (m.find())
           encodePretoken(m.group()).foreach { t =>
             val id = tokenToId.get(t)
@@ -242,35 +329,7 @@ object BpeOps {
             out += id.intValue()
           }
       }
-      if (specialTokens.isEmpty) encodePlain(text)
-      else {
-        // single forward scan: each special's next occurrence is cached
-        // and only re-searched once the cursor passes it — amortized
-        // O(specials · |text|), no substring copies. specialsByLength is
-        // longest-first, so at equal positions the longest special wins
-        // (the tiktoken resolution).
-        val specials = specialsByLength.toArray
-        val nextAt = Array.fill(specials.length)(-2) // -2 = stale, -1 = absent
-        var pos = 0
-        while (pos < text.length) {
-          var bestPos = -1
-          var bestIdx = -1
-          var i = 0
-          while (i < specials.length) {
-            if (nextAt(i) != -1 && nextAt(i) < pos)
-              nextAt(i) = text.indexOf(specials(i)._1, pos)
-            val p = nextAt(i)
-            if (p >= 0 && (bestPos < 0 || p < bestPos)) { bestPos = p; bestIdx = i }
-            i += 1
-          }
-          if (bestIdx < 0) { encodePlain(text.substring(pos)); pos = text.length }
-          else {
-            if (bestPos > pos) encodePlain(text.substring(pos, bestPos))
-            out += specials(bestIdx)._2
-            pos = bestPos + specials(bestIdx)._1.length
-          }
-        }
-      }
+      BpeOps.scanSpecials(text, specialsByLength)(id => out += id, encodePlain)
       out.result()
     }
 
@@ -297,6 +356,230 @@ object BpeOps {
       }
       word
     }
+  }
+
+  /** Parse the tiktoken rank-file format (the format OpenAI publishes
+    * o200k_base / cl100k_base in): one `base64(token_bytes) rank` per
+    * line. Ranks are simultaneously the merge priorities AND the token
+    * ids — there is no separate merges/vocab pair.
+    */
+  def parseTiktoken(lines: Iterator[String]): Vector[(Array[Byte], Int)] = {
+    val dec = java.util.Base64.getDecoder
+    val out = lines.map(_.stripLineEnd).filter(_.nonEmpty).map { l =>
+      val i = l.lastIndexOf(' ')
+      require(i > 0 && i < l.length - 1, s"malformed tiktoken line: '$l'")
+      (dec.decode(l.substring(0, i)), l.substring(i + 1).toInt)
+    }.toVector
+    require(out.map(_._2).distinct.size == out.size, "duplicate ranks in tiktoken file")
+    require(out.map(e => new String(e._1, java.nio.charset.StandardCharsets.ISO_8859_1))
+      .distinct.size == out.size, "duplicate tokens in tiktoken file")
+    out
+  }
+
+  /** Serialize entries to the tiktoken rank-file format (ascending rank). */
+  def renderTiktoken(entries: Vector[(Array[Byte], Int)]): String = {
+    val enc = java.util.Base64.getEncoder
+    entries.sortBy(_._2)
+      .map { case (b, r) => s"${enc.encodeToString(b)} $r" }
+      .mkString("", "\n", "\n")
+  }
+
+  /** A BPE encoder over a tiktoken rank file — the authentic tiktoken
+    * semantics, distinct from the GPT-2 formulation: encoding operates on
+    * RAW BYTES, and a pair of adjacent parts merges when their
+    * concatenated bytes appear in the rank table, lowest rank first (one
+    * merge per step, leftmost on ties). Ranks double as token ids.
+    * Thread-safe; share one instance per JVM.
+    */
+  final class RankTokenizer(val entries: Vector[(Array[Byte], Int)],
+                            val pattern: java.util.regex.Pattern,
+                            val specialTokens: Map[String, Int] = Map.empty)
+      extends BpeEncoder {
+    // byte-sequence key: ISO-8859-1 maps bytes 1:1 onto chars 0–255
+    private def k(bytes: Array[Byte], from: Int, until: Int): String =
+      new String(bytes, from, until - from, java.nio.charset.StandardCharsets.ISO_8859_1)
+
+    private val ranks: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](entries.size * 2)
+      entries.foreach { case (b, r) => m.put(k(b, 0, b.length), r) }
+      m
+    }
+    // every single byte must be a token or some input is unencodable
+    (0 until 256).foreach { b =>
+      require(ranks.containsKey(b.toChar.toString),
+        s"tiktoken table is missing single-byte token 0x${b.toHexString}")
+    }
+    // special ids must be disjoint from the rank/id space (same contract
+    // as Tokenizer's derived-range check)
+    specialTokens.foreach { case (tok, id) =>
+      require(!entries.exists(_._2 == id),
+        s"special token '$tok' id $id collides with a rank-table id")
+    }
+
+    /** mapped-symbol token string → id (rank), for the expression path
+      * that works in GPT-2 symbol space.
+      */
+    private val symToId: java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer](entries.size * 2)
+      entries.foreach { case (b, r) =>
+        val sb = new java.lang.StringBuilder(b.length)
+        b.foreach(x => sb.append(BpeOps.byteToChar(x & 0xFF)))
+        m.put(sb.toString, r)
+      }
+      m
+    }
+
+    @transient private lazy val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Vector[String]]()
+    private val CacheCap = 1 << 17
+
+    /** The tiktoken byte-pair merge: repeatedly merge the adjacent part
+      * pair whose concatenated bytes have the LOWEST rank `< maxRank`
+      * (leftmost on ties), until none qualifies. Returns the final part
+      * boundaries. `maxRank` < MaxValue is used by merge-pair recovery.
+      */
+    private[expressions] def tokenRanges(bytes: Array[Byte], maxRank: Int): Vector[(Int, Int)] = {
+      val n = bytes.length
+      if (n == 0) return Vector.empty
+      val starts = scala.collection.mutable.ArrayBuffer.tabulate(n)(identity)
+      var done = starts.length < 2
+      while (!done) {
+        var best = maxRank
+        var bi = -1
+        var i = 0
+        while (i < starts.length - 1) {
+          val end = if (i + 2 < starts.length) starts(i + 2) else n
+          val r = ranks.get(k(bytes, starts(i), end))
+          if (r != null && r.intValue() < best) { best = r.intValue(); bi = i }
+          i += 1
+        }
+        if (bi < 0) done = true
+        else { starts.remove(bi + 1); done = starts.length < 2 }
+      }
+      Vector.tabulate(starts.length) { i =>
+        (starts(i), if (i + 1 < starts.length) starts(i + 1) else n)
+      }
+    }
+
+    /** Encoded tokens of one pretoken as mapped-symbol strings (cached). */
+    def encodePretoken(pretoken: String): Vector[String] = {
+      val hit = cache.get(pretoken)
+      if (hit != null) return hit
+      val bytes = pretoken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val v = tokenRanges(bytes, Int.MaxValue).map { case (from, until) =>
+        val sb = new java.lang.StringBuilder(until - from)
+        var i = from
+        while (i < until) { sb.append(BpeOps.byteToChar(bytes(i) & 0xFF)); i += 1 }
+        sb.toString
+      }
+      if (cache.size < CacheCap) cache.put(pretoken, v)
+      v
+    }
+
+    override def pretokenize(text: String): Vector[String] =
+      BpeOps.pretokenize(pattern, text)
+
+    override def countTokens(text: String): Long = {
+      if (text == null || text.isEmpty) return 0L
+      val m = pattern.matcher(text)
+      var n = 0L
+      while (m.find()) n += encodePretoken(m.group()).size
+      n
+    }
+
+    override def encodeTokenStrings(text: String): Vector[String] = {
+      if (text == null || text.isEmpty) return Vector.empty
+      val out = Vector.newBuilder[String]
+      val m = pattern.matcher(text)
+      while (m.find()) encodePretoken(m.group()).foreach(out += _)
+      out.result()
+    }
+
+    @transient private lazy val specialsByLength: Seq[(String, Int)] =
+      specialTokens.toSeq.sortBy { case (t, _) => (-t.length, t) }
+
+    override def encodeIds(text: String): Array[Int] = {
+      if (text == null || text.isEmpty) return Array.empty
+      val out = Array.newBuilder[Int]
+      def encodePlain(seg: String): Unit = {
+        val m = pattern.matcher(seg)
+        while (m.find())
+          encodePretoken(m.group()).foreach { t =>
+            val id = symToId.get(t)
+            require(id != null, s"token '$t' missing from the rank table")
+            out += id.intValue()
+          }
+      }
+      BpeOps.scanSpecials(text, specialsByLength)(id => out += id, encodePlain)
+      out.result()
+    }
+  }
+
+  /** Recover the implicit merge list of a tiktoken rank table: for each
+    * multi-byte token in rank order, run the merge loop on its bytes with
+    * only LOWER ranks enabled — a valid table (one produced by sequential
+    * BPE training, as all published ones are) leaves exactly two parts,
+    * which ARE the merge pair. Returned as mapped-symbol string pairs in
+    * rank order — the form the rank-order-fold DuckDB oracle consumes
+    * (BpeSpec pins fold ≡ tiktoken-loop corpus-wide, the same law the
+    * GPT-2 oracle rests on).
+    */
+  def mergePairsFromRanks(entries: Vector[(Array[Byte], Int)]): Vector[(String, String)] = {
+    val probe = new RankTokenizer(entries, Gpt2Pattern)
+    entries.filter(_._1.length > 1).sortBy(_._2).map { case (bytes, rank) =>
+      val parts = probe.tokenRanges(bytes, rank)
+      require(parts.size == 2,
+        s"rank-$rank token does not split into two lower-rank parts " +
+          s"(${parts.size}) — not a sequentially-trained table")
+      def sym(from: Int, until: Int): String = {
+        val sb = new java.lang.StringBuilder(until - from)
+        var i = from
+        while (i < until) { sb.append(byteToChar(bytes(i) & 0xFF)); i += 1 }
+        sb.toString
+      }
+      (sym(parts(0)._1, parts(0)._2), sym(parts(1)._1, parts(1)._2))
+    }
+  }
+
+  /** The published encoding definitions (tiktoken's public
+    * `openai_public.py`): per-encoding pretokenizer regex and special
+    * tokens. The regexes are data about a public file format; Java's
+    * engine supports their possessive quantifiers and lookaheads
+    * directly.
+    */
+  object Encodings {
+    import java.util.regex.Pattern.{compile, UNICODE_CHARACTER_CLASS}
+
+    /** r50k/GPT-2 (also p50k modulo specials). */
+    val Gpt2Specials: Map[String, Int] = Map("<|endoftext|>" -> 50256)
+
+    /** cl100k_base (GPT-3.5/4 family). */
+    val Cl100kPattern: java.util.regex.Pattern = compile(
+      "'(?i:[sdmt]|ll|ve|re)|[^\\r\\n\\p{L}\\p{N}]?+\\p{L}+|\\p{N}{1,3}" +
+        "| ?[^\\s\\p{L}\\p{N}]++[\\r\\n]*|\\s*[\\r\\n]|\\s+(?!\\S)|\\s+",
+      UNICODE_CHARACTER_CLASS)
+    val Cl100kSpecials: Map[String, Int] = Map(
+      "<|endoftext|>" -> 100257, "<|fim_prefix|>" -> 100258,
+      "<|fim_middle|>" -> 100259, "<|fim_suffix|>" -> 100260,
+      "<|endofprompt|>" -> 100276)
+
+    /** o200k_base (GPT-4o family — the reference's `gpt-4o-mini`
+      * encoding, `core/extract/ConvoDataExtract.py:74-82`): word tokens
+      * may lead with one non-letter/digit char and absorb a
+      * case-insensitive contraction suffix; digit runs chunk at 3.
+      */
+    val O200kPattern: java.util.regex.Pattern = compile(Seq(
+      "[^\\r\\n\\p{L}\\p{N}]?[\\p{Lu}\\p{Lt}\\p{Lm}\\p{Lo}\\p{M}]*" +
+        "[\\p{Ll}\\p{Lm}\\p{Lo}\\p{M}]+(?i:'s|'t|'re|'ve|'m|'ll|'d)?",
+      "[^\\r\\n\\p{L}\\p{N}]?[\\p{Lu}\\p{Lt}\\p{Lm}\\p{Lo}\\p{M}]+" +
+        "[\\p{Ll}\\p{Lm}\\p{Lo}\\p{M}]*(?i:'s|'t|'re|'ve|'m|'ll|'d)?",
+      "\\p{N}{1,3}",
+      " ?[^\\s\\p{L}\\p{N}]+[\\r\\n/]*",
+      "\\s*[\\r\\n]+",
+      "\\s+(?!\\S)",
+      "\\s+").mkString("|"), UNICODE_CHARACTER_CLASS)
+    val O200kSpecials: Map[String, Int] = Map(
+      "<|endoftext|>" -> 199999, "<|endofprompt|>" -> 200018)
   }
 
   /** Train a merges table from pretoken frequencies — the reference
@@ -357,6 +640,24 @@ object BpeOps {
     try new Tokenizer(parseMerges(src.getLines())) finally src.close()
   }
 
+  /** The committed o200k-subset fixture (tiktoken rank-file format,
+    * classpath resource): the o200k_base PRETOKENIZER and SPECIAL TOKENS
+    * driving a corpus-trained subset vocabulary — proving the reference's
+    * actual `gpt-4o-mini` encoding file drops in as data through the same
+    * loader (the full published o200k_base.tiktoken is ~4 MB; the subset
+    * keeps the repo light while exercising every format/semantics path).
+    * Provenance is spec-pinned: BpeSpec retrains the resource
+    * byte-for-byte from the corpus.
+    */
+  lazy val o200kFixture: RankTokenizer = {
+    val in = getClass.getResourceAsStream("/graft/bpe/o200k_fixture.tiktoken")
+    require(in != null, "missing resource /graft/bpe/o200k_fixture.tiktoken")
+    val src = scala.io.Source.fromInputStream(in, "UTF-8")
+    try new RankTokenizer(parseTiktoken(src.getLines()),
+      Encodings.O200kPattern, Encodings.O200kSpecials)
+    finally src.close()
+  }
+
   /** Static entry point for generated code. */
   def countTokens(s: UTF8String): Long = default.countTokens(s.toString)
 
@@ -381,10 +682,13 @@ object BpeOps {
 }
 
 /** `bpe_count_tokens(text)` — exact BPE token count as a codegen-friendly
-  * expression: one static call per row, enclosing operators stay in
-  * whole-stage codegen.
+  * expression: one call per row on the bound [[BpeEncoder]] (passed as a
+  * codegen reference object), enclosing operators stay in whole-stage
+  * codegen. Defaults to the shipped GPT-2-format table; pass
+  * [[BpeOps.o200kFixture]] (or any loaded encoder) to count under a
+  * different encoding.
   */
-case class BpeCountTokens(child: Expression) extends UnaryExpression {
+case class BpeCountTokens(child: Expression, enc: BpeEncoder) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
@@ -395,18 +699,21 @@ case class BpeCountTokens(child: Expression) extends UnaryExpression {
       s"bpe_count_tokens expects string, got ${child.dataType}")
 
   override def nullSafeEval(v: Any): Any =
-    BpeOps.countTokens(v.asInstanceOf[UTF8String])
+    enc.countTokensUtf8(v.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.expressions.BpeOps.countTokens($s)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", enc, "graft.expressions.BpeEncoder")
+    defineCodeGen(ctx, ev, s => s"$ref.countTokensUtf8($s)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object BpeCountTokens {
-  def apply(s: Column): Column =
-    Bridge.column(BpeCountTokens(Bridge.expression(s)))
+  def apply(s: Column): Column = apply(s, BpeOps.default)
+  def apply(s: Column, enc: BpeEncoder): Column =
+    Bridge.column(BpeCountTokens(Bridge.expression(s), enc))
 }
 
 /** `bpe_tokens(text)` — the encoded BPE token sequence (mapped-symbol
@@ -414,7 +721,7 @@ object BpeCountTokens {
   * vocabulary statistics. Array-valued, so it never appears in an oracle
   * OUTPUT directly — gate queries aggregate it first.
   */
-case class BpeEncodeTokens(child: Expression) extends UnaryExpression {
+case class BpeEncodeTokens(child: Expression, enc: BpeEncoder) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -425,24 +732,27 @@ case class BpeEncodeTokens(child: Expression) extends UnaryExpression {
       s"bpe_tokens expects string, got ${child.dataType}")
 
   override def nullSafeEval(v: Any): Any =
-    BpeOps.encodeTokens(v.asInstanceOf[UTF8String])
+    enc.encodeTokensUtf8(v.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.expressions.BpeOps.encodeTokens($s)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", enc, "graft.expressions.BpeEncoder")
+    defineCodeGen(ctx, ev, s => s"$ref.encodeTokensUtf8($s)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object BpeEncodeTokens {
-  def apply(s: Column): Column =
-    Bridge.column(BpeEncodeTokens(Bridge.expression(s)))
+  def apply(s: Column): Column = apply(s, BpeOps.default)
+  def apply(s: Column, enc: BpeEncoder): Column =
+    Bridge.column(BpeEncodeTokens(Bridge.expression(s), enc))
 }
 
 /** `bpe_ids(text)` — exact BPE token ids (base bytes 0–255, merges
   * 256+rank), document order — what actually feeds a training tensor.
   */
-case class BpeEncodeIds(child: Expression) extends UnaryExpression {
+case class BpeEncodeIds(child: Expression, enc: BpeEncoder) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
@@ -453,16 +763,19 @@ case class BpeEncodeIds(child: Expression) extends UnaryExpression {
       s"bpe_ids expects string, got ${child.dataType}")
 
   override def nullSafeEval(v: Any): Any =
-    BpeOps.encodeIds(v.asInstanceOf[UTF8String])
+    enc.encodeIdsUtf8(v.asInstanceOf[UTF8String])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.expressions.BpeOps.encodeIds($s)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeEncoder", enc, "graft.expressions.BpeEncoder")
+    defineCodeGen(ctx, ev, s => s"$ref.encodeIdsUtf8($s)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
 object BpeEncodeIds {
-  def apply(s: Column): Column =
-    Bridge.column(BpeEncodeIds(Bridge.expression(s)))
+  def apply(s: Column): Column = apply(s, BpeOps.default)
+  def apply(s: Column, enc: BpeEncoder): Column =
+    Bridge.column(BpeEncodeIds(Bridge.expression(s), enc))
 }

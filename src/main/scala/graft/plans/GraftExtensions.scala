@@ -135,17 +135,28 @@ object GraftSqlFunctions {
       "graft_bpe_count_tokens(str) - exact byte-level BPE token count " +
         "(GPT-2 pretokenizer + merge loop over the shipped merges table)",
       Seq(1)) {
-      case Seq(s) => BpeCountTokens(s)
+      case Seq(s) => BpeCountTokens(s, BpeOps.default)
     },
     reg("graft_bpe_tokens",
       "graft_bpe_tokens(str) - the exact BPE token sequence (mapped-symbol " +
         "strings, document order)", Seq(1)) {
-      case Seq(s) => BpeEncodeTokens(s)
+      case Seq(s) => BpeEncodeTokens(s, BpeOps.default)
     },
     reg("graft_bpe_ids",
       "graft_bpe_ids(str) - exact BPE token ids (base bytes 0-255, merges " +
         "256+rank), document order", Seq(1)) {
-      case Seq(s) => BpeEncodeIds(s)
+      case Seq(s) => BpeEncodeIds(s, BpeOps.default)
+    },
+    reg("graft_bpe_count_tokens_o200k",
+      "graft_bpe_count_tokens_o200k(str) - exact BPE token count under " +
+        "the o200k_base encoding rules (tiktoken rank-file vocabulary, " +
+        "o200k pretokenizer)", Seq(1)) {
+      case Seq(s) => BpeCountTokens(s, BpeOps.o200kFixture)
+    },
+    reg("graft_bpe_ids_o200k",
+      "graft_bpe_ids_o200k(str) - exact BPE token ids under the " +
+        "o200k_base encoding rules (rank = id; specials atomic)", Seq(1)) {
+      case Seq(s) => BpeEncodeIds(s, BpeOps.o200kFixture)
     })
 }
 

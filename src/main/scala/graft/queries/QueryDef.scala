@@ -128,23 +128,57 @@ object Sql {
         s"(${i + 1},'${p1.replace("'", "''")}','${p2.replace("'", "''")}')" }
       .mkString(",")
 
+  /** RE2-safe GPT-2 pretokenizer (single-quote-escaped for SQL): exactly
+    * the GPT-2 pattern minus the whitespace lookahead branch, which only
+    * matters for multi-whitespace runs — the corpus has none.
+    */
+  def gpt2Re2Pattern: String =
+    "''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** RE2-safe o200k_base pretokenizer (tiktoken's published pattern with
+    * the `\\s+(?!\\S)` lookahead branch dropped — same corpus argument as
+    * [[gpt2Re2Pattern]]; RE2 supports the `(?i:...)` groups and unicode
+    * categories directly, and DuckDB matched Java on the divergence
+    * fixtures: case-insensitive contraction absorption, 3-digit chunking,
+    * leading non-letter absorption).
+    */
+  def o200kRe2Pattern: String =
+    "[^\\r\\n\\p{L}\\p{N}]?[\\p{Lu}\\p{Lt}\\p{Lm}\\p{Lo}\\p{M}]*[\\p{Ll}\\p{Lm}\\p{Lo}\\p{M}]+" +
+      "(?i:''s|''t|''re|''ve|''m|''ll|''d)?" +
+      "|[^\\r\\n\\p{L}\\p{N}]?[\\p{Lu}\\p{Lt}\\p{Lm}\\p{Lo}\\p{M}]+[\\p{Ll}\\p{Lm}\\p{Lo}\\p{M}]*" +
+      "(?i:''s|''t|''re|''ve|''m|''ll|''d)?" +
+      "|\\p{N}{1,3}| ?[^\\s\\p{L}\\p{N}]+[\\r\\n/]*|\\s*[\\r\\n]+|\\s+"
+
+  /** The o200k-subset fixture's implicit merge list as VALUES rows —
+    * recovered from the committed tiktoken rank file
+    * ([[graft.expressions.BpeOps.mergePairsFromRanks]]), so the oracle
+    * can never drift from the resource the engine loads.
+    */
+  def bpeO200kMergesValues: String =
+    graft.expressions.BpeOps
+      .mergePairsFromRanks(graft.expressions.BpeOps.o200kFixture.entries)
+      .zipWithIndex
+      .map { case ((p1, p2), i) =>
+        s"(${i + 1},'${p1.replace("'", "''")}','${p2.replace("'", "''")}')" }
+      .mkString(",")
+
   /** CTE chain computing per-document EXACT BPE token counts —
     * `bpe_counts(doc_id, n_bpe)` over `documents` — by replaying ENCODING
-    * in DuckDB (mirrors expressions.BpeOps): RE2-safe GPT-2 pretokenizer
-    * (the lookahead branch only matters for multi-whitespace runs, which
-    * the corpus has none of), space→Ġ byte-symbol mapping, then each
-    * pretoken's symbol string folded through every merge in rank order
-    * (≡ the min-rank loop for any valid trained table — BpeSpec pins the
-    * law corpus-wide). Compose as `WITH $bpeDocCountCtes, ...`.
+    * in DuckDB (mirrors expressions.BpeOps): the encoding's RE2-safe
+    * pretokenizer, space→Ġ byte-symbol mapping, then each pretoken's
+    * symbol string folded through every merge in rank order (≡ the
+    * min-rank/tiktoken loop for any valid trained table — BpeSpec pins
+    * the law corpus-wide for BOTH shipped tables). Compose as
+    * `WITH $bpeDocCountCtes, ...`.
     * NB: no line may START with '|' (stripMargin); '||' stays mid-line.
     */
-  def bpeDocCountCtes: String = s"""
-      bpe_m AS (SELECT * FROM (VALUES $bpeMergesValues) m(rank, p1, p2)),
+  def bpeDocCountCtesFor(mergesValues: String, re2Pattern: String): String = s"""
+      bpe_m AS (SELECT * FROM (VALUES $mergesValues) m(rank, p1, p2)),
       bpe_ml AS (SELECT list(p1 || ' ' || p2 ORDER BY rank) AS ms FROM bpe_m),
       bpe_pt AS (SELECT doc_id, unnest(regexp_extract_all(text,
-                   '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')) AS pt,
+                   '$re2Pattern')) AS pt,
                    unnest(generate_series(1, len(regexp_extract_all(text,
-                   '''s|''t|''re|''ve|''m|''ll|''d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+')))) AS pt_ord
+                   '$re2Pattern')))) AS pt_ord
                  FROM documents),
       bpe_sym AS (
         SELECT doc_id, pt_ord,
@@ -167,6 +201,15 @@ object Sql {
         FROM documents d
         LEFT JOIN (SELECT doc_id, sum(n) AS n FROM bpe_enc GROUP BY doc_id) s
         USING (doc_id))"""
+
+  /** The GPT-2-format shipped table's count CTEs. */
+  def bpeDocCountCtes: String = bpeDocCountCtesFor(bpeMergesValues, gpt2Re2Pattern)
+
+  /** The o200k-subset fixture's count CTEs: o200k pretokenizer, merge
+    * pairs recovered from the tiktoken rank file.
+    */
+  def bpeO200kDocCountCtes: String =
+    bpeDocCountCtesFor(bpeO200kMergesValues, o200kRe2Pattern)
 
   /** CTE chain extending [[bpeDocCountCtes]] to per-document BPE id
     * SEQUENCES: `bpe_doc_ids(doc_id, n_toks, doc_hash)` — tokens joined

@@ -410,6 +410,29 @@ object TextSimQueries {
       WITH ${Sql.bpeDocCountCtes}
       SELECT doc_id, n_bpe AS n_bpe_tokens FROM bpe_counts ORDER BY doc_id""")),
 
+    // The same exact-BPE count under the o200k_base ENCODING RULES — the
+    // tokenizer family the reference actually counts with (tiktoken for
+    // gpt-4o-mini, `core/extract/ConvoDataExtract.py:74-82`): a base64
+    // rank-file vocabulary (ranks double as merge priorities and ids),
+    // the o200k pretokenizer regex, and the authentic tiktoken byte-pair
+    // loop. The committed fixture is a corpus-trained 48-merge subset in
+    // the real file format (the full published file is ~4 MB) — loading
+    // OpenAI's o200k_base.tiktoken through the same loader is a data
+    // swap. Oracle: merge pairs recovered from the rank file, folded in
+    // rank order under the RE2-safe o200k pretokenizer (fold ≡ tiktoken
+    // loop law spec-pinned corpus-wide). 48 > 32 merges, so this pins
+    // DIFFERENT counts than text_tokens_bpe — the two encodings are
+    // independently gated.
+    QueryDef("text_tokens_bpe_o200k", (s, dir) =>
+      t("documents")(s, dir)
+        .select(col("doc_id"),
+          graft.expressions.BpeCountTokens(coalesce(col("text"), lit("")),
+            graft.expressions.BpeOps.o200kFixture).as("n_bpe_tokens_o200k"))
+        .orderBy(col("doc_id"))
+    , Some(s"""
+      WITH ${Sql.bpeO200kDocCountCtes}
+      SELECT doc_id, n_bpe AS n_bpe_tokens_o200k FROM bpe_counts ORDER BY doc_id""")),
+
     // BPE vocabulary statistics: corpus-wide token frequencies over the
     // EXACT encoding — the coverage report a tokenizer pipeline prints
     // (which merges actually fire, what the head of the distribution
