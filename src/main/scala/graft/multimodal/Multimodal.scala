@@ -343,6 +343,8 @@ object Multimodal {
   def videoFrameIndex(payload: Array[Byte]): Option[(Long, Array[Long])] =
     gifFrameIndex(payload).orElse(
       mp4FrameIndex(payload).map { case (dur, starts, _) => (dur, starts) })
+      .orElse(
+        webmFrameIndex(payload).map { case (dur, starts, _) => (dur, starts) })
 
   private def gifFrameIndex(payload: Array[Byte]): Option[(Long, Array[Long])] = {
     if (payload == null || payload.isEmpty) return None
@@ -474,6 +476,185 @@ object Multimodal {
       }
     }
     out.result()
+  }
+
+  /** Matroska/WebM container metadata, parsed straight off the EBML
+    * structure (RFC 8794 + the public Matroska element registry) — the
+    * second major container after ISO BMFF, mirroring [[mp4FrameIndex]]:
+    * for the FIRST video track (TrackType 1), returns (duration ms, frame
+    * start times ms, cluster count).
+    *
+    *  - timing: each Cluster's Timestamp plus every video-track
+    *    SimpleBlock / BlockGroup>Block's signed 16-bit relative timestamp,
+    *    in TimestampScale units (ns per unit, default 1,000,000 = 1 ms),
+    *    converted with integer `ts * scaleNs / 1e6`;
+    *  - duration: Segment>Info>Duration (float, scale units) when
+    *    declared; else the last video frame's start;
+    *  - clusters: the Cluster count — the seek granularity a real frame
+    *    extractor would use.
+    *
+    * Metadata only — pixels stay honest-degrade (no VP8/VP9 decoder in
+    * the JDK). Malformed EBML → None, never a throw; frame count capped
+    * against hostile headers. Accepts the `webm` and `matroska` DocTypes.
+    */
+  def webmFrameIndex(payload: Array[Byte]): Option[(Long, Array[Long], Int)] = {
+    if (payload == null || payload.length < 8) return None
+    try {
+      val top = ebmlChildren(payload, 0, payload.length)
+      val hdr = top.find(_._1 == 0x1A45DFA3L).getOrElse(return None)
+      // DocType (0x4282) defaults to "matroska" when absent (RFC 8794)
+      val doc = ebmlChildren(payload, hdr._2, hdr._3).find(_._1 == 0x4282L)
+        .map(e => new String(payload, e._2, e._3 - e._2,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+      if (!doc.forall(d => d == "webm" || d == "matroska")) return None
+      val seg = top.find(_._1 == 0x18538067L).getOrElse(return None)
+      val segKids = ebmlChildren(payload, seg._2, seg._3)
+      var scaleNs = 1000000L
+      var durUnits: Option[Double] = None
+      segKids.find(_._1 == 0x1549A966L).foreach { info =>
+        ebmlChildren(payload, info._2, info._3).foreach {
+          case (0x2AD7B1L, s, e) => scaleNs = ebmlUInt(payload, s, e)
+          case (0x4489L, s, e)   => durUnits = Some(ebmlFloat(payload, s, e))
+          case _ => ()
+        }
+      }
+      if (scaleNs <= 0) return None
+      // first TrackEntry (0xAE) with TrackType (0x83) video=1 → TrackNumber (0xD7)
+      val videoTrack = segKids.find(_._1 == 0x1654AE6BL).flatMap { tracks =>
+        ebmlChildren(payload, tracks._2, tracks._3)
+          .filter(_._1 == 0xAEL)
+          .flatMap { te =>
+            val kids = ebmlChildren(payload, te._2, te._3)
+            val typ = kids.find(_._1 == 0x83L).map(k => ebmlUInt(payload, k._2, k._3))
+            val num = kids.find(_._1 == 0xD7L).map(k => ebmlUInt(payload, k._2, k._3))
+            if (typ.contains(1L)) num else None
+          }.headOption
+      }.getOrElse(return None)
+      val starts = Array.newBuilder[Long]
+      val MaxFrames = 1 << 22
+      var nFrames = 0L
+      var clusters = 0
+      var maxTs = 0L
+      segKids.filter(_._1 == 0x1F43B675L).foreach { cl =>
+        clusters += 1
+        var clusterTs = 0L
+        ebmlChildren(payload, cl._2, cl._3).foreach {
+          case (0xE7L, s, e) => clusterTs = ebmlUInt(payload, s, e)
+          case (id, s, e) if id == 0xA3L || id == 0xA0L =>
+            // SimpleBlock payload directly, or BlockGroup's Block (0xA1)
+            val (bs, bEnd) =
+              if (id == 0xA0L)
+                ebmlChildren(payload, s, e).find(_._1 == 0xA1L)
+                  .map(b => (b._2, b._3)).getOrElse((-1, -1))
+              else (s, e)
+            if (bs >= 0) {
+              // block header: track-number VINT + int16 relative timestamp
+              val (trk, vlen) = ebmlVint(payload, bs)
+              if (vlen > 0 && trk == videoTrack && bs + vlen + 2 <= bEnd) {
+                val rel = (((payload(bs + vlen) & 0xFF) << 8) |
+                  (payload(bs + vlen + 1) & 0xFF)).toShort.toLong
+                val ts = clusterTs + rel
+                nFrames += 1
+                if (nFrames > MaxFrames) return None
+                starts += ts * scaleNs / 1000000L
+                if (ts > maxTs) maxTs = ts
+              }
+            }
+          case _ => ()
+        }
+      }
+      val arr = starts.result()
+      if (arr.isEmpty) return None
+      val durMs = durUnits.map(d => (d * scaleNs / 1e6).toLong)
+        .getOrElse(maxTs * scaleNs / 1000000L)
+      Some((durMs, arr, clusters))
+    } catch { case _: Exception => None }
+  }
+
+  /** EBML children of [start, end): (element id WITH its marker bits —
+    * the registry convention — payloadStart, payloadEnd). Unknown-size
+    * elements (all-ones VINT, streamed Segments/Clusters) extend to the
+    * enclosing range's end; stops at the first malformed header.
+    */
+  private def ebmlChildren(b: Array[Byte], start: Int, end: Int): Seq[(Long, Int, Int)] = {
+    val out = Seq.newBuilder[(Long, Int, Int)]
+    var off = start
+    var continue = true
+    while (continue && off < end) {
+      val (id, idLen) = ebmlId(b, off)
+      if (idLen == 0) continue = false
+      else {
+        val (size, szLen, unknown) = ebmlSize(b, off + idLen)
+        if (szLen == 0) continue = false
+        else {
+          val ps = off + idLen + szLen
+          val pe = if (unknown) end else ps + size
+          if (size < 0 || pe > end || ps > end) continue = false
+          else {
+            out += ((id, ps, pe))
+            off = pe
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** EBML element id at `off`: (id incl marker, byte length 1–4); (0, 0)
+    * when malformed.
+    */
+  private def ebmlId(b: Array[Byte], off: Int): (Long, Int) = {
+    if (off >= b.length) return (0L, 0)
+    val first = b(off) & 0xFF
+    val len =
+      if ((first & 0x80) != 0) 1
+      else if ((first & 0x40) != 0) 2
+      else if ((first & 0x20) != 0) 3
+      else if ((first & 0x10) != 0) 4
+      else 0
+    if (len == 0 || off + len > b.length) return (0L, 0)
+    var v = 0L
+    var k = 0
+    while (k < len) { v = (v << 8) | (b(off + k) & 0xFFL); k += 1 }
+    (v, len)
+  }
+
+  /** EBML size/data VINT at `off`: (value with marker stripped, byte
+    * length 1–8, all-ones "unknown size"); (0, 0, false) when malformed.
+    */
+  private def ebmlSize(b: Array[Byte], off: Int): (Int, Int, Boolean) = {
+    val (v, len) = ebmlVint(b, off)
+    if (len == 0) return (0, 0, false)
+    val allOnes = v == (1L << (7 * len)) - 1
+    if (v > Int.MaxValue) (0, 0, false) else (v.toInt, len, allOnes)
+  }
+
+  /** Data VINT (marker bit stripped — block track numbers, sizes). */
+  private def ebmlVint(b: Array[Byte], off: Int): (Long, Int) = {
+    if (off >= b.length) return (0L, 0)
+    val first = b(off) & 0xFF
+    var len = 0
+    var mask = 0x80
+    while (mask != 0 && (first & mask) == 0) { mask >>= 1; len += 1 }
+    len += 1
+    if (mask == 0 || off + len > b.length) return (0L, 0)
+    var v = (first & (mask - 1)).toLong
+    var k = 1
+    while (k < len) { v = (v << 8) | (b(off + k) & 0xFFL); k += 1 }
+    (v, len)
+  }
+
+  private def ebmlUInt(b: Array[Byte], s: Int, e: Int): Long = {
+    var v = 0L
+    var i = s
+    while (i < e && i - s < 8) { v = (v << 8) | (b(i) & 0xFFL); i += 1 }
+    v
+  }
+
+  private def ebmlFloat(b: Array[Byte], s: Int, e: Int): Double = (e - s) match {
+    case 4 => java.lang.Float.intBitsToFloat(ebmlUInt(b, s, e).toInt).toDouble
+    case 8 => java.lang.Double.longBitsToDouble(ebmlUInt(b, s, e))
+    case _ => 0.0
   }
 
   private def be32u(b: Array[Byte], i: Int): Long =

@@ -101,6 +101,37 @@ object GeocodeJoin {
       .withColumn("accepted", col("score") >= threshold)
   }
 
+  /** [[bestMatch]], LARGE-GAZETTEER SCALE PATH: the same per-input best
+    * nonzero match without EVER broadcasting or replicating the reference
+    * table — candidates come from [[phase1CandidatesBlocked]]'s gram
+    * inverted index (the only broadcast is the tiny distinct-n set), and
+    * the top-1 is ONE bounded `min(struct(-score, name))` aggregation:
+    * map-side combinable, one partial (score, name) pair per (partition,
+    * input) in the shuffle — never a window sort over all candidates.
+    * Struct ordering gives exactly bestMatch's (score DESC, name ASC)
+    * tie-break; double negation is exact, so scores are bit-identical.
+    *
+    * Shuffle volume is O(grams + candidates + |matched inputs|); use this
+    * when the gazetteer is country-scale (millions of rows) and
+    * [[bestMatch]]'s broadcast would not fit — results are identical
+    * (spec-proven on the PSGC-shaped fixture). Requires unique
+    * `inputKey` / `refKey` per row, like the blocked phase 1.
+    */
+  def bestMatchBlocked(inputs: DataFrame, refTable: DataFrame, addrCol: String,
+                       refNameCol: String, inputKey: String, refKey: String,
+                       threshold: Double = 0.1): DataFrame = {
+    val cands = phase1CandidatesBlocked(inputs, refTable, addrCol, refNameCol,
+      inputKey, refKey)
+    val top = cands
+      .groupBy(col(inputKey))
+      .agg(min(struct(negate(col("score")).as("ns"),
+        col(refNameCol).as("n"))).as("__b"))
+      .select(col(inputKey), col("__b.n").as(refNameCol),
+        negate(col("__b.ns")).as("score"))
+    inputs.join(top, Seq(inputKey))
+      .withColumn("accepted", col("score") >= threshold)
+  }
+
   /** The composed (cross join + window) formulation of bestMatch. */
   def bestMatchViaWindow(inputs: DataFrame, refTable: DataFrame, addrCol: String,
                          refNameCol: String, inputKey: String,

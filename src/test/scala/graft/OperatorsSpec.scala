@@ -532,6 +532,52 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nlJoins <= 1, s"expected at most the bounded n-replicate NL join:\n$plan")
   }
 
+  test("bestMatchBlocked ≡ bestMatch on the PSGC-shaped fixture; no ref broadcast at scale") {
+    // identity incl. the tie-break: two refs with the same Jaccard against
+    // input 4 — both forms must pick the name-ASC winner
+    val inputs = Seq(
+      (1L, "near quezon city area"), (2L, "makati maybe"),
+      (3L, "xyzqw"), // no nonzero candidate → dropped by both forms
+      (4L, "san ju")).toDF("in_key", "addr")
+    val ref = Seq((10L, "quezon city"), (11L, "makati"), (12L, "san jux"),
+      (13L, "san juz")).toDF("ref_key", "ref_name")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("in_key", "ref_name", "score", "accepted")
+        .as[(Long, String, Double, Boolean)].collect().toSet
+    val viaBroadcast = canon(GeocodeJoin.bestMatch(
+      inputs, ref, "addr", "ref_name", "in_key"))
+    val viaBlocked = canon(GeocodeJoin.bestMatchBlocked(
+      inputs, ref, "addr", "ref_name", "in_key", "ref_key"))
+    assert(viaBroadcast.nonEmpty && viaBlocked == viaBroadcast,
+      "blocked large-gazetteer form must reproduce bestMatch exactly")
+
+    // plan audit on a country-scale synthetic gazetteer with stats-driven
+    // broadcasts OFF (the too-big-to-broadcast scenario this path exists
+    // for): the pipeline must still plan with NO cartesian and no
+    // broadcast of the reference table — the only broadcast left is the
+    // explicitly hinted distinct-n replicate
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val bigRef = spark.range(50000).select(col("id").as("ref_key"),
+        concat(lit("town nr "), col("id")).as("ref_name"))
+      val df = GeocodeJoin.bestMatchBlocked(
+        inputs, bigRef, "addr", "ref_name", "in_key", "ref_key")
+      df.collect() // finalize AQE
+      val p = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val plan = p.toString
+      assert(!plan.contains("CartesianProduct"), s"plan:\n$plan")
+      val nl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(nl <= 1, s"only the bounded n-replicate may nest-loop:\n$plan")
+      val be = "BroadcastExchange|BroadcastQueryStage".r.findAllIn(plan).length
+      assert(be <= 1, s"only the hinted distinct-n set may broadcast:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("TopKPerProbe: k>1 ordering and tie-break determinism") {
     val probes = Seq(Tuple1("abcdefgh")).toDF("s")
     val ref = Seq(Tuple1("abcdefgh"), Tuple1("abcdefgX"), Tuple1("zzzzzzzz"))
