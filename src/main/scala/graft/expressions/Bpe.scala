@@ -201,6 +201,12 @@ object BpeOps {
         case Some(v) =>
           require(!v.exists { case (t, i) => i == id && t != tok },
             s"special token '$tok' id $id collides with a different vocab token")
+          // ...and conversely: if the special's STRING is a vocab entry it
+          // must carry the same id, else the surface string would encode
+          // to two different ids depending on whether the special path or
+          // the vocab path handled it.
+          require(v.get(tok).forall(_ == id),
+            s"special token '$tok' exists in the vocab under id ${v(tok)}, not $id")
         case None =>
           require(id < 0 || id > 255 + merges.size,
             s"special token '$tok' id $id lies inside the derived id range 0..${255 + merges.size}")

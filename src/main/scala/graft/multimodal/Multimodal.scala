@@ -496,6 +496,11 @@ object Multimodal {
     * Metadata only — pixels stay honest-degrade (no VP8/VP9 decoder in
     * the JDK). Malformed EBML → None, never a throw; frame count capped
     * against hostile headers. Accepts the `webm` and `matroska` DocTypes.
+    * Streamed (MediaRecorder-style) files with unknown-size Segments /
+    * Clusters are handled — an unknown-size Cluster ends at the next
+    * sibling-level id per RFC 8794. Laced blocks count every lace frame
+    * (all at the block's timestamp — the container carries no per-lace
+    * timing).
     */
   def webmFrameIndex(payload: Array[Byte]): Option[(Long, Array[Long], Int)] = {
     if (payload == null || payload.length < 8) return None
@@ -548,15 +553,30 @@ object Multimodal {
                   .map(b => (b._2, b._3)).getOrElse((-1, -1))
               else (s, e)
             if (bs >= 0) {
-              // block header: track-number VINT + int16 relative timestamp
+              // block header: track-number VINT + int16 relative
+              // timestamp + flags byte (lacing in bits 0x06)
               val (trk, vlen) = ebmlVint(payload, bs)
-              if (vlen > 0 && trk == videoTrack && bs + vlen + 2 <= bEnd) {
+              if (vlen > 0 && trk == videoTrack && bs + vlen + 3 <= bEnd) {
                 val rel = (((payload(bs + vlen) & 0xFF) << 8) |
                   (payload(bs + vlen + 1) & 0xFF)).toShort.toLong
+                val flags = payload(bs + vlen + 2) & 0xFF
+                // a laced block (Xiph 0x02 / fixed 0x04 / EBML 0x06)
+                // carries FrameCount-1 in the byte after the flags; the
+                // container assigns no per-lace timestamps (durations
+                // live on the TrackEntry), so all laced frames report
+                // the block's timestamp rather than under-counting as 1
+                val laceFrames =
+                  if ((flags & 0x06) != 0 && bs + vlen + 3 < bEnd)
+                    (payload(bs + vlen + 3) & 0xFF) + 1
+                  else 1
                 val ts = clusterTs + rel
-                nFrames += 1
+                nFrames += laceFrames
                 if (nFrames > MaxFrames) return None
-                starts += ts * scaleNs / 1000000L
+                var f = 0
+                while (f < laceFrames) {
+                  starts += ts * scaleNs / 1000000L
+                  f += 1
+                }
                 if (ts > maxTs) maxTs = ts
               }
             }
@@ -573,8 +593,12 @@ object Multimodal {
 
   /** EBML children of [start, end): (element id WITH its marker bits —
     * the registry convention — payloadStart, payloadEnd). Unknown-size
-    * elements (all-ones VINT, streamed Segments/Clusters) extend to the
-    * enclosing range's end; stops at the first malformed header.
+    * elements (all-ones VINT): a streamed Segment extends to the
+    * enclosing range's end; a streamed Cluster is terminated at the next
+    * sibling-level id per RFC 8794 §6.2 (see [[unknownClusterEnd]]) so
+    * MediaRecorder-style output with N unknown-size Clusters yields N
+    * clusters, not one swallowing the rest. Stops at the first malformed
+    * header.
     */
   private def ebmlChildren(b: Array[Byte], start: Int, end: Int): Seq[(Long, Int, Int)] = {
     val out = Seq.newBuilder[(Long, Int, Int)]
@@ -588,7 +612,10 @@ object Multimodal {
         if (szLen == 0) continue = false
         else {
           val ps = off + idLen + szLen
-          val pe = if (unknown) end else ps + size
+          val pe =
+            if (unknown && id == 0x1F43B675L) unknownClusterEnd(b, ps, end)
+            else if (unknown) end
+            else ps + size
           if (size < 0 || pe > end || ps > end) continue = false
           else {
             out += ((id, ps, pe))
@@ -598,6 +625,38 @@ object Multimodal {
       }
     }
     out.result()
+  }
+
+  /** Segment-level Matroska ids — the set whose appearance terminates an
+    * unknown-size Cluster (they can only start a SIBLING of the Cluster,
+    * never one of its children): Cluster, SeekHead, Info, Tracks, Cues,
+    * Chapters, Tags, Attachments.
+    */
+  private val SegmentLevelIds: Set[Long] = Set(
+    0x1F43B675L, 0x114D9B74L, 0x1549A966L, 0x1654AE6BL,
+    0x1C53BB6BL, 0x1043A770L, 0x1254C367L, 0x1941A469L)
+
+  /** End offset of an unknown-size Cluster whose payload starts at `ps`:
+    * walks the cluster's SIZED children (Timestamp, SimpleBlock,
+    * BlockGroup, ... — element-structure walk, not a byte scan, so block
+    * payload bytes can't false-positive as ids) until an id in
+    * [[SegmentLevelIds]] begins — that position ends the cluster. A
+    * malformed or nested-unknown-size child ends the cluster there too
+    * (degrade, never a throw); otherwise the enclosing range's end.
+    */
+  private def unknownClusterEnd(b: Array[Byte], ps: Int, end: Int): Int = {
+    var off = ps
+    while (off < end) {
+      val (cid, idLen) = ebmlId(b, off)
+      if (idLen == 0) return off
+      if (SegmentLevelIds.contains(cid)) return off
+      val (size, szLen, unknown) = ebmlSize(b, off + idLen)
+      if (szLen == 0 || unknown) return off
+      val next = off + idLen + szLen + size
+      if (next <= off || next > end) return off
+      off = next
+    }
+    end
   }
 
   /** EBML element id at `off`: (id incl marker, byte length 1–4); (0, 0)

@@ -116,26 +116,36 @@ final class HttpServing(
     */
   private def fetchRoute(ex: HttpExchange, table: String): Unit = {
     val q = query(ex)
-    q.get("limit").flatMap(_.toIntOption) match {
-      case None => detail(ex, 422, "limit query parameter is required")
-      case Some(limit) =>
-        Serving.fetch(wh, table, limit) match {
-          case Left(err) => detail(ex, err.statusCode, err.detail)
-          case Right(env) =>
-            val o = mapper.createObjectNode()
-            o.put("status", env.status)
-            o.put("count", env.count)
-            env.data match {
-              case None => o.putNull("data")
-              case Some(df) =>
-                val arr = o.putArray("data")
-                // the page is already a collected LocalRelation (one job
-                // ran inside Serving.fetch); toJSON here is local
-                df.toJSON.collect().foreach(r => arr.add(mapper.readTree(r)))
-            }
-            env.message.foreach(m => o.put("message", m))
-            respond(ex, 200, o.toString)
+    q.get("limit").map(v => (v, v.toIntOption)) match {
+      case None =>
+        detail(ex, 422, "limit query parameter is required")
+      case Some((raw, None)) =>
+        // present but unparseable — FastAPI's 422 distinguishes a missing
+        // Query param from one that fails int coercion
+        detail(ex, 422,
+          s"limit query parameter is not a valid integer: '$raw'")
+      case Some((_, Some(limit))) =>
+        dispatchFetch(ex, table, limit)
+    }
+  }
+
+  private def dispatchFetch(ex: HttpExchange, table: String, limit: Int): Unit = {
+    Serving.fetch(wh, table, limit) match {
+      case Left(err) => detail(ex, err.statusCode, err.detail)
+      case Right(env) =>
+        val o = mapper.createObjectNode()
+        o.put("status", env.status)
+        o.put("count", env.count)
+        env.data match {
+          case None => o.putNull("data")
+          case Some(df) =>
+            val arr = o.putArray("data")
+            // the page is already a collected LocalRelation (one job
+            // ran inside Serving.fetch); toJSON here is local
+            df.toJSON.collect().foreach(r => arr.add(mapper.readTree(r)))
         }
+        env.message.foreach(m => o.put("message", m))
+        respond(ex, 200, o.toString)
     }
   }
 

@@ -176,6 +176,15 @@ class BpeSpec extends AnyFunSuite {
     val holey = new BpeOps.Tokenizer(merges,
       explicitVocab = Some(BpeOps.parseVocab("""{"a": 1}""")))
     intercept[IllegalArgumentException](holey.encodeIds("b"))
+    // a special whose STRING is already a vocab entry must carry the same
+    // id — otherwise the surface string encodes to two ids path-dependently
+    intercept[IllegalArgumentException](new BpeOps.Tokenizer(merges,
+      explicitVocab = Some(BpeOps.parseVocab("""{"a": 1, "<|endoftext|>": 7}""")),
+      specialTokens = Map("<|endoftext|>" -> 50256)))
+    // ...while the same id is fine (GPT-2's encoder.json ships 50256)
+    new BpeOps.Tokenizer(merges,
+      explicitVocab = Some(BpeOps.parseVocab("""{"a": 1, "<|endoftext|>": 50256}""")),
+      specialTokens = Map("<|endoftext|>" -> 50256))
     // malformed encoder.json rejected
     intercept[IllegalArgumentException](BpeOps.parseVocab("[1,2]"))
   }

@@ -125,6 +125,10 @@ class HttpServingSpec extends AnyFunSuite {
         && fenv.get("count").asText() == "1" && fenv.get("data").size() == 1)
       assert(call(port, "GET", "/fetch/nope?limit=1")._1 == 404)
       assert(call(port, "GET", "/fetch/tickets")._1 == 422)
+      // present-but-unparseable limit is 422 too, but with the FastAPI
+      // int-coercion detail, not the missing-param one
+      val (bs, bb) = call(port, "GET", "/fetch/tickets?limit=abc")
+      assert(bs == 422 && bb.contains("not a valid integer"))
       assert(call(port, "GET", "/nosuch")._1 == 404)
 
       // /logs after the full run: all completed, app ended (middleware +
