@@ -25,6 +25,31 @@ object TextSimQueries {
 
   private val ServiceableNames = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
 
+  /** Oracle for the J7 per-input top-1 — shared verbatim by the broadcast
+    * (`bestMatch`) and blocked-scale (`bestMatchBlocked`) formulations:
+    * the two plans are REQUIRED to be result-identical, so they hash
+    * against the same SQL.
+    */
+  private def j7OracleSql: String = {
+    val ga = Sql.charNgrams("ca", "n")
+    val gb = Sql.charNgrams("cb", "n")
+    s"""
+      WITH inputs AS (SELECT DISTINCT p_name FROM part),
+      ref AS (SELECT * FROM (VALUES $refNamesSqlValues) t(ref_name)),
+      pairs AS (
+        SELECT p_name, ref_name, ${Sql.cleanStr("p_name")} AS ca,
+               ${Sql.cleanStr("ref_name")} AS cb
+        FROM inputs CROSS JOIN ref),
+      g AS (SELECT p_name, ref_name, ca, cb, ${Sql.refNgramSize("ca")} AS n FROM pairs),
+      sets AS (SELECT p_name, ref_name, $ga AS ga, $gb AS gb FROM g),
+      scored AS (SELECT p_name, ref_name, ${Sql.jaccard("ga", "gb")} AS score FROM sets),
+      nz AS (SELECT * FROM scored WHERE score <> 0)
+      SELECT p_name, ref_name, score, score >= 0.1 AS accepted FROM nz
+      QUALIFY row_number() OVER (PARTITION BY p_name
+                                 ORDER BY score DESC, ref_name) = 1
+      ORDER BY p_name"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // F1 — reference-code regex extraction with default
@@ -246,25 +271,22 @@ object TextSimQueries {
       GeocodeJoin.bestMatch(inputs, ref, "p_name", "ref_name", "p_name")
         .select(col("p_name"), col("ref_name"), col("score"), col("accepted"))
         .orderBy(col("p_name"))
-    }, Some {
-      val ga = Sql.charNgrams("ca", "n")
-      val gb = Sql.charNgrams("cb", "n")
-      s"""
-      WITH inputs AS (SELECT DISTINCT p_name FROM part),
-      ref AS (SELECT * FROM (VALUES $refNamesSqlValues) t(ref_name)),
-      pairs AS (
-        SELECT p_name, ref_name, ${Sql.cleanStr("p_name")} AS ca,
-               ${Sql.cleanStr("ref_name")} AS cb
-        FROM inputs CROSS JOIN ref),
-      g AS (SELECT p_name, ref_name, ca, cb, ${Sql.refNgramSize("ca")} AS n FROM pairs),
-      sets AS (SELECT p_name, ref_name, $ga AS ga, $gb AS gb FROM g),
-      scored AS (SELECT p_name, ref_name, ${Sql.jaccard("ga", "gb")} AS score FROM sets),
-      nz AS (SELECT * FROM scored WHERE score <> 0)
-      SELECT p_name, ref_name, score, score >= 0.1 AS accepted FROM nz
-      QUALIFY row_number() OVER (PARTITION BY p_name
-                                 ORDER BY score DESC, ref_name) = 1
-      ORDER BY p_name"""
-    }),
+    }, Some(j7OracleSql)),
+
+    // J7, LARGE-GAZETTEER SCALE PATH — identical semantics through the
+    // gram-inverted-index candidate join + bounded min(struct) top-1
+    // (GeocodeJoin.bestMatchBlocked): never broadcasts or replicates the
+    // reference table, so it holds when the gazetteer is country-scale.
+    // Hash-gated against the SAME oracle as j7_similarity_top1.
+    QueryDef("j7_similarity_top1_blocked", (s, dir) => {
+      val inputs = t("part")(s, dir).select(col("p_name")).distinct()
+      val ref = inputs.sparkSession.createDataFrame(
+        RefNames.zipWithIndex).toDF("ref_name", "ref_id")
+      GeocodeJoin.bestMatchBlocked(inputs, ref, "p_name", "ref_name",
+          inputKey = "p_name", refKey = "ref_id")
+        .select(col("p_name"), col("ref_name"), col("score"), col("accepted"))
+        .orderBy(col("p_name"))
+    }, Some(j7OracleSql)),
 
     // J8 — fuzzy semi-join serviceability tag, threshold 90
     // (geocode_utils.py:16-32).
