@@ -71,9 +71,13 @@ object Bench {
     // regression — both numbers are recorded, and a real regression shows
     // up as isolated ≈ interleaved while a load artifact collapses to the
     // baseline. BASELINE.md's per-query table (`name` seconds cells) is
-    // the single source of the figures; no file → no adjudication.
+    // the single source of the figures; no file → no adjudication. The
+    // figures were recorded at sf0.1 — at any other SF the comparison is
+    // meaningless (everything reads >1.5x at sf1.0), so adjudication only
+    // arms when the bench dir IS that scale factor.
     val baseline: Map[String, Double] =
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get("BASELINE.md")))
+      if (!sfDir.stripSuffix("/").endsWith("sf0.1") ||
+          !java.nio.file.Files.exists(java.nio.file.Paths.get("BASELINE.md")))
         Map.empty
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(

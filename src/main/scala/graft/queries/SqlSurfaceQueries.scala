@@ -25,6 +25,12 @@ object SqlSurfaceQueries {
     // Spark.
     QueryDef("rec_cte_ancestors", (s, dir) => {
       t("customer")(s, dir).createOrReplaceTempView("rec_customer_v")
+      // the default 1M-row recursion guard is a local-mode safety net, not
+      // a semantic bound — the sf1.0 run (150k customers x ~17 halving
+      // levels ≈ 2.4M rows) trips it while the recursion itself stays
+      // log-depth. Raise it the way a production workload config would;
+      // the LEVEL limit (100) stays as the runaway guard.
+      s.conf.set("spark.sql.cteRecursionRowLimit", 100000000)
       s.sql("""
         WITH RECURSIVE anc(node, a) AS (
           SELECT c_custkey, c_custkey DIV 2 FROM rec_customer_v WHERE c_custkey >= 2

@@ -512,4 +512,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans.length == 1,
       s"expected one documents scan, saw ${scans.length}")
   }
+
+  test("j7_similarity_top1_blocked: equi-joins only, no cartesian, no window top-1") {
+    // the large-gazetteer scale path: candidates via the gram inverted
+    // index (plain hash equi-joins — a tiny ref side MAY broadcast, the
+    // algorithm just never REQUIRES it), top-1 via the bounded
+    // min(struct) aggregate — never the |inputs| x |ref| nested loop the
+    // broadcast formulation uses, and never a row_number window sort
+    val plan = planOf("j7_similarity_top1_blocked")
+    assert(!plan.contains("CartesianProduct"),
+      s"blocked path degenerated to a cartesian:\n${plan.take(600)}")
+    // exactly ONE nested-loop is by design: the |distinct n| replicate
+    // (crossJoin(broadcast(ns)) — a handful of rows); a second would mean
+    // the |inputs| x |ref| scoring loop came back
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+      s"blocked path scored via a nested loop:\n${plan.take(800)}")
+    assert(!plan.contains("Window"),
+      s"top-1 fell back to a window sort:\n${plan.take(600)}")
+  }
 }
