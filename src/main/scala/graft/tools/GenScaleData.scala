@@ -115,11 +115,18 @@ object GenScaleData {
 
     val embeddings = load("embeddings")
     val vecOff = keyOffset(embeddings, "vec_id")
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
     write("embeddings", replicate(embeddings) { (df, i) =>
+      // rotation modulo the dimension (a factor larger than dim must
+      // wrap, not hand slice() a negative length), with every second wrap
+      // reversed first — 2*dim distinct norm-preserving transforms, so a
+      // 100x factor on 64-dim vectors never reissues an identical copy
+      val k = i % dim
+      val b = if ((i / dim) % 2 == 1) "reverse(embedding)" else "embedding"
       val shifted =
         if (i == 0) col("embedding")
-        else expr(s"concat(slice(embedding, ${i + 1}, size(embedding) - $i), " +
-          s"slice(embedding, 1, $i))")
+        else if (k == 0) expr(b)
+        else expr(s"concat(slice($b, ${k + 1}, ${dim - k}), slice($b, 1, $k))")
       df.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
         .withColumn("embedding", shifted)
     }, 4)
