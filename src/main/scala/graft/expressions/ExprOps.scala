@@ -321,4 +321,41 @@ object ExprOps {
       total
     } finally d.end()
   }
+
+  /** [[NearestCentroid]]'s loop: argmin over `||v−c||² = v·v − 2 v·c +
+    * Σc²` with [[DotProduct]]-identical left-to-right double accumulation;
+    * `ccs`/`cids` are precomputed per centroid, centroids arrive sorted by
+    * id and the strict `<` keeps the lowest id on exact ties — the same
+    * answer as `array_min` over per-centroid (d, cid) structs.
+    */
+  def nearestCentroid(v: ArrayData, isFloat: Boolean,
+                      cents: Array[Array[Double]], ccs: Array[Double],
+                      cids: Array[Int]): Int = {
+    val n = v.numElements()
+    var dvv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      dvv += x * x
+      i += 1
+    }
+    var best = Double.PositiveInfinity
+    var bestCid = if (cids.length > 0) cids(0) else -1
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val m = math.min(n, c.length)
+      var dvc = 0.0
+      i = 0
+      while (i < m) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dvc += x * c(i)
+        i += 1
+      }
+      val d = dvv - 2.0 * dvc + ccs(j)
+      if (d < best) { best = d; bestCid = cids(j) }
+      j += 1
+    }
+    bestCid
+  }
 }

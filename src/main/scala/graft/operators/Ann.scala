@@ -168,14 +168,31 @@ object Ann {
     df.withColumn("__centroid",
       array_min(cellStructs(col(vecCol), centroids)).getField("cid"))
 
+  /** Above this many centroids the literal-expression assignment is
+    * replaced by [[graft.expressions.NearestCentroid]]: the literal form
+    * embeds nlist × dim constants in ONE expression tree, and past a few
+    * dozen centroids the generated code grows to megabytes — Janino
+    * spends tens of seconds COMPILING it (measured: 45 s at nlist=142 on
+    * 20k rows, data-independent) or falls back to interpreted eval.
+    */
+  private val LiteralAssignMaxCells = 32
+
   /** Public cell assignment: every row tagged with its nearest-centroid id
     * as `cell` — the shared front half of [[ivfTopK]] and
-    * `Dedup.semantic`. Pure codegen expressions over one scan (the
-    * centroid table is literal), no shuffle.
+    * `Dedup.semantic`. Small nlist: pure codegen expressions over one
+    * scan (centroid table literal). Large nlist (the √N regime of a big
+    * corpus): the [[graft.expressions.NearestCentroid]] compiled argmin —
+    * centroid matrix as a reference object, O(1) expression tree, tight
+    * per-row loop, still one scan and no shuffle. Identical assignment
+    * either way (same ||v−c||² accumulation, same lowest-cid tie-break;
+    * spec-pinned equality).
     */
   def assignCells(df: DataFrame, vecCol: String, index: IvfIndex): DataFrame =
-    assignToCentroids(df, vecCol, index.centroids)
-      .withColumnRenamed("__centroid", "cell")
+    if (index.centroids.size <= LiteralAssignMaxCells)
+      assignToCentroids(df, vecCol, index.centroids)
+        .withColumnRenamed("__centroid", "cell")
+    else df.withColumn("cell",
+      graft.expressions.NearestCentroid(col(vecCol), index.centroids))
 
   /** IVF top-k: assign corpus to cells once, probe the `nprobe` cells
     * nearest each query, exact cosine rank within the probed subset. The

@@ -121,14 +121,26 @@ object DataCurationQueries {
     }),
 
     // SemDeDup-style semantic dedup: iteration-0 IVF cells (centroids =
-    // the 8 lowest-id embeddings — SQL-derivable, same device as
+    // the nlist lowest-id embeddings — SQL-derivable, same device as
     // ann_topk_ivf's oracle) + greedy keep-lowest-id within each cell at
     // the repo-standard cosine threshold. The Lloyd-trained clustering is
     // covered by the Ann recall spec; THIS query pins the cell → pair →
     // survivor plumbing to an exact cross-engine oracle.
+    //
+    // SemDeDup's scale contract: nlist = max(8, ceil(√N)) — the standard
+    // IVF balance, making BOTH the O(N·nlist) assignment and the
+    // within-cell pair volume O(N^1.5). A fixed nlist=8 read 110x on the
+    // 10x sf1.0→sf10 decade (cells grow with N ⇒ pairs with N²); adaptive
+    // nlist re-measured 366 s → ~30 s at sf10, and the compiled
+    // NearestCentroid assignment (Ann.assignCells past 32 cells — the
+    // literal expression tree costs Janino 45 s at nlist=142) took it to
+    // 7.4 s. The oracle computes the same nlist from count(*) (identical
+    // IEEE sqrt/ceil), so the gate stays hash-exact at every SF.
     QueryDef("dedup_semantic", (s, dir) => {
       val emb = t("embeddings")(s, dir)
-      val index = Ann.ivfTrain(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+      val nlist = math.max(8L,
+        math.ceil(math.sqrt(emb.count().toDouble)).toLong).toInt
+      val index = Ann.ivfTrain(emb, "vec_id", "embedding", nlist = nlist, iters = 0)
       Dedup.semantic(emb, "vec_id", "embedding", index, threshold = 0.3)
         .orderBy(col("id"))
     }, Some {
@@ -137,8 +149,11 @@ object DataCurationQueries {
         s"(${Sql.dot(v, v)} - 2.0 * ${Sql.dot(v, c)} + ${Sql.dot(c, c)})"
       s"""
       WITH cent AS (
-        SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
-        FROM embeddings WHERE vec_id < 8),
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+        QUALIFY row_number() OVER (ORDER BY vec_id) <=
+          greatest(8, CAST(ceil(sqrt(count(*) OVER ())) AS BIGINT))),
       corp AS (SELECT vec_id, embedding AS v FROM embeddings),
       assign AS (
         SELECT corp.vec_id, cent.cid,

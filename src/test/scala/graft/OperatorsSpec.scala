@@ -477,6 +477,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pq == pq2)
   }
 
+  test("IVF cell assignment: NearestCentroid compiled argmin (large nlist) ≡ literal path") {
+    // the real-corpus embeddings at a √N-regime nlist: the compiled
+    // reference-object argmin (constant-size expression, used past
+    // LiteralAssignMaxCells centroids) must assign every row to the same
+    // cell as the literal-expression form — including L2 tie-breaks, since
+    // both use the identical ||v−c||² accumulation and lowest-cid tie-break
+    val emb = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val big = Ann.ivfTrain(emb, "vec_id", "embedding", nlist = 80, iters = 0)
+    assert(big.centroids.size == 80)
+    val viaCompiled = Ann.assignCells(emb, "embedding", big) // 80 > 32 → compiled argmin
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    // literal-path reference: same argmin computed with per-centroid
+    // literal structs, in-test (mirrors Ann.cellStructs semantics)
+    val centArr = array(big.centroids.map { case (cid, cv) =>
+      struct((graft.functions.VecFns.dot($"embedding", $"embedding")
+        - lit(2.0) * graft.functions.VecFns.dot($"embedding", array(cv.map(lit): _*))
+        + lit(cv.map(x => x * x).sum)).as("d"), lit(cid).as("cid"))
+    }: _*)
+    val viaLiteral = emb.select($"vec_id",
+        array_min(centArr).getField("cid").as("cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(viaCompiled == viaLiteral)
+    assert(viaCompiled.values.toSet.size > 1)
+  }
+
   test("IVF: array<double> embeddings train and probe like float") {
     val rndv = new scala.util.Random(13)
     val docs = (0 until 40).map { i =>
