@@ -358,4 +358,100 @@ object ExprOps {
     }
     bestCid
   }
+
+  /** Left-to-right dot product of two dense double vectors — the same
+    * accumulation order as `VecFns.dot` / `Sql.dot`, so cosines computed
+    * here are bit-identical to both engines' column formulations.
+    */
+  private def dotD(a: Array[Double], b: Array[Double]): Double = {
+    val m = math.min(a.length, b.length)
+    var acc = 0.0
+    var i = 0
+    while (i < m) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
+
+  /** Cosine with the zero-norm guard, mirroring `Sql.cosine`:
+    * `d / (na * nb)` — norms multiplied FIRST, then one division.
+    */
+  private def cosD(a: Array[Double], b: Array[Double]): Double = {
+    val na = math.sqrt(dotD(a, a))
+    val nb = math.sqrt(dotD(b, b))
+    if (na == 0.0 || nb == 0.0) 0.0 else dotD(a, b) / (na * nb)
+  }
+
+  /** [[MmrSelect]]'s greedy loop: maximal-marginal-relevance selection of
+    * `k` items from a BOUNDED candidate array (each element a struct
+    * `(id: long, rel: double, vec: array<float|double>)`).
+    *
+    * Step 1 picks argmax relevance; step i>1 picks
+    * `argmax λ·rel − μ·maxSim(c, selected)` — λ and μ arrive as SEPARATE
+    * literals (never `1−λ`: `1.0-0.7` is not the double `0.3`, and the
+    * oracle writes `0.3`). Candidates are scanned in ascending-id order
+    * with a strict `>`, so exact ties keep the LOWEST id — the same total
+    * order as the oracle's `ORDER BY marginal DESC, doc_id LIMIT 1`.
+    * `maxSim` is maintained incrementally (one cosine per remaining
+    * candidate per step — O(n·k·dim) total); max over identical doubles is
+    * order-free, so it equals the oracle's `max(s)` correlated subquery.
+    *
+    * Returns `array<struct<pos:int, doc_id:long, rel:double,
+    * marginal:double>>` in selection order.
+    */
+  def mmrSelect(cands: ArrayData, isFloat: Boolean, k: Int,
+                lambda: Double, mu: Double): ArrayData = {
+    val n = cands.numElements()
+    val ids = new Array[Long](n)
+    val rels = new Array[Double](n)
+    val vecs = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      val r = cands.getStruct(i, 3)
+      ids(i) = r.getLong(0)
+      rels(i) = r.getDouble(1)
+      val a = r.getArray(2)
+      val m = a.numElements()
+      val v = new Array[Double](m)
+      var j = 0
+      while (j < m) {
+        v(j) = if (isFloat) a.getFloat(j).toDouble else a.getDouble(j)
+        j += 1
+      }
+      vecs(i) = v
+      i += 1
+    }
+    // ascending-id scan order makes the strict-> argmax keep the lowest id
+    val ord = Array.range(0, n).sortBy(ids(_))
+    val taken = new Array[Boolean](n)
+    val maxSim = new Array[Double](n) // valid from step 2 (all updated at step 1)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](math.min(k, n))
+    var step = 1
+    while (step <= math.min(k, n)) {
+      var bestIdx = -1
+      var bestMarg = 0.0
+      var oi = 0
+      while (oi < ord.length) {
+        val c = ord(oi)
+        if (!taken(c)) {
+          val marg =
+            if (step == 1) rels(c) else lambda * rels(c) - mu * maxSim(c)
+          if (bestIdx < 0 || marg > bestMarg) { bestIdx = c; bestMarg = marg }
+        }
+        oi += 1
+      }
+      taken(bestIdx) = true
+      out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](step, ids(bestIdx), rels(bestIdx), bestMarg))
+      oi = 0
+      while (oi < ord.length) {
+        val c = ord(oi)
+        if (!taken(c)) {
+          val s = cosD(vecs(c), vecs(bestIdx))
+          if (step == 1 || s > maxSim(c)) maxSim(c) = s
+        }
+        oi += 1
+      }
+      step += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }

@@ -26,6 +26,71 @@ object RetrievalQueries {
   private def scratch(dir: String, tag: String): String =
     s"target/tmp/roundtrip_${tag}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
 
+  /** BM25 (k1=1.2, b=0.75) per-document scores for the fixed two-term
+    * query ("table", "spark") — the scoring core shared by `text_bm25`
+    * and `retrieval_rrf_fusion`. Rational Robertson idf (see the
+    * text_bm25 comment), per-term scores in fixed columns summed in fixed
+    * order, so doubles are bit-identical to [[bm25Sc2Ctes]]. Returns
+    * (doc_id, score) with doc_id in its source type.
+    */
+  private[queries] def bm25TwoTermScores(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextAnalysisFns.tokens(col("text"))).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val tf = toks.where(col("term").isin("table", "spark"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
+    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val tfpart = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    val scored = tf.join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("sc", idf * tfpart)
+    scored.groupBy(col("doc_id")).agg(
+        max(when(col("term") === "table", col("sc"))).as("s_table"),
+        max(when(col("term") === "spark", col("sc"))).as("s_spark"))
+      .withColumn("score",
+        coalesce(col("s_table"), lit(0.0)) + coalesce(col("s_spark"), lit(0.0)))
+      .select(col("doc_id"), col("score"))
+  }
+
+  /** The DuckDB CTE chain mirroring [[bm25TwoTermScores]]: `toks` … `sc2`
+    * with `sc2(doc_id BIGINT, score DOUBLE)`. Compose as
+    * `WITH $bm25Sc2Ctes, …`.
+    */
+  private[queries] def bm25Sc2Ctes: String = s"""
+      toks AS (
+        SELECT doc_id, unnest(${Sql.tokens("text")}) AS term FROM documents),
+      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM toks WHERE term IN ('table', 'spark') GROUP BY 1, 2),
+      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      s AS (
+        SELECT tf.doc_id, tf.term,
+               ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+                  / (CAST(df AS DOUBLE) + 0.5))
+               * ((CAST(tf AS DOUBLE) * 2.2)
+                  / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
+                      * (CAST(dl AS DOUBLE)
+                         / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS sc
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
+      p AS (
+        SELECT doc_id,
+               max(CASE WHEN term = 'table' THEN sc END) AS s_table,
+               max(CASE WHEN term = 'spark' THEN sc END) AS s_spark
+        FROM s GROUP BY doc_id),
+      sc2 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     coalesce(s_table, 0.0) + coalesce(s_spark, 0.0) AS score
+              FROM p)"""
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact k-per-group uniform sample via the bounded TopKAgg (state ≤2k
@@ -100,60 +165,15 @@ object RetrievalQueries {
     // partition-dependent order would unpin the result.
     QueryDef("text_bm25", (s, dir) => {
       val docs = t("documents")(s, dir).select(col("doc_id"), col("text"))
-      val toks = docs.select(col("doc_id"),
-        explode(TextAnalysisFns.tokens(col("text"))).as("term"))
-      val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-      val tf = toks.where(col("term").isin("table", "spark"))
-        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
-      val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-        (col("df").cast("double") + lit(0.5))
-      val tfpart = (col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") + lit(1.2) *
-          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-      val scored = tf.join(broadcast(dfreq), Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("sc", idf * tfpart)
-      val perDoc = scored.groupBy(col("doc_id")).agg(
-          max(when(col("term") === "table", col("sc"))).as("s_table"),
-          max(when(col("term") === "spark", col("sc"))).as("s_spark"))
-        .withColumn("score",
-          coalesce(col("s_table"), lit(0.0)) + coalesce(col("s_spark"), lit(0.0)))
-      perDoc.groupBy().agg(graft.expressions.TopKAgg.topK(
+      bm25TwoTermScores(docs)
+        .groupBy().agg(graft.expressions.TopKAgg.topK(
           struct(col("score"), col("doc_id").cast("long").as("id")), 20).as("__top"))
         .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
         .select((col("__pos") + 1).cast("int").as("rank"),
           col("__e.id").as("doc_id"), col("__e.score").as("score"))
         .orderBy(col("rank"))
     }, Some(s"""
-      WITH toks AS (
-        SELECT doc_id, unnest(${Sql.tokens("text")}) AS term FROM documents),
-      dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
-      stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                       CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
-      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-             FROM toks WHERE term IN ('table', 'spark') GROUP BY 1, 2),
-      dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-      s AS (
-        SELECT tf.doc_id, tf.term,
-               ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
-                  / (CAST(df AS DOUBLE) + 0.5))
-               * ((CAST(tf AS DOUBLE) * 2.2)
-                  / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75
-                      * (CAST(dl AS DOUBLE)
-                         / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS sc
-        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats),
-      p AS (
-        SELECT doc_id,
-               max(CASE WHEN term = 'table' THEN sc END) AS s_table,
-               max(CASE WHEN term = 'spark' THEN sc END) AS s_spark
-        FROM s GROUP BY doc_id),
-      sc2 AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                     coalesce(s_table, 0.0) + coalesce(s_spark, 0.0) AS score
-              FROM p),
+      WITH $bm25Sc2Ctes,
       r AS (SELECT doc_id, score,
                    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
             FROM sc2)

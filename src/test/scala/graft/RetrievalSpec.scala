@@ -112,4 +112,81 @@ class RetrievalSpec extends AnyFunSuite {
       .select($"rn").as[Int].collect().toSeq
     assert(rns == Seq(1, 2))
   }
+
+  // --- greedy MMR rerank ---
+
+  /** Independent MMR reference: recomputes max-sim-to-selected FRESH each
+    * step over the whole selected set (the expression maintains it
+    * incrementally — max over identical doubles, so results must agree
+    * exactly), and resolves argmax by sorting instead of a scan.
+    */
+  private def refMmr(cands: Seq[(Long, Double, Seq[Double])], k: Int,
+                     lambda: Double, mu: Double): Seq[(Int, Long, Double, Double)] = {
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val na = math.sqrt(dot(a, a)); val nb = math.sqrt(dot(b, b))
+      if (na == 0.0 || nb == 0.0) 0.0 else dot(a, b) / (na * nb)
+    }
+    var remaining = cands.sortBy(_._1)
+    var selected = Vector.empty[(Long, Double, Seq[Double])]
+    val out = scala.collection.mutable.ArrayBuffer[(Int, Long, Double, Double)]()
+    for (pos <- 1 to math.min(k, cands.size)) {
+      val scoredCands = remaining.map { c =>
+        val marg = if (pos == 1) c._2
+        else lambda * c._2 - mu * selected.map(s => cos(c._3, s._3)).max
+        (c, marg)
+      }
+      val (best, marg) = scoredCands.sortBy { case (c, m) => (-m, c._1) }.head
+      out += ((pos, best._1, best._2, marg))
+      selected :+= best
+      remaining = remaining.filterNot(_._1 == best._1)
+    }
+    out.toSeq
+  }
+
+  test("MmrSelect: matches the brute-force greedy reference on random candidates") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 5) {
+      val n = 8 + rnd.nextInt(12)
+      val cands = (0 until n).map { i =>
+        (i.toLong, rnd.nextDouble(),
+          Seq.fill(6)(rnd.nextDouble() * 2 - 1))
+      }
+      val df = Seq(Tuple1(cands.map { case (id, rel, v) => (id, rel, v) }))
+        .toDF("cs")
+      val got = df.select(explode(graft.expressions.MmrSelect(
+          $"cs".cast("array<struct<id:bigint,rel:double,vec:array<double>>>"),
+          k = 5, lambda = 0.7, mu = 0.3)).as("e"))
+        .select($"e.pos", $"e.doc_id", $"e.rel", $"e.marginal")
+        .as[(Int, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+      assert(got == refMmr(cands, 5, 0.7, 0.3), s"trial=$trial")
+    }
+  }
+
+  test("MmrSelect: near-duplicate of the top hit is deferred; pure top-k would keep it") {
+    // c0 best, c1 = c0 slightly perturbed (near-dup, rel just below), c2
+    // orthogonal with lower rel: relevance order is (0, 1, 2) but MMR
+    // picks the diverse c2 at position 2.
+    val cands = Seq(
+      (0L, 0.99, Seq(1.0, 0.0, 0.0)),
+      (1L, 0.98, Seq(0.999, 0.04, 0.0)),
+      (2L, 0.60, Seq(0.0, 1.0, 0.0)))
+    val df = Seq(Tuple1(cands)).toDF("cs")
+    val picks = df.select(explode(graft.expressions.MmrSelect(
+        $"cs".cast("array<struct<id:bigint,rel:double,vec:array<double>>>"),
+        k = 3, lambda = 0.7, mu = 0.3)).as("e"))
+      .select($"e.pos", $"e.doc_id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(picks.map(_._2) == Seq(0L, 2L, 1L))
+  }
+
+  test("MmrSelect: float vectors accepted; k beyond candidate count selects all") {
+    val df = Seq(Tuple1(Seq((5L, 0.4, Seq(1.0f, 0.0f)), (9L, 0.9, Seq(0.0f, 1.0f)))))
+      .toDF("cs")
+    val got = df.select(explode(graft.expressions.MmrSelect(
+        $"cs".cast("array<struct<id:bigint,rel:double,vec:array<float>>>"),
+        k = 10, lambda = 0.7, mu = 0.3)).as("e"))
+      .select($"e.pos", $"e.doc_id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq((1, 9L), (2, 5L)))
+  }
 }
