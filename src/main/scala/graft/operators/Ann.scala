@@ -94,6 +94,30 @@ object Ann {
     topKByScore(scored, k)
   }
 
+  /** Hard-negative mining for contrastive embedding training: per query,
+    * the k MOST similar corpus vectors that are NOT near-duplicates
+    * (cosine < `dupThreshold`) — the highest-signal negatives a
+    * dense-retrieval trainer wants (too-similar rows are presumed
+    * positives/dups and excluded; the band just below the threshold is
+    * exactly the "hard" region). Same plan as [[bruteForceTopK]]
+    * (broadcast queries, codegen cosine, bounded TopKAgg tail) with the
+    * near-dup band filtered BEFORE the aggregate so duplicates never
+    * occupy top-k slots; at scale swap the scored-candidate source for
+    * the lsh/ivf candidate equi-join — filter and tail are unchanged.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, k: Int, dupThreshold: Double): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VecFns.norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VecFns.norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosinePre(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
+      .where(col("cosine") < dupThreshold)
+    topKByScore(scored, k)
+  }
+
   /** All pairs (id_a < id_b) with cosine ≥ threshold — exact, O(N²); the
     * small-scale oracle for the LSH variants.
     */

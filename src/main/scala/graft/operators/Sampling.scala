@@ -118,6 +118,45 @@ object Sampling {
         (-col("__e.score")).cast("bigint").as("h48"))
   }
 
+  /** Weighted k-per-group sample WITHOUT replacement via priority
+    * sampling (Duffield–Lund–Thorup, JACM 2007): each row draws
+    * u = (h48+1)/2⁴⁸ from its seeded 48-bit md5 hash and gets priority
+    * q = w/u; the k highest-priority rows are the sample (heavier rows →
+    * larger q → sampled more often, inclusion probability ∝ weight for
+    * rows below the threshold). The training-data use is quality- or
+    * length-weighted subsampling of a corpus.
+    *
+    * Deliberately libm-free so the DuckDB oracle is bit-exact: u is an
+    * exact dyadic rational (an integer ≤2⁴⁸ divided by 2⁴⁸ — exact in
+    * double), and q is ONE IEEE division — no ln/pow/exp, whose
+    * last-ulp behavior differs across engines. The Efraimidis–Spirakis
+    * u^(1/w) key would need `pow`; priority sampling gives the same
+    * weighted-without-replacement contract on arithmetic alone.
+    *
+    * Same bounded-state [[graft.expressions.TopKAgg]] tail as
+    * [[reservoirPerGroup]]: partial state ≤2k entries per (partition,
+    * group), shuffle carries O(groups·k) — never the corpus, never a
+    * per-group window sort.
+    *
+    * Output: (group, rn 1..k in priority order, id, priority).
+    */
+  def priorityPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                       weight: Column, k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h48 = conv(substring(md5(concat(lit(seed), lit(":"),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("bigint")
+    val u = (h48 + lit(1L)).cast("double") / lit(281474976710656.0)
+    val entry = struct((weight.cast("double") / u).as("score"),
+      col(idCol).cast("long").as("id"))
+    df.groupBy(col(groupCol))
+      .agg(graft.expressions.TopKAgg.topK(entry, k).as("__top"))
+      .select(col(groupCol), posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col(groupCol),
+        (col("__pos") + 1).cast("int").as("rn"),
+        col("__e.id").as(idCol),
+        col("__e.score").as("priority"))
+  }
+
   /** Epoch plan for a target token mixture: for each source, the number
     * of full passes (epochs) needed to supply its share of `budget`
     * tokens — epochs_s = ⌈budget·w_s / (Σw · tokens_s)⌉, exact integer

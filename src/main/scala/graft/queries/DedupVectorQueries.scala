@@ -24,6 +24,45 @@ object DedupVectorQueries {
   private val NgramThreshold   = 0.3
   private val CosineThreshold  = 0.3
 
+  /** The dedup-clustering oracle (MinHash-LSH pairs → recursive-CTE
+    * transitive closure → min reachable id), shared verbatim by
+    * `dedup_components` (driver union-find path) and
+    * `dedup_components_labelprop` (forced distributed label propagation) —
+    * one oracle, two physical paths, so the scale path is hash-gated
+    * against the exact same answer as the small path.
+    */
+  private def componentsOracle: String = {
+    val toks = Sql.tokens("text")
+    val sig  = Sql.minhashSignature("shingles", NumHashes)
+    val bandKeys = Sql.lshBandKeys("sig", Bands, NumHashes / Bands)
+    s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id AS id, ${Sql.wordShingles(toks, ShingleWords)} AS shingles
+        FROM documents),
+      nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      sg AS (SELECT id, shingles, $sig AS sig FROM nz),
+      banded AS (SELECT id, shingles, unnest($bandKeys) AS band FROM sg),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+      pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN nz x ON x.id = c.id_a
+        JOIN nz y ON y.id = c.id_b
+        WHERE ${Sql.jaccard("x.shingles", "y.shingles")} >= $MinhashThreshold),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+      nodes AS (SELECT DISTINCT src AS id FROM edges),
+      reach AS (
+        SELECT id, id AS label FROM nodes
+        UNION
+        SELECT e.dst AS id, r.label
+        FROM reach r JOIN edges e ON e.src = r.id)
+      SELECT id, min(label) AS keep_id FROM reach GROUP BY id ORDER BY id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy, keeper = min id.
@@ -87,37 +126,18 @@ object DedupVectorQueries {
       val pairs = Dedup.minhashLsh(t("documents")(s, dir), "doc_id", "text",
         ShingleWords, NumHashes, Bands, MinhashThreshold)
       Dedup.components(pairs).orderBy(col("id"))
-    }, Some {
-      val toks = Sql.tokens("text")
-      val sig  = Sql.minhashSignature("shingles", NumHashes)
-      val bandKeys = Sql.lshBandKeys("sig", Bands, NumHashes / Bands)
-      s"""
-      WITH RECURSIVE sh AS (
-        SELECT doc_id AS id, ${Sql.wordShingles(toks, ShingleWords)} AS shingles
-        FROM documents),
-      nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
-      sg AS (SELECT id, shingles, $sig AS sig FROM nz),
-      banded AS (SELECT id, shingles, unnest($bandKeys) AS band FROM sg),
-      cand AS (
-        SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
-      pairs AS (
-        SELECT c.id_a, c.id_b
-        FROM cand c
-        JOIN nz x ON x.id = c.id_a
-        JOIN nz y ON y.id = c.id_b
-        WHERE ${Sql.jaccard("x.shingles", "y.shingles")} >= $MinhashThreshold),
-      edges AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION SELECT id_b, id_a FROM pairs),
-      nodes AS (SELECT DISTINCT src AS id FROM edges),
-      reach AS (
-        SELECT id, id AS label FROM nodes
-        UNION
-        SELECT e.dst AS id, r.label
-        FROM reach r JOIN edges e ON e.src = r.id)
-      SELECT id, min(label) AS keep_id FROM reach GROUP BY id ORDER BY id"""
-    }),
+    }, Some(componentsOracle)),
+
+    // Dedup clustering, FORCED onto the distributed label-propagation path
+    // (driverMaxPairs = -1 disables the driver union-find shortcut) — the
+    // physical plan that holds when even the near-dup pair set is too big
+    // to collect. Same oracle SQL as `dedup_components`: the scale path
+    // must produce the exact same (id, keep_id) table, hash-checked.
+    QueryDef("dedup_components_labelprop", (s, dir) => {
+      val pairs = Dedup.minhashLsh(t("documents")(s, dir), "doc_id", "text",
+        ShingleWords, NumHashes, Bands, MinhashThreshold)
+      Dedup.components(pairs, driverMaxPairs = -1L).orderBy(col("id"))
+    }, Some(componentsOracle)),
 
     // N-gram Jaccard near-dup pairs, blocked by language.
     QueryDef("dedup_ngram_jaccard", (s, dir) => {
@@ -193,6 +213,39 @@ object DedupVectorQueries {
       WHERE ${Sql.cosine("a.embedding", "b.embedding")} >= $CosineThreshold
       ORDER BY id_a, id_b""")),
 
+    // Embedding-cosine near-dup pairs — the hyperplane-LSH SCALE path
+    // (`Dedup.embeddingCosine`): bucket by 8 projection sign bits, score
+    // only same-bucket pairs. The deterministic planes are embedded in the
+    // oracle as double literals (shortest-roundtrip printing ⇒ identical
+    // doubles on both engines), so the approximate variant is hash-gated
+    // exactly, not just recall-checked.
+    QueryDef("dedup_embedding_lsh", (s, dir) => {
+      val planes = Ann.deterministicPlanes(8, 64, seed = 3)
+      Dedup.embeddingCosine(t("embeddings")(s, dir), "vec_id", "embedding",
+          planes, CosineThreshold)
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some {
+      val planes = Ann.deterministicPlanes(8, 64, seed = 3)
+      val bucket = planes.zipWithIndex.map { case (p, i) =>
+        val lit = p.map(_.toString).mkString("[", ", ", "]")
+        s"CASE WHEN ${Sql.dot("embedding", s"CAST($lit AS DOUBLE[])")} >= 0.0 THEN ${1L << i} ELSE 0 END"
+      }.mkString("(", " + ", ")")
+      s"""
+      WITH bk AS (
+        SELECT vec_id AS id, embedding, $bucket AS bucket,
+               sqrt(${Sql.dot("embedding", "embedding")}) AS nrm
+        FROM embeddings)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+                  ELSE ${Sql.dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+             END AS cosine
+      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id
+      WHERE (CASE WHEN a.nrm = 0.0 OR b.nrm = 0.0 THEN 0.0
+                  ELSE ${Sql.dot("a.embedding", "b.embedding")} / (a.nrm * b.nrm)
+             END) >= $CosineThreshold
+      ORDER BY id_a, id_b"""
+    }),
+
     // ANN: brute-force cosine top-k (k=5) for the first 10 vectors.
     QueryDef("ann_topk_bruteforce", (s, dir) => {
       val emb = t("embeddings")(s, dir)
@@ -205,6 +258,30 @@ object DedupVectorQueries {
              CAST(row_number() OVER (PARTITION BY q.vec_id
                ORDER BY ${Sql.cosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS INT) AS rank
       FROM embeddings q JOIN embeddings c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+      QUALIFY rank <= 5
+      ORDER BY query_id, rank""")),
+
+    // Hard-negative mining for contrastive embedding training: per query
+    // the top-5 most-similar corpus vectors BELOW the near-dup threshold
+    // (cosine < 0.5) — near-dups are presumed positives and must never
+    // occupy negative slots. Same broadcast + bounded-TopKAgg plan as
+    // ann_topk_bruteforce with the band filter before the aggregate.
+    QueryDef("mine_hard_negatives", (s, dir) => {
+      val emb = t("embeddings")(s, dir)
+      Ann.hardNegatives(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "embedding", 5, dupThreshold = 0.5)
+        .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }, Some(s"""
+      WITH scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ${Sql.cosine("q.embedding", "c.embedding")} AS cosine
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      SELECT query_id, neighbor_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS INT) AS rank
+      FROM scored WHERE cosine < 0.5
       QUALIFY rank <= 5
       ORDER BY query_id, rank""")),
 

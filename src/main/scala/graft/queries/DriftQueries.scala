@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Data-drift monitoring — the gate a 100 TB ingest pipeline runs BEFORE
+  * letting a new batch into the training corpus: distribution distance
+  * between the incoming slice and the reference slice. Both statistics
+  * are deliberately integer-exact until one final IEEE division, so the
+  * DuckDB oracle hash-matches bit-for-bit with no libm in sight:
+  * cross-multiplied counts replace per-term divisions (the same trick the
+  * repo's threshold predicates use), and ln-based measures (PSI, KL) are
+  * intentionally absent — their libm last-ulp behavior is not portable
+  * across engines.
+  */
+object DriftQueries {
+
+  private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    Tables.load(s, dir, name)
+
+  /** Week-over-week total-variation distance between per-week `event_type`
+    * distributions: TV = ½·Σ|p_i − q_i| computed as
+    * Σ|c_cur·n_prev − c_prev·n_cur| / (2·n_cur·n_prev) — the numerator is
+    * an exact BIGINT sum (no per-category division), the final division
+    * ONE double op. Scale: two grouped counts + an equi-join on
+    * (week, event_type) — shuffle keys are (weeks × types), never rows.
+    */
+  def tvWeekly(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val wk = events
+      .select(date_trunc("week", col("ts")).cast("date").as("week"),
+        col("event_type"))
+      .groupBy(col("week"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val tot = wk.groupBy(col("week")).agg(sum(col("c")).as("n"))
+    val prev = wk.select(date_add(col("week"), 7).as("week"),
+      col("event_type"), col("c").as("c_prev"))
+    val pair = wk.alias("c").join(prev.alias("p"),
+        col("c.week") === col("p.week") &&
+          col("c.event_type") === col("p.event_type"), "full_outer")
+      .select(coalesce(col("c.week"), col("p.week")).as("week"),
+        coalesce(col("c.c"), lit(0L)).as("c_cur"),
+        coalesce(col("p.c_prev"), lit(0L)).as("c_prev"))
+    pair
+      .join(tot.select(col("week"), col("n").as("n_cur")), Seq("week"))
+      .join(broadcast(tot.select(date_add(col("week"), 7).as("week"),
+        col("n").as("n_prev"))), Seq("week"))
+      .groupBy(col("week"), col("n_prev"), col("n_cur"))
+      .agg(sum(abs(col("c_cur") * col("n_prev") - col("c_prev") * col("n_cur")))
+        .as("tv_num"))
+      .select(col("week").cast("timestamp").as("week"),
+        col("n_prev"), col("n_cur"), col("tv_num"),
+        (col("tv_num").cast("double") /
+          (lit(2L) * col("n_cur") * col("n_prev")).cast("double")).as("tv"))
+      .orderBy(col("week"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift on `value` (even vs odd
+    * `event_id` halves) over fixed 0.01-width bins — see the QueryDef
+    * comment below for the exactness and bounded-bins scale argument.
+    */
+  def ksValue(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val binned = events
+      .select(floor(col("value") * lit(100.0)).cast("long").as("bin"),
+        when(col("event_id") % 2 === 0, 1L).otherwise(0L).as("a"))
+    val perBin = binned.groupBy(col("bin"))
+      .agg(sum(col("a")).as("ca"), sum(lit(1L) - col("a")).as("cb"))
+    val cumW = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perBin
+      .withColumn("cuma", sum(col("ca")).over(cumW))
+      .withColumn("cumb", sum(col("cb")).over(cumW))
+    val tots = perBin.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(tots))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
+        .as("ks_num"))
+      .select(col("n_a"), col("n_b"), col("ks_num"),
+        (col("ks_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("drift_tv_weekly", (s, dir) => tvWeekly(t("events")(s, dir)),
+      Some("""
+      WITH wk AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+               event_type, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      tot AS (SELECT week, CAST(sum(c) AS BIGINT) AS n FROM wk GROUP BY week),
+      pair AS (
+        SELECT coalesce(c.week, p.week) AS week,
+               coalesce(c.c, 0) AS c_cur,
+               coalesce(p.c_prev, 0) AS c_prev
+        FROM wk c
+        FULL OUTER JOIN (SELECT week + 7 AS week, event_type, c AS c_prev FROM wk) p
+          ON c.week = p.week AND c.event_type = p.event_type),
+      agg AS (
+        SELECT pair.week, tp.n AS n_prev, tc.n AS n_cur,
+               CAST(sum(abs(c_cur * tp.n - c_prev * tc.n)) AS BIGINT) AS tv_num
+        FROM pair
+        JOIN tot tc ON tc.week = pair.week
+        JOIN tot tp ON tp.week + 7 = pair.week
+        GROUP BY pair.week, tp.n, tc.n)
+      SELECT CAST(week AS TIMESTAMP) AS week, n_prev, n_cur, tv_num,
+             CAST(tv_num AS DOUBLE) / CAST(2 * n_cur * n_prev AS DOUBLE) AS tv
+      FROM agg ORDER BY week""")),
+
+    // Two-sample Kolmogorov–Smirnov drift on `value`, even vs odd
+    // event_id halves, over fixed 0.01-width bins (floor(value·100) — a
+    // single IEEE multiply + exact floor in both engines). KS is the max
+    // CDF gap evaluated at bin boundaries: max|cumA·nB − cumB·nA| in
+    // exact integers, divided ONCE by nA·nB. Scale: the cumulative
+    // window runs over DISTINCT BINS — bounded by the metric's range
+    // (≤49k keys here) no matter how many rows feed it, so the
+    // single-partition cumsum stays trivial at any corpus size.
+    QueryDef("drift_ks_value", (s, dir) => ksValue(t("events")(s, dir)),
+      Some("""
+      WITH b AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS bin,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        FROM events),
+      c AS (SELECT bin, CAST(sum(a) AS BIGINT) AS ca,
+                   CAST(sum(1 - a) AS BIGINT) AS cb
+            FROM b GROUP BY bin),
+      cum AS (
+        SELECT bin,
+               CAST(sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+               CAST(sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+        FROM c),
+      t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM c)
+      SELECT t.n_a, t.n_b,
+             CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS BIGINT) AS ks_num,
+             CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
+               / CAST(t.n_a * t.n_b AS DOUBLE) AS ks
+      FROM cum, t GROUP BY t.n_a, t.n_b"""))
+  )
+}

@@ -117,6 +117,37 @@ object RetrievalQueries {
       FROM r WHERE rn <= 10
       ORDER BY o_orderpriority, rn""")),
 
+    // WEIGHTED k-per-source sample without replacement (priority
+    // sampling: q = w/u, u = (h48+1)/2^48 — libm-free, so the oracle
+    // reproduces every priority double bit-for-bit; see
+    // Sampling.priorityPerGroup). Weight = document length + 1: longer
+    // docs sampled proportionally more often, the length-weighted
+    // subsample a token-budgeted curation pass actually wants.
+    QueryDef("sample_weighted_priority", (s, dir) =>
+      graft.operators.Sampling.priorityPerGroup(
+          t("documents")(s, dir).select(col("source"), col("doc_id"),
+            (length(col("text")) + lit(1)).as("w")),
+          "source", "doc_id", col("w"), k = 5, seed = "pri0")
+        .orderBy(col("source"), col("rn"))
+    , Some("""
+      WITH h AS (
+        SELECT source, doc_id,
+               CAST(concat('0x', substr(md5('pri0:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h48,
+               length(text) + 1 AS w
+        FROM documents),
+      p AS (
+        SELECT source, doc_id,
+               CAST(w AS DOUBLE) / (CAST(h48 + 1 AS DOUBLE) / CAST(281474976710656 AS DOUBLE)) AS priority
+        FROM h),
+      r AS (
+        SELECT source, doc_id, priority,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY priority DESC, doc_id) AS INT) AS rn
+        FROM p)
+      SELECT source, rn, doc_id, priority
+      FROM r WHERE rn <= 5
+      ORDER BY source, rn""")),
+
     // Distributed inverted-index build: distinct (doc, term) postings →
     // per-term document frequency + a capped, doc-id-ordered postings
     // head (cap 100 — real indexes shard the tail; the df column keeps

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.queries.DriftQueries
+
+/** Drift-statistic laws on constructed inputs (the oracle corpus never
+  * produces the boundary values — identical halves, disjoint supports).
+  */
+class DriftSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  test("TV = 0 for identical week distributions, 1 for disjoint supports") {
+    // weeks of Jan 1 and Jan 8: same counts per type → tv 0
+    val same = Seq(
+      (1L, ts(1), "click"), (2L, ts(2), "view"),
+      (3L, ts(8), "click"), (4L, ts(9), "view"))
+      .toDF("event_id", "ts", "event_type")
+    val tv0 = DriftQueries.tvWeekly(same).select($"tv").as[Double].collect()
+    assert(tv0.toSeq == Seq(0.0))
+
+    // disjoint type sets across the week boundary → tv 1
+    val disjoint = Seq(
+      (1L, ts(1), "click"), (2L, ts(2), "view"),
+      (3L, ts(8), "purchase"), (4L, ts(9), "signup"))
+      .toDF("event_id", "ts", "event_type")
+    val tv1 = DriftQueries.tvWeekly(disjoint).select($"tv").as[Double].collect()
+    assert(tv1.toSeq == Seq(1.0))
+  }
+
+  test("TV is within [0,1] and weeks without a predecessor are dropped") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    val rows = DriftQueries.tvWeekly(ev)
+      .select($"week", $"tv").as[(Timestamp, Double)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, tv) => tv >= 0.0 && tv <= 1.0 })
+    // the first calendar week has no previous week → must not appear
+    val firstWeek = rows.map(_._1).min
+    val allWeeks = ev.select(date_trunc("week", $"ts").cast("timestamp"))
+      .distinct().as[Timestamp].collect()
+    assert(firstWeek.after(allWeeks.min))
+  }
+
+  test("KS = 0 when even and odd halves share the value distribution exactly") {
+    // value i/2 appears once with an even id and once with an odd id
+    val ev = (0L until 100L).map(i => (i, ts(1, 0), (i / 2).toDouble))
+      .toDF("event_id", "ts", "value")
+    val (na, nb, num, ks) = DriftQueries.ksValue(ev)
+      .as[(Long, Long, Long, Double)].first()
+    assert(na == 50L && nb == 50L && num == 0L && ks == 0.0)
+  }
+
+  test("KS = 1 for disjoint value ranges; real data stays in [0,1]") {
+    val ev = (0L until 100L)
+      .map(i => (i, ts(1), if (i % 2 == 0) i.toDouble else 1000.0 + i))
+      .toDF("event_id", "ts", "value")
+    val ks = DriftQueries.ksValue(ev).select($"ks").as[Double].first()
+    assert(ks == 1.0)
+    val real = DriftQueries.ksValue(
+      Tables.load(spark, "/root/testdata/sf0.001", "events"))
+      .select($"ks").as[Double].first()
+    assert(real >= 0.0 && real <= 1.0)
+  }
+
+  private def date_trunc(unit: String, c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.date_trunc(unit, c)
+}

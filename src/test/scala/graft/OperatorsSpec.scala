@@ -269,6 +269,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(4L, 2L))
   }
 
+  test("hard negatives: near-dup band excluded, next-most-similar fill the slots") {
+    val df = Seq(
+      (1L, Seq(1f, 0f)),      // query
+      (2L, Seq(0.99f, 0.01f)), // near-dup (cosine ≈ 1) — must be excluded
+      (3L, Seq(0.5f, 0.5f)),  // hard negative (cosine ≈ 0.707)
+      (4L, Seq(0f, 1f)),      // easy negative (cosine 0)
+      (5L, Seq(-1f, 0f)))     // anti-correlated
+      .toDF("vec_id", "embedding")
+    val got = Ann.hardNegatives(df.where($"vec_id" === 1), df,
+        "vec_id", "embedding", k = 3, dupThreshold = 0.9)
+      .orderBy("rank").select("neighbor_id", "cosine").as[(Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(3L, 4L, 5L), got.toString)
+    assert(got.forall(_._2 < 0.9))
+    // and with the threshold relaxed, the near-dup IS the top negative
+    val all = Ann.hardNegatives(df.where($"vec_id" === 1), df,
+        "vec_id", "embedding", k = 1, dupThreshold = 2.0)
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(all == Seq(2L))
+  }
+
   test("ANN LSH top-k: returns plausible neighbors from bucketed candidates") {
     val rndv = new scala.util.Random(7)
     val docs = (1L to 50L).map(i =>

@@ -568,4 +568,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans.forall(_.requiredSchema.fieldNames.length <= 2),
       s"scan reads ${scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
   }
+
+  test("dedup_embedding_lsh: bucket equi-join, never all-pairs, 2-column scan") {
+    // the hyperplane-LSH scale path must pair rows ONLY through the
+    // bucket equi-join — a cartesian or nested loop means the blocking
+    // collapsed and the O(N²) exact baseline came back under a new name
+    val plan = planOf("dedup_embedding_lsh")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH blocking degenerated to all-pairs:\n${plan.take(800)}")
+    val scans = scansOf("dedup_embedding_lsh")
+    assert(scans.forall(_.requiredSchema.fieldNames.length <= 2),
+      s"scan reads ${scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
+  }
 }

@@ -113,6 +113,39 @@ class RetrievalSpec extends AnyFunSuite {
     assert(rns == Seq(1, 2))
   }
 
+  test("weighted priority sample ≡ row_number window over the same q = w/u") {
+    val ev = Tables.load(spark, "/root/testdata/sf0.001", "orders")
+      .select($"o_orderpriority", $"o_orderkey",
+        ($"o_custkey" % 97 + lit(1)).as("w"))
+    val k = 7
+    val got = Sampling.priorityPerGroup(ev, "o_orderpriority", "o_orderkey",
+      $"w", k, "p1")
+    val h48 = conv(substring(md5(concat(lit("p1:"), $"o_orderkey".cast("string"))), 1, 12), 16, 10)
+      .cast("bigint")
+    val q = $"w".cast("double") /
+      (($"h48" + lit(1L)).cast("double") / lit(281474976710656.0))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"o_orderpriority").orderBy($"priority".desc, $"o_orderkey")
+    val ref = ev.withColumn("h48", h48).withColumn("priority", q)
+      .withColumn("rn", row_number().over(win).cast("int"))
+      .where($"rn" <= k)
+      .select($"o_orderpriority", $"rn",
+        $"o_orderkey".cast("long").as("o_orderkey"), $"priority")
+    assert(got.exceptAll(ref).count() == 0 && ref.exceptAll(got).count() == 0)
+  }
+
+  test("priority sample: an overwhelming weight is always included, weight 0 never wins a contested slot") {
+    // q = w/u with u = (h48+1)/2^48 ∈ (0,1] bounds q: w ≤ q ≤ w·2^48.
+    // A 2^50 weight therefore beats every weight-1 row (whose q ≤ 2^48);
+    // a weight-0 row has q = 0, below any positive-weight row.
+    val rows = (1L to 50L).map(i => ("g", i, 1L)) :+ (("g", 99L, 1L << 50)) :+ (("g", 100L, 0L))
+    val df = rows.toDF("grp", "id", "w")
+    val top = Sampling.priorityPerGroup(df, "grp", "id", $"w", 5, "p2")
+      .select($"id").as[Long].collect().toSet
+    assert(top.contains(99L), s"heavy row missing from $top")
+    assert(!top.contains(100L), s"zero-weight row sampled into a contested slot: $top")
+  }
+
   // --- greedy MMR rerank ---
 
   /** Independent MMR reference: recomputes max-sim-to-selected FRESH each
