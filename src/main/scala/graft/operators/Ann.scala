@@ -163,6 +163,22 @@ object Ann {
     Seq.fill(numPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** The hyperplane-LSH scale knob, executable instead of prose: the
+    * plane count that keeps EXPECTED bucket size near `targetBucketSize`
+    * as the corpus grows. 2^planes buckets ⇒ planes = ⌈log₂(n/target)⌉;
+    * with planes FIXED the same-bucket candidate-pair count grows
+    * ~N²/2^planes (quadratic in the corpus), while growing planes with
+    * log₂(N) pins per-bucket pairs at ~target²/2 so TOTAL candidates stay
+    * LINEAR in N — the same discipline as IVF's √N nlist. Clamped to
+    * [1, 62] (bucket ids pack into a positive long).
+    */
+  def adaptivePlaneCount(n: Long, targetBucketSize: Int = 256): Int = {
+    require(n > 0 && targetBucketSize > 0)
+    val buckets = (n + targetBucketSize - 1) / targetBucketSize
+    val planes = 64 - java.lang.Long.numberOfLeadingZeros(math.max(buckets - 1, 1))
+    math.min(math.max(planes, 1), 62)
+  }
+
   /** IVF (inverted-file) index state: centroid id → centroid vector. */
   final case class IvfIndex(centroids: Seq[(Int, Seq[Double])])
 

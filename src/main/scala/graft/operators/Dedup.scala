@@ -262,6 +262,11 @@ object Dedup {
     * `numPlanes` sign bits form the bucket; same-bucket pairs with cosine ≥
     * threshold are returned. For oracle-exact small-scale checks use
     * `Ann.bruteForcePairs` instead.
+    *
+    * Scale knob: with a FIXED plane count the same-bucket pair count grows
+    * ~N²/2^planes — grow planes with the corpus via
+    * [[Ann.adaptivePlaneCount]] (⌈log₂(N/targetBucket)⌉) so total
+    * candidate pairs stay linear in N.
     */
   def embeddingCosine(df: DataFrame, idCol: String, vecCol: String,
                       planes: Seq[Seq[Double]], threshold: Double): DataFrame = {

@@ -139,6 +139,58 @@ object DedupVectorQueries {
       Dedup.components(pairs, driverMaxPairs = -1L).orderBy(col("id"))
     }, Some(componentsOracle)),
 
+    // FUZZY benchmark decontamination: training docs near-duplicating the
+    // held-out eval source (src0) by MinHash-LSH + true-Jaccard verify —
+    // catches the paraphrased / lightly-edited eval leakage the exact
+    // 8-gram `decontamination` query misses. Same band equi-join blocking
+    // as dedup_minhash_lsh (one shuffle on the band key, never corpus ×
+    // eval); roles resolved by joining sources back onto the pair set.
+    QueryDef("decontamination_fuzzy", (s, dir) => {
+      val docs = t("documents")(s, dir)
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        ShingleWords, NumHashes, Bands, MinhashThreshold)
+      val roles = docs.select(col("doc_id"), (col("source") === "src0").as("is_eval"))
+      pairs
+        .join(roles.select(col("doc_id").as("id_a"), col("is_eval").as("ev_a")), "id_a")
+        .join(roles.select(col("doc_id").as("id_b"), col("is_eval").as("ev_b")), "id_b")
+        .where(col("ev_a") =!= col("ev_b"))
+        .select(when(col("ev_a"), col("id_b")).otherwise(col("id_a")).as("doc_id"),
+          col("jaccard"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("jaccard")).as("max_eval_jaccard"),
+          count(lit(1)).as("n_eval_pairs"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      val sig  = Sql.minhashSignature("shingles", NumHashes)
+      val bandKeys = Sql.lshBandKeys("sig", Bands, NumHashes / Bands)
+      s"""
+      WITH sh AS (
+        SELECT doc_id AS id, ${Sql.wordShingles(toks, ShingleWords)} AS shingles
+        FROM documents),
+      nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      sg AS (SELECT id, shingles, $sig AS sig FROM nz),
+      banded AS (SELECT id, shingles, unnest($bandKeys) AS band FROM sg),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+      scored AS (
+        SELECT p.id_a, p.id_b, ${Sql.jaccard("x.shingles", "y.shingles")} AS jaccard
+        FROM cand p
+        JOIN nz x ON x.id = p.id_a
+        JOIN nz y ON y.id = p.id_b),
+      sel AS (SELECT * FROM scored WHERE jaccard >= $MinhashThreshold),
+      crossrole AS (
+        SELECT CASE WHEN da.source = 'src0' THEN s.id_b ELSE s.id_a END AS doc_id,
+               s.jaccard
+        FROM sel s
+        JOIN documents da ON da.doc_id = s.id_a
+        JOIN documents db ON db.doc_id = s.id_b
+        WHERE (da.source = 'src0') <> (db.source = 'src0'))
+      SELECT doc_id, max(jaccard) AS max_eval_jaccard, count(*) AS n_eval_pairs
+      FROM crossrole GROUP BY doc_id ORDER BY doc_id"""
+    }),
+
     // N-gram Jaccard near-dup pairs, blocked by language.
     QueryDef("dedup_ngram_jaccard", (s, dir) => {
       // doc_id bound keeps the blocked pair count tractable at bench SF

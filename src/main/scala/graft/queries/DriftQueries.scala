@@ -55,11 +55,13 @@ object DriftQueries {
       .orderBy(col("week"))
   }
 
-  /** Two-sample Kolmogorov–Smirnov drift on `value` (even vs odd
-    * `event_id` halves) over fixed 0.01-width bins — see the QueryDef
-    * comment below for the exactness and bounded-bins scale argument.
+  /** Shared two-sample machinery: 0.01-width bins of `value` (even vs odd
+    * `event_id` halves), per-bin counts, exact cumulative counts in bin
+    * order, and the half totals — everything KS and the decile Q–Q table
+    * need, all BIGINT-exact.
     */
-  def ksValue(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private def binnedCum(events: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val binned = events
       .select(floor(col("value") * lit(100.0)).cast("long").as("bin"),
         when(col("event_id") % 2 === 0, 1L).otherwise(0L).as("a"))
@@ -71,6 +73,15 @@ object DriftQueries {
       .withColumn("cuma", sum(col("ca")).over(cumW))
       .withColumn("cumb", sum(col("cb")).over(cumW))
     val tots = perBin.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    (cum, tots)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift on `value` (even vs odd
+    * `event_id` halves) over fixed 0.01-width bins — see the QueryDef
+    * comment below for the exactness and bounded-bins scale argument.
+    */
+  def ksValue(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (cum, tots) = binnedCum(events)
     cum.crossJoin(broadcast(tots))
       .groupBy(col("n_a"), col("n_b"))
       .agg(max(abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")))
@@ -78,6 +89,30 @@ object DriftQueries {
       .select(col("n_a"), col("n_b"), col("ks_num"),
         (col("ks_num").cast("double") /
           (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
+  /** Decile Q–Q drift table on `value`: for each decile d ∈ 1..9, the
+    * EXACT d-th decile bin of each half — the smallest bin whose
+    * cumulative count clears the cross-multiplied threshold
+    * `cum·10 ≥ d·n` (no division, no percentile interpolation — the same
+    * trick as profile_key_skew's p99) — plus the per-decile bin gap. A
+    * drifted tail shows up as a growing gap in the outer deciles even
+    * when KS (one max) stays flat. All integers end to end.
+    */
+  def decileBounds(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val (cum, tots) = binnedCum(events)
+    val deciles = events.sparkSession.range(1, 10)
+      .select(col("id").as("decile"))
+    cum.crossJoin(broadcast(tots)).crossJoin(broadcast(deciles))
+      .groupBy(col("decile"))
+      .agg(
+        min(when(col("cuma") * 10 >= col("decile") * col("n_a"), col("bin")))
+          .as("bound_a"),
+        min(when(col("cumb") * 10 >= col("decile") * col("n_b"), col("bin")))
+          .as("bound_b"))
+      .select(col("decile"), col("bound_a"), col("bound_b"),
+        (col("bound_b") - col("bound_a")).as("gap"))
+      .orderBy(col("decile"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -134,6 +169,30 @@ object DriftQueries {
              CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS BIGINT) AS ks_num,
              CAST(max(abs(cuma * t.n_b - cumb * t.n_a)) AS DOUBLE)
                / CAST(t.n_a * t.n_b AS DOUBLE) AS ks
-      FROM cum, t GROUP BY t.n_a, t.n_b"""))
+      FROM cum, t GROUP BY t.n_a, t.n_b""")),
+
+    QueryDef("drift_decile_bounds", (s, dir) => decileBounds(t("events")(s, dir)),
+      Some("""
+      WITH b AS (
+        SELECT CAST(floor(value * 100) AS BIGINT) AS bin,
+               CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+        FROM events),
+      c AS (SELECT bin, CAST(sum(a) AS BIGINT) AS ca,
+                   CAST(sum(1 - a) AS BIGINT) AS cb
+            FROM b GROUP BY bin),
+      cum AS (
+        SELECT bin,
+               CAST(sum(ca) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+               CAST(sum(cb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+        FROM c),
+      t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b FROM c),
+      d AS (SELECT unnest(generate_series(1, 9)) AS decile)
+      SELECT CAST(d.decile AS BIGINT) AS decile,
+             min(CASE WHEN cuma * 10 >= d.decile * t.n_a THEN bin END) AS bound_a,
+             min(CASE WHEN cumb * 10 >= d.decile * t.n_b THEN bin END) AS bound_b,
+             min(CASE WHEN cumb * 10 >= d.decile * t.n_b THEN bin END)
+               - min(CASE WHEN cuma * 10 >= d.decile * t.n_a THEN bin END) AS gap
+      FROM cum CROSS JOIN t CROSS JOIN d
+      GROUP BY d.decile ORDER BY decile"""))
   )
 }

@@ -126,14 +126,17 @@ object RetrievalQueries {
     QueryDef("sample_weighted_priority", (s, dir) =>
       graft.operators.Sampling.priorityPerGroup(
           t("documents")(s, dir).select(col("source"), col("doc_id"),
-            (length(col("text")) + lit(1)).as("w")),
+            // null text → weight 1 (a null weight would drop the row from
+            // the aggregate while the oracle ranks it NULLS LAST — guard
+            // the divergence even though the corpus has no null text)
+            (coalesce(length(col("text")), lit(0)) + lit(1)).as("w")),
           "source", "doc_id", col("w"), k = 5, seed = "pri0")
         .orderBy(col("source"), col("rn"))
     , Some("""
       WITH h AS (
         SELECT source, doc_id,
                CAST(concat('0x', substr(md5('pri0:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h48,
-               length(text) + 1 AS w
+               coalesce(length(text), 0) + 1 AS w
         FROM documents),
       p AS (
         SELECT source, doc_id,

@@ -93,6 +93,43 @@ object Streams {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming drift monitor: per tumbling window, the total-variation
+    * distance between the window's `event_type` distribution and a STATIC
+    * reference distribution (the standing corpus profile) — the alert an
+    * ingest pipeline fires BEFORE admitting a batch into the training
+    * corpus (batch twin: `drift_tv_weekly` in the correctness gate).
+    *
+    * One stateful operator: the reference type set is static, so per-type
+    * counts are conditional sums inside the single windowed aggregation —
+    * no chained streaming aggregates, no stream-static join after an agg
+    * (both restricted). Types absent from the reference contribute their
+    * full probability mass (they have reference weight 0). Same
+    * integer-exact arithmetic as the batch query: the numerator
+    * Σ|c_t·N_ref − ref_t·n| + other·N_ref is exact BIGINT, the final
+    * division ONE double op.
+    */
+  def streamTvDrift(events: DataFrame, reference: Map[String, Long],
+                    window_ : String = "1 hour",
+                    watermark: String = "30 minutes"): DataFrame = {
+    require(reference.nonEmpty && reference.values.forall(_ > 0),
+      "reference distribution needs positive counts")
+    val types = reference.keys.toSeq.sorted
+    val refN = reference.values.sum
+    val perType = types.zipWithIndex.map { case (t, i) =>
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"__c_$i") }
+    val base = events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(count(lit(1)).as("n"), perType: _*)
+    val known = types.indices.map(i => col(s"__c_$i")).reduce(_ + _)
+    val tvNum = types.zipWithIndex.map { case (t, i) =>
+        abs(col(s"__c_$i") * lit(refN) - lit(reference(t)) * col("n")) }
+      .reduce(_ + _) + (col("n") - known) * lit(refN)
+    base.select(col("window.start").as("window_start"), col("n"),
+      tvNum.as("tv_num"),
+      (tvNum.cast("double") /
+        (lit(2L) * col("n") * lit(refN)).cast("double")).as("tv"))
+  }
+
   /** Stream-stream interval join: each left event picks up the right-side
     * events with matching keys whose time falls in
     * `[left.ts − lookback, left.ts]` — the streaming form of the batch

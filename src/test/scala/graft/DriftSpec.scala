@@ -67,6 +67,26 @@ class DriftSpec extends AnyFunSuite {
     assert(real >= 0.0 && real <= 1.0)
   }
 
+  test("decile bounds: identical halves gap 0, a shifted half shows the shift in every decile") {
+    val same = (0L until 200L).map(i => (i, ts(1), (i / 2).toDouble))
+      .toDF("event_id", "ts", "value")
+    val gaps0 = DriftQueries.decileBounds(same)
+      .select($"gap").as[Long].collect().toSeq
+    assert(gaps0 == Seq.fill(9)(0L))
+
+    // odd half shifted by +3.0 → every decile bound_b = bound_a + 300 bins
+    val shifted = (0L until 200L)
+      .map(i => (i, ts(1), (i / 2).toDouble + (if (i % 2 == 1) 3.0 else 0.0)))
+      .toDF("event_id", "ts", "value")
+    val rows = DriftQueries.decileBounds(shifted)
+      .select($"decile", $"bound_a", $"bound_b", $"gap")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == (1L to 9L))
+    assert(rows.forall(_._4 == 300L), rows.toString)
+    // bounds monotone in decile
+    assert(rows.map(_._2) == rows.map(_._2).sorted)
+  }
+
   private def date_trunc(unit: String, c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.date_trunc(unit, c)
 }

@@ -269,6 +269,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq(4L, 2L))
   }
 
+  test("adaptivePlaneCount: expected bucket size pinned near target, monotone, clamped") {
+    import graft.operators.Ann.adaptivePlaneCount
+    for (n <- Seq(1L, 100L, 2000L, 20000L, 2000000L, 200000000L); t <- Seq(64, 256, 1024)) {
+      val p = adaptivePlaneCount(n, t)
+      assert(p >= 1 && p <= 62)
+      val buckets = 1L << p
+      // never overshoots target bucket size, never over-fragments >2×
+      assert(n.toDouble / buckets <= t, s"n=$n t=$t p=$p")
+      assert(buckets < 2L * ((n + t - 1) / t) || p == 1, s"n=$n t=$t p=$p")
+    }
+    // monotone in n (fixed target)
+    val seq = Seq(100L, 1000L, 10000L, 100000L, 1000000L).map(adaptivePlaneCount(_, 256))
+    assert(seq == seq.sorted)
+    // 10× corpus ⇒ +3..4 planes: candidate pairs stay ~linear
+    assert(adaptivePlaneCount(20000L, 256) - adaptivePlaneCount(2000L, 256) == 4)
+  }
+
   test("hard negatives: near-dup band excluded, next-most-similar fill the slots") {
     val df = Seq(
       (1L, Seq(1f, 0f)),      // query

@@ -569,6 +569,24 @@ class PlanAuditSpec extends AnyFunSuite {
       s"scan reads ${scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
   }
 
+  test("drift queries: narrow scans — TV reads (ts, event_type), KS reads (event_id, value)") {
+    val tvScans = scansOf("drift_tv_weekly")
+    assert(tvScans.nonEmpty && tvScans.forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("ts", "event_type"))),
+      s"tv scan reads ${tvScans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
+    val ksScans = scansOf("drift_ks_value")
+    assert(ksScans.nonEmpty && ksScans.forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("event_id", "value"))),
+      s"ks scan reads ${ksScans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
+    // the KS cumsum window must run on the DISTINCT-BIN table (post-agg),
+    // never on raw rows: the plan has an aggregate BELOW the window
+    val plan = planOf("drift_ks_value")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 &&
+      plan.indexOf("HashAggregate", winIdx) > winIdx,
+      s"window not above the bin aggregate:\n${plan.take(800)}")
+  }
+
   test("dedup_embedding_lsh: bucket equi-join, never all-pairs, 2-column scan") {
     // the hyperplane-LSH scale path must pair rows ONLY through the
     // bucket equi-join — a cartesian or nested loop means the blocking

@@ -34,6 +34,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming TV drift: matching window reads 0, alien-type window reads 1") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    // reference profile: 2/3 click, 1/3 view
+    val drift = Streams.streamTvDrift(mem.toDF(),
+      Map("click" -> 2L, "view" -> 1L), "1 hour", "30 minutes")
+    val q = drift.writeStream.outputMode("complete")
+      .format("memory").queryName("drift_out").start()
+    try {
+      mem.addData(
+        // 10:00 window matches the reference distribution exactly
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 1.0),
+        Event(2, ts("2024-01-01 10:10:00"), 2, "click", 1.0),
+        Event(3, ts("2024-01-01 10:15:00"), 3, "view", 1.0),
+        // 11:00 window is all types the reference has never seen
+        Event(4, ts("2024-01-01 11:05:00"), 4, "error", 1.0),
+        Event(5, ts("2024-01-01 11:10:00"), 5, "error", 1.0),
+        // 12:00 window half-matches: all click (ref share 2/3) → tv 1/3
+        Event(6, ts("2024-01-01 12:05:00"), 6, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("drift_out")
+        .select("window_start", "n", "tv").as[(Timestamp, Long, Double)]
+        .collect().map { case (w, n, tv) => (w, n, tv) }.toSet
+      assert(rows == Set(
+        (ts("2024-01-01 10:00:00"), 3L, 0.0),
+        (ts("2024-01-01 11:00:00"), 2L, 1.0),
+        (ts("2024-01-01 12:00:00"), 1L, 1.0 / 3.0)))
+    } finally q.stop()
+  }
+
   test("dedup within watermark: re-delivered keys dropped, state bounded") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
