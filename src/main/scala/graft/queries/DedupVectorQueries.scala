@@ -412,6 +412,32 @@ object DedupVectorQueries {
              CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1 ORDER BY 1""")),
 
+    // Streaming-shaped: per-window top-k events by value (batch form of
+    // Streams.windowedTopK — the bounded TopKAgg inside the windowed
+    // aggregation, state ≤2k per window, no per-window sort; oracle takes
+    // the row_number-window route over the same total order).
+    QueryDef("stream_window_topk", (s, dir) => {
+      val win = t("events")(s, dir)
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(graft.expressions.TopKAgg.topK(
+          struct(col("value").cast("double"), col("event_id").cast("long")), 3)
+          .as("__top"))
+      win.select(col("window.start").cast("timestamp_ntz").as("window_start"),
+          posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select(col("window_start"), (col("__pos") + 1).cast("int").as("rank"),
+          col("__e.id").as("event_id"), col("__e.score").as("value"))
+        .orderBy(col("window_start"), col("rank"))
+    }, Some("""
+      WITH r AS (
+        SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+               event_id, value,
+               CAST(row_number() OVER (PARTITION BY date_trunc('hour', CAST(ts AS TIMESTAMP))
+                 ORDER BY value DESC, event_id) AS INT) AS rank
+        FROM events)
+      SELECT window_start, rank, event_id, value
+      FROM r WHERE rank <= 3
+      ORDER BY window_start, rank""")),
+
     // Streaming-shaped: sessionization — 30-minute inactivity gap splits
     // sessions (gaps-and-islands; batch form of session_window).
     QueryDef("stream_sessionize", (s, dir) => {

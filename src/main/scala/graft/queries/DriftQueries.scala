@@ -171,6 +171,81 @@ object DriftQueries {
                / CAST(t.n_a * t.n_b AS DOUBLE) AS ks
       FROM cum, t GROUP BY t.n_a, t.n_b""")),
 
+    // Novel-category influx: per week, the share of events whose
+    // event_type is seen for the FIRST time that week — the "new domain
+    // arriving" alarm. first_seen = min(week) per type, joined back;
+    // novel_share is the one final division. Scale: shuffle keys are
+    // types and weeks, never rows.
+    QueryDef("drift_novel_types", (s, dir) => {
+      val wk = t("events")(s, dir)
+        .select(date_trunc("week", col("ts")).cast("date").as("week"),
+          col("event_type"))
+        .groupBy(col("week"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val firstSeen = wk.groupBy(col("event_type"))
+        .agg(min(col("week")).as("fweek"))
+      wk.join(broadcast(firstSeen), Seq("event_type"))
+        .groupBy(col("week"))
+        .agg(sum(col("c")).as("n"),
+          sum(when(col("fweek") === col("week"), col("c")).otherwise(0L))
+            .as("novel_rows"),
+          sum(when(col("fweek") === col("week"), 1L).otherwise(0L))
+            .as("novel_types"))
+        .select(col("week").cast("timestamp").as("week"), col("n"),
+          col("novel_types"), col("novel_rows"),
+          (col("novel_rows").cast("double") / col("n").cast("double"))
+            .as("novel_share"))
+        .orderBy(col("week"))
+    }, Some("""
+      WITH wk AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+               event_type, count(*) AS c
+        FROM events GROUP BY 1, 2),
+      fs AS (SELECT event_type, min(week) AS fweek FROM wk GROUP BY 1)
+      SELECT CAST(wk.week AS TIMESTAMP) AS week,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN fs.fweek = wk.week THEN 1 ELSE 0 END) AS BIGINT) AS novel_types,
+             CAST(sum(CASE WHEN fs.fweek = wk.week THEN c ELSE 0 END) AS BIGINT) AS novel_rows,
+             CAST(sum(CASE WHEN fs.fweek = wk.week THEN c ELSE 0 END) AS DOUBLE)
+               / CAST(sum(c) AS DOUBLE) AS novel_share
+      FROM wk JOIN fs USING (event_type)
+      GROUP BY wk.week ORDER BY week""")),
+
+    // Vocabulary-growth (Heaps) curve over ingestion order: each word
+    // 3-shingle's first-seen 20-doc batch → new-type count per batch →
+    // cumulative vocabulary size. The corpus-health curve a pipeline
+    // plots to see returns-per-added-data flattening (shingles, not bare
+    // tokens: the synthetic corpus has only ~31 distinct words, so the
+    // combinatorial unit is what actually grows). Scale: explode → min
+    // per shingle (one shuffle on the shingle key), cumsum over the
+    // BOUNDED batch axis.
+    QueryDef("vocab_growth", (s, dir) => {
+      val firstSeen = t("documents")(s, dir)
+        .select(expr("doc_id DIV 20").as("batch"),
+          explode(graft.functions.SimFns.wordShingles(
+            graft.functions.TextAnalysisFns.tokens(col("text")), 3)).as("tok"))
+        .groupBy(col("tok")).agg(min(col("batch")).as("fbatch"))
+      val perBatch = firstSeen.groupBy(col("fbatch").as("batch"))
+        .agg(count(lit(1)).as("new_types"))
+      val cumW = Window.orderBy(col("batch"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perBatch
+        .withColumn("vocab", sum(col("new_types")).over(cumW))
+        .orderBy(col("batch"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      s"""
+      WITH tk AS (
+        SELECT doc_id // 20 AS batch,
+               unnest(${Sql.wordShingles(toks, 3)}) AS tok
+        FROM documents),
+      fs AS (SELECT tok, min(batch) AS batch FROM tk GROUP BY tok),
+      pb AS (SELECT batch, count(*) AS new_types FROM fs GROUP BY batch)
+      SELECT batch, new_types,
+             CAST(sum(new_types) OVER (ORDER BY batch ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab
+      FROM pb ORDER BY batch"""
+    }),
+
     QueryDef("drift_decile_bounds", (s, dir) => decileBounds(t("events")(s, dir)),
       Some("""
       WITH b AS (

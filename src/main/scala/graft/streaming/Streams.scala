@@ -130,6 +130,27 @@ object Streams {
         (lit(2L) * col("n") * lit(refN)).cast("double")).as("tv"))
   }
 
+  /** Streaming per-window top-k WITHOUT a sort: the bounded
+    * [[graft.expressions.TopKAgg]] runs INSIDE the single windowed
+    * aggregation — per-window state is ≤2k (score, id) pairs serialized
+    * into the state store, and no micro-batch ever sorts its events.
+    * (The two-level form "top-k USERS by windowed total" would need a
+    * second stateful aggregation — restricted in streaming; per-event
+    * top-k is the single-operator shape.) Output: one row per rank,
+    * exploded AFTER the aggregate (stateless projection).
+    */
+  def windowedTopK(events: DataFrame, k: Int, window_ : String = "1 hour",
+                   watermark: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_))
+      .agg(graft.expressions.TopKAgg.topK(
+        struct(col("value").cast("double"), col("event_id").cast("long")), k)
+        .as("__top"))
+      .select(col("window.start").as("window_start"),
+        posexplode(col("__top")).as(Seq("__pos", "__e")))
+      .select(col("window_start"), (col("__pos") + 1).cast("int").as("rank"),
+        col("__e.id").as("event_id"), col("__e.score").as("value"))
+
   /** Stream-stream interval join: each left event picks up the right-side
     * events with matching keys whose time falls in
     * `[left.ts − lookback, left.ts]` — the streaming form of the batch

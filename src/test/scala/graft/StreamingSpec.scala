@@ -34,6 +34,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed top-k: bounded TopKAgg inside the stateful agg, ranks across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val top = Streams.windowedTopK(mem.toDF(), k = 2)
+    val q = top.writeStream.outputMode("complete")
+      .format("memory").queryName("topk_out").start()
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:05:00"), 1, "click", 5.0),
+        Event(2, ts("2024-01-01 10:10:00"), 2, "click", 9.0),
+        Event(3, ts("2024-01-01 10:15:00"), 3, "view", 1.0))
+      q.processAllAvailable()
+      // a later micro-batch delivers a new per-window maximum: the stored
+      // top-k state must merge, not restart
+      mem.addData(Event(4, ts("2024-01-01 10:20:00"), 4, "view", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("topk_out")
+        .select("window_start", "rank", "event_id", "value")
+        .as[(Timestamp, Int, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (ts("2024-01-01 10:00:00"), 1, 2L, 9.0),
+        (ts("2024-01-01 10:00:00"), 2, 4L, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming TV drift: matching window reads 0, alien-type window reads 1") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Event]
