@@ -246,6 +246,46 @@ object DriftQueries {
       FROM pb ORDER BY batch"""
     }),
 
+    // Per-source language-mix drift: TV distance between each ingest
+    // source's lang distribution and the GLOBAL lang distribution — the
+    // "which source is skewed" report. The (source × lang) grid is built
+    // explicitly (a source MISSING a language still pays that language's
+    // full reference mass); numerator Σ|c·N − g_l·n_s| exact BIGINT, one
+    // final division. Scale: grid is |sources|×|langs| — broadcast-sized
+    // by construction.
+    QueryDef("drift_source_lang_tv", (s, dir) => {
+      val sl = t("documents")(s, dir)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+      val st = sl.groupBy(col("source")).agg(sum(col("c")).as("n_s"))
+      val gl = sl.groupBy(col("lang")).agg(sum(col("c")).as("g"))
+      val gt = sl.agg(sum(col("c")).as("n"))
+      st.crossJoin(broadcast(gl)).crossJoin(broadcast(gt))
+        .join(sl, Seq("source", "lang"), "left")
+        .select(col("source"), col("n_s"), col("n"), col("g"),
+          coalesce(col("c"), lit(0L)).as("c"))
+        .groupBy(col("source"), col("n_s"), col("n"))
+        .agg(sum(abs(col("c") * col("n") - col("g") * col("n_s"))).as("tv_num"))
+        .select(col("source"), col("n_s"), col("tv_num"),
+          (col("tv_num").cast("double") /
+            (lit(2L) * col("n_s") * col("n")).cast("double")).as("tv"))
+        .orderBy(col("source"))
+    }, Some("""
+      WITH sl AS (
+        SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        FROM documents GROUP BY 1, 2),
+      st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sl GROUP BY 1),
+      gl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS g FROM sl GROUP BY 1),
+      gt AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sl),
+      grid AS (
+        SELECT st.source, st.n_s, gt.n, gl.lang, gl.g, coalesce(sl.c, 0) AS c
+        FROM st CROSS JOIN gl CROSS JOIN gt
+        LEFT JOIN sl ON sl.source = st.source AND sl.lang = gl.lang)
+      SELECT source, n_s,
+             CAST(sum(abs(c * n - g * n_s)) AS BIGINT) AS tv_num,
+             CAST(sum(abs(c * n - g * n_s)) AS DOUBLE)
+               / CAST(2 * n_s * n AS DOUBLE) AS tv
+      FROM grid GROUP BY source, n_s, n ORDER BY source""")),
+
     QueryDef("drift_decile_bounds", (s, dir) => decileBounds(t("events")(s, dir)),
       Some("""
       WITH b AS (

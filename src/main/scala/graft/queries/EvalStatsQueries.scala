@@ -344,6 +344,66 @@ object EvalStatsQueries {
       p AS (SELECT CAST(sum(cnt * cnt) AS BIGINT) AS predicted_pairs FROM h),
       a AS (SELECT CAST(count(*) AS BIGINT) AS actual_pairs
             FROM li a JOIN li b ON a.l_partkey = b.l_partkey)
-      SELECT * FROM p CROSS JOIN a"""))
+      SELECT * FROM p CROSS JOIN a""")),
+
+    // Dedup-LSH recall evaluation: exact all-pairs ground truth (word
+    // 3-shingle Jaccard ≥ 0.2 over a bounded doc subset — O(N²) BY
+    // DESIGN, it's the ground truth) vs the MinHash-LSH pair set over
+    // the same subset (the same 8-hash/4-band parameters as
+    // dedup_minhash_lsh). The found set joins truth on pair ids — the
+    // banding theory says recall ≈ 1 − (1 − J^r)^b, and this query is
+    // how the parameter choice gets AUDITED instead of assumed. Counts
+    // exact; recall is the one division.
+    QueryDef("dedup_lsh_recall_eval", (s, dir) => {
+      import graft.functions.{SimFns, TextAnalysisFns}
+      val docs = t("documents")(s, dir).where(col("doc_id") < 800)
+      val sh = docs.select(col("doc_id").as("id"),
+          SimFns.wordShingles(TextAnalysisFns.tokens(col("text")), 3).as("grams"))
+        .where(size(col("grams")) > 0)
+      val truth = sh.alias("a").join(sh.alias("b"),
+          col("a.id") < col("b.id") &&
+            graft.expressions.JaccardGeq(col("a.grams"), col("b.grams"), 0.2))
+        .select(col("a.id").as("ta"), col("b.id").as("tb"))
+      val lsh = graft.operators.Dedup.minhashLsh(docs, "doc_id", "text", 3, 8, 4, 0.2)
+        .select(col("id_a"), col("id_b"))
+      val found = truth.join(lsh,
+        col("ta") === col("id_a") && col("tb") === col("id_b"))
+      truth.agg(count(lit(1)).as("n_true")).crossJoin(
+          found.agg(count(lit(1)).as("n_found")))
+        .select(col("n_true"), col("n_found"),
+          (col("n_found").cast("double") / col("n_true").cast("double"))
+            .as("recall"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      val sig  = Sql.minhashSignature("shingles", 8)
+      val bandKeys = Sql.lshBandKeys("sig", 4, 2)
+      s"""
+      WITH sh AS (
+        SELECT doc_id AS id, ${Sql.wordShingles(toks, 3)} AS shingles
+        FROM documents WHERE doc_id < 800),
+      nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      truth AS (
+        SELECT a.id AS ta, b.id AS tb
+        FROM nz a JOIN nz b ON a.id < b.id
+        WHERE ${Sql.jaccard("a.shingles", "b.shingles")} >= 0.2),
+      sg AS (SELECT id, shingles, $sig AS sig FROM nz),
+      banded AS (SELECT id, shingles, unnest($bandKeys) AS band FROM sg),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+      lsh AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN nz x ON x.id = c.id_a
+        JOIN nz y ON y.id = c.id_b
+        WHERE ${Sql.jaccard("x.shingles", "y.shingles")} >= 0.2),
+      f AS (SELECT count(*) AS n_found
+            FROM truth t JOIN lsh l ON l.id_a = t.ta AND l.id_b = t.tb),
+      tr AS (SELECT count(*) AS n_true FROM truth)
+      SELECT CAST(tr.n_true AS BIGINT) AS n_true,
+             CAST(f.n_found AS BIGINT) AS n_found,
+             CAST(f.n_found AS DOUBLE) / CAST(tr.n_true AS DOUBLE) AS recall
+      FROM tr CROSS JOIN f"""
+    })
   )
 }

@@ -432,6 +432,38 @@ object TextSimQueries {
       WITH ${Sql.bpeDocCountCtes}
       SELECT doc_id, n_bpe AS n_bpe_tokens FROM bpe_counts ORDER BY doc_id""")),
 
+    // Tokenizer FERTILITY by language — BPE tokens per whitespace word,
+    // THE standard multilingual tokenizer-quality metric (a language
+    // with fertility ≫ others is being over-segmented and pays more
+    // compute per word). Exact integer sums over the same exact-BPE
+    // count used by text_tokens_bpe; the ratio is the one final double
+    // division. Scale: one projection + one grouped agg on |langs| keys.
+    QueryDef("bpe_fertility", (s, dir) =>
+      t("documents")(s, dir)
+        .select(col("lang"),
+          graft.expressions.BpeCountTokens(coalesce(col("text"), lit("")))
+            .as("nb"),
+          size(graft.functions.TextAnalysisFns.tokens(col("text")))
+            .cast("long").as("nw"))
+        .groupBy(col("lang"))
+        .agg(sum(col("nb")).as("bpe_tokens"), sum(col("nw")).as("words"))
+        .select(col("lang"), col("bpe_tokens"), col("words"),
+          (col("bpe_tokens").cast("double") / col("words").cast("double"))
+            .as("fertility"))
+        .orderBy(col("lang"))
+    , Some {
+      val toks = Sql.tokens("text")
+      s"""
+      WITH ${Sql.bpeDocCountCtes},
+      w AS (SELECT d.doc_id, d.lang, CAST(len($toks) AS BIGINT) AS nw,
+                   c.n_bpe AS nb
+            FROM documents d JOIN bpe_counts c USING (doc_id))
+      SELECT lang, CAST(sum(nb) AS BIGINT) AS bpe_tokens,
+             CAST(sum(nw) AS BIGINT) AS words,
+             CAST(sum(nb) AS DOUBLE) / CAST(sum(nw) AS DOUBLE) AS fertility
+      FROM w GROUP BY lang ORDER BY lang"""
+    }),
+
     // The same exact-BPE count under the o200k_base ENCODING RULES — the
     // tokenizer family the reference actually counts with (tiktoken for
     // gpt-4o-mini, `core/extract/ConvoDataExtract.py:74-82`): a base64
@@ -540,6 +572,67 @@ object TextSimQueries {
       WHERE doc_id IN (SELECT keep_id FROM keepers)
         AND ($quality) >= 0.5 AND lang_pred = 'en'
       ORDER BY doc_id"""
+    }),
+
+    // Filter-ablation attribution for the composite doc filter: per
+    // rule (quality ≥ 0.5, lang = en, dedup keeper) how many docs fail
+    // it at all and how many fail ONLY it — the marginal cost each rule
+    // adds to the stack, the number a curation review actually argues
+    // about. ONE corpus pass: three boolean flags, conditional sums in a
+    // single aggregate. All integer counts.
+    QueryDef("quality_ablation_report", (s, dir) => {
+      val docs = t("documents")(s, dir)
+      val keepers = docs.groupBy(md5(col("text")).as("__h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"), lit(true).as("__keep"))
+      val flags = docs.join(broadcast(keepers), Seq("doc_id"), "left")
+        .select(
+          (TextAnalysisFns.qualityScore(col("text")) >= 0.5).as("q"),
+          (TextAnalysisFns.langId(col("text")) === "en").as("l"),
+          coalesce(col("__keep"), lit(false)).as("k"))
+      flags.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("q"), 1L).otherwise(0L)).as("fail_quality"),
+        sum(when(!col("l"), 1L).otherwise(0L)).as("fail_lang"),
+        sum(when(!col("k"), 1L).otherwise(0L)).as("fail_dedup"),
+        sum(when(!col("q") && col("l") && col("k"), 1L).otherwise(0L)).as("only_quality"),
+        sum(when(col("q") && !col("l") && col("k"), 1L).otherwise(0L)).as("only_lang"),
+        sum(when(col("q") && col("l") && !col("k"), 1L).otherwise(0L)).as("only_dedup"),
+        sum(when(col("q") && col("l") && col("k"), 1L).otherwise(0L)).as("pass_all"))
+    }, Some {
+      val lowToks = Sql.tokens("lower(text)")
+      val en = TextAnalysisFns.LangMarkers.head._2.map(m => s"'$m'")
+        .mkString("[", ", ", "]")
+      val punct = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) / CAST(length(text) AS DOUBLE) END"
+      val stop  = s"CASE WHEN len($lowToks) = 0 THEN 0.0 ELSE len(list_filter($lowToks, t -> list_contains($en, t))) / CAST(len($lowToks) AS DOUBLE) END"
+      val quality = s"(least(length(text) / 500.0, 1.0) + least(($stop) * 4.0, 1.0) + greatest(0.0, 1.0 - ($punct) * 4.0)) / 3.0"
+      val distToks = s"list_distinct($lowToks)"
+      val scores = TextAnalysisFns.LangMarkers.map { case (lang, ms) =>
+        val arr = ms.map(m => s"'$m'").mkString("[", ", ", "]")
+        s"len(list_intersect($distToks, $arr)) AS s_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysisFns.LangMarkers.map(_._1)
+      val best  = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN s_$l = __best THEN '$l'").mkString(" ")
+      s"""
+      WITH keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      sc AS (SELECT doc_id, text, $scores FROM documents),
+      lp AS (SELECT *, $best AS __best FROM sc),
+      fl AS (SELECT doc_id,
+                    ($quality) >= 0.5 AS q,
+                    (CASE WHEN __best = 0 THEN 'und' $cases ELSE 'und' END) = 'en' AS l,
+                    doc_id IN (SELECT doc_id FROM keepers) AS k
+             FROM lp)
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN NOT q THEN 1 ELSE 0 END) AS BIGINT) AS fail_quality,
+             CAST(sum(CASE WHEN NOT l THEN 1 ELSE 0 END) AS BIGINT) AS fail_lang,
+             CAST(sum(CASE WHEN NOT k THEN 1 ELSE 0 END) AS BIGINT) AS fail_dedup,
+             CAST(sum(CASE WHEN NOT q AND l AND k THEN 1 ELSE 0 END) AS BIGINT) AS only_quality,
+             CAST(sum(CASE WHEN q AND NOT l AND k THEN 1 ELSE 0 END) AS BIGINT) AS only_lang,
+             CAST(sum(CASE WHEN q AND l AND NOT k THEN 1 ELSE 0 END) AS BIGINT) AS only_dedup,
+             CAST(sum(CASE WHEN q AND l AND k THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+      FROM fl"""
     }),
 
     // Text analysis: rolling-hash document fingerprint.

@@ -60,6 +60,54 @@ object TrainingPipelineQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Packing attention-leakage report: when packed sequences are trained
+    // WITHOUT block-diagonal attention masking, every cross-document
+    // position pair inside a pack leaks. Per pack with doc lengths lᵢ the
+    // ordered cross-doc pairs are (Σlᵢ)² − Σlᵢ² — exact integers from
+    // the SAME shard-partitioned packing as text_packing; the leakage
+    // share is the one final division. The report a pretraining run reads
+    // before deciding whether packing needs the mask.
+    QueryDef("pack_attention_leakage", (s, dir) => {
+      val sharded = t("documents")(s, dir)
+        .select(col("doc_id"),
+          TextAnalysisFns.wordCount(col("text")).cast("long").as("n_toks"))
+        .withColumn("shard", (col("doc_id") % NShards).cast("int"))
+      val cum = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packs = sharded
+        .withColumn("prev_cum", coalesce(sum(col("n_toks")).over(cum), lit(0L)))
+        .groupBy(col("shard"), expr(s"prev_cum DIV $B").as("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("s1"),
+          sum(col("n_toks") * col("n_toks")).as("s2"))
+      packs.agg(
+          count(lit(1)).as("n_packs"),
+          sum(when(col("n_docs") > 1, 1L).otherwise(0L)).as("multi_doc_packs"),
+          sum(col("s1") * col("s1") - col("s2")).as("cross_positions"),
+          sum(col("s1") * col("s1")).as("total_positions"))
+        .select(col("n_packs"), col("multi_doc_packs"),
+          col("cross_positions"), col("total_positions"),
+          (col("cross_positions").cast("double") /
+            col("total_positions").cast("double")).as("leakage_share"))
+    }, Some(s"""
+      WITH c AS (SELECT doc_id, CAST(doc_id % $NShards AS INT) AS shard,
+                        CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_toks
+                 FROM documents),
+      w AS (SELECT shard, doc_id, n_toks,
+                   coalesce(sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev_cum
+            FROM c),
+      p AS (SELECT shard, prev_cum // $B AS seq_id,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_toks) AS BIGINT) AS s1,
+                   CAST(sum(n_toks * n_toks) AS BIGINT) AS s2
+            FROM w GROUP BY 1, 2)
+      SELECT CAST(count(*) AS BIGINT) AS n_packs,
+             CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS multi_doc_packs,
+             CAST(sum(s1 * s1 - s2) AS BIGINT) AS cross_positions,
+             CAST(sum(s1 * s1) AS BIGINT) AS total_positions,
+             CAST(sum(s1 * s1 - s2) AS DOUBLE) / CAST(sum(s1 * s1) AS DOUBLE) AS leakage_share
+      FROM p""")),
+
     // Sliding-window chunking: starts at 0, S, 2S, …; the last start is
     // the first one whose window reaches the end (n_starts =
     // 1 + ceil(max(len−C,0)/S), all integer math). Chunks shorter than C

@@ -120,6 +120,49 @@ object TrainingWave2Queries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // T5-style span-corruption PLAN: deterministic non-overlapping
+    // corruption spans per document (≈15% of tokens in length-3 spans ⇒
+    // one span per 20 tokens). Placement is stride-partitioned — span i
+    // lives inside token stride [i·stride, (i+1)·stride) at a seeded
+    // md5 offset — so non-overlap holds BY CONSTRUCTION (pure per-span
+    // arithmetic, no sequential clipping cascade, embarrassingly
+    // parallel; real T5 rejection-samples, which doesn't distribute).
+    // All integers: token counts, integer division, md5-mod offsets.
+    QueryDef("span_corruption_plan", (s, dir) => {
+      val L = 3
+      val d = t("documents")(s, dir)
+        .select(col("doc_id"),
+          size(TextAnalysisFns.tokens(col("text"))).cast("long").as("n"))
+        .withColumn("n_spans", expr("n DIV 20"))
+        .where(col("n_spans") >= 1)
+        .withColumn("stride", expr("n DIV n_spans"))
+      val off = conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":"), col("span_idx").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % (col("stride") - lit(L - 1))
+      d.select(col("doc_id"), col("n"), col("n_spans"), col("stride"),
+          explode(sequence(lit(0L), col("n_spans") - 1)).as("span_idx"))
+        .select(col("doc_id"), col("n"), col("span_idx"),
+          (col("span_idx") * col("stride") + off).as("span_start"),
+          lit(L.toLong).as("span_len"))
+        .orderBy(col("doc_id"), col("span_idx"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      s"""
+      WITH d0 AS (SELECT doc_id, CAST(len($toks) AS BIGINT) AS n FROM documents),
+      d AS (SELECT doc_id, n, n // 20 AS n_spans, n // (n // 20) AS stride
+            FROM d0 WHERE n // 20 >= 1),
+      e AS (SELECT doc_id, n, n_spans, stride,
+                   unnest(generate_series(0, n_spans - 1)) AS span_idx
+            FROM d)
+      SELECT doc_id, n, CAST(span_idx AS BIGINT) AS span_idx,
+             CAST(span_idx * stride +
+               (CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                  CAST(span_idx AS VARCHAR)), 1, 8)) AS BIGINT) % (stride - 2))
+               AS BIGINT) AS span_start,
+             CAST(3 AS BIGINT) AS span_len
+      FROM e ORDER BY doc_id, span_idx"""
+    }),
+
     // BPE merge training, two rounds: word frequencies once over the
     // corpus (the ONLY corpus-sized pass — one shuffle), then every
     // round runs on the VOCAB table (thousands of rows at any corpus

@@ -325,6 +325,41 @@ object Streams {
       .transformWithState(new PerTypeCounts, TimeMode.None(), OutputMode.Update())
   }
 
+  final case class NovelType(event_type: String, first_seen: Timestamp)
+
+  /** Streaming novelty monitor: emits each event_type exactly ONCE, on
+    * its first appearance in the stream's lifetime, with the earliest
+    * event time of that first batch — the streaming twin of
+    * `drift_novel_types`' first_seen = min(week) (the batch query reports
+    * shares; the stream raises the flag the moment a new category
+    * arrives). State is ONE long per distinct category — bounded by the
+    * category universe, not the stream length; later events and
+    * re-deliveries of a known type emit nothing and write nothing.
+    */
+  class NovelTypes extends StatefulProcessor[String, Event, NovelType] {
+    @transient private var seen: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("first_seen",
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[NovelType] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        var minTs = Long.MaxValue
+        for (e <- rows) minTs = math.min(minTs, e.ts.getTime)
+        seen.update(minTs)
+        Iterator.single(NovelType(key, new Timestamp(minTs)))
+      }
+    }
+  }
+
+  /** [[NovelTypes]] wired up (RocksDB store required). */
+  def novelTypes(events: Dataset[Event]): Dataset[NovelType] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .transformWithState(new NovelTypes, TimeMode.None(), OutputMode.Append())
+  }
+
   /** Per-user lifetime totals via transformWithState (requires the
     * RocksDB state store provider — the only one with the multi-column-
     * family layout the v2 state API needs).

@@ -209,4 +209,24 @@ class CurationWave3Spec extends AnyFunSuite {
     val nEntities = got.map(_._3).distinct.length
     assert(nEntities > 1 && nEntities < got.length)
   }
+
+  test("span corruption plan: non-overlapping, in-bounds, one span per 20 tokens") {
+    val rows = SparkEntry.queries("span_corruption_plan")(spark, dir)
+      .select($"doc_id", $"n", $"span_idx", $"span_start", $"span_len")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._5 == 3L))
+    // within bounds: every span ends inside the document
+    assert(rows.forall { case (_, n, _, start, len) => start >= 0 && start + len <= n })
+    rows.groupBy(_._1).foreach { case (_, spans) =>
+      val s = spans.sortBy(_._3)
+      // exactly n DIV 20 spans, indexed densely from 0
+      assert(s.map(_._3).toSeq == (0L until (s.head._2 / 20)))
+      // stride placement ⇒ strictly non-overlapping in order
+      s.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 >= a._4 + a._5, s"overlap: $a $b")
+        case _ =>
+      }
+    }
+  }
 }

@@ -587,6 +587,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window not above the bin aggregate:\n${plan.take(800)}")
   }
 
+  test("drift_source_lang_tv: one fact aggregation, grid sides broadcast, 2-column scan") {
+    val plan = planOf("drift_source_lang_tv")
+    assert(!plan.contains("SortMergeJoin"),
+      s"grid joins must broadcast, not shuffle:\n${plan.take(800)}")
+    val scans = scansOf("drift_source_lang_tv")
+    assert(scans.nonEmpty && scans.forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("source", "lang"))),
+      s"scan reads ${scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
+  }
+
+  test("vocab_growth: scan reads (doc_id, text); cumsum above the first-seen aggregate") {
+    val scans = scansOf("vocab_growth")
+    assert(scans.nonEmpty && scans.forall(
+      _.requiredSchema.fieldNames.toSet.subsetOf(Set("doc_id", "text"))),
+      s"scan reads ${scans.map(_.requiredSchema.fieldNames.mkString(",")).mkString(";")}")
+    val plan = planOf("vocab_growth")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0 && plan.indexOf("HashAggregate", winIdx) > winIdx,
+      s"window not above the batch aggregate:\n${plan.take(800)}")
+  }
+
   test("dedup_embedding_lsh: bucket equi-join, never all-pairs, 2-column scan") {
     // the hyperplane-LSH scale path must pair rows ONLY through the
     // bucket equi-join — a cartesian or nested loop means the blocking

@@ -129,6 +129,41 @@ class StreamingV2Spec extends AnyFunSuite {
     }
   }
 
+  test("NovelTypes: each category emitted once on first appearance, known types silent") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = Streams.novelTypes(mem.toDS()).writeStream
+      .outputMode("append").format("memory").queryName("novel_out").start()
+    try {
+      mem.addData(
+        Event(2, ts("2024-01-01 10:01:00"), 1, "click", 1.0),
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(3, ts("2024-01-01 10:02:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2: a known type (silent) and a genuinely new one
+      mem.addData(
+        Event(4, ts("2024-01-01 10:10:00"), 1, "click", 1.0),
+        Event(5, ts("2024-01-01 10:11:00"), 1, "error", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("novel_out")
+        .as[Streams.NovelType].collect()
+        .map(n => (n.event_type, n.first_seen)).toSet
+      assert(rows == Set(
+        ("click", ts("2024-01-01 10:00:00")), // min ts within the first batch
+        ("view", ts("2024-01-01 10:02:00")),
+        ("error", ts("2024-01-01 10:11:00"))))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MapState: per-user per-type counts update only touched entries") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
