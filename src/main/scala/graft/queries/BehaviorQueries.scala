@@ -19,6 +19,50 @@ object BehaviorQueries {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Audience overlap between event types: exact Jaccard of the user
+    // sets of every type pair — the "are these two behaviors the same
+    // people" matrix. Distinct (type, user) once, then a self-join on
+    // user_id whose fan-out is bounded by C(|types|, 2) pairs PER USER —
+    // never user × user; the pair table is |types|² rows.
+    QueryDef("audience_overlap", (s, dir) => {
+      val tu = t("events")(s, dir)
+        .select(col("event_type"), col("user_id")).distinct()
+      val na = tu.groupBy(col("event_type")).agg(count(lit(1)).as("nu"))
+      val inter = tu.alias("a").join(tu.alias("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(broadcast(na.select(col("event_type").as("type_a"),
+          col("nu").as("n_a"))), Seq("type_a"))
+        .join(broadcast(na.select(col("event_type").as("type_b"),
+          col("nu").as("n_b"))), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          col("n_common"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .as("jaccard"))
+        .orderBy(col("type_a"), col("type_b"))
+    }, Some("""
+      WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nu
+             FROM tu GROUP BY 1),
+      inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT i.type_a, i.type_b, x.nu AS n_a, y.nu AS n_b, i.n_common,
+             CAST(i.n_common AS DOUBLE)
+               / CAST(x.nu + y.nu - i.n_common AS DOUBLE) AS jaccard
+      FROM inter i
+      JOIN na x ON x.event_type = i.type_a
+      JOIN na y ON y.event_type = i.type_b
+      ORDER BY type_a, type_b""")),
+
     // Gopher-style repetition signal: fraction of duplicate word 2-grams
     // per document (1 − distinct/total). High values flag the
     // boilerplate/spam documents a training-data filter drops. Counts are

@@ -91,6 +91,25 @@ object DedupVectorQueries {
       SELECT content_hash, doc_id AS keep_id, source AS keep_pref, n_dups
       FROM ranked WHERE rn = 1 ORDER BY content_hash""")),
 
+    // CANONICAL-FORM exact dedup: NFC-normalize + casefold + collapse
+    // whitespace BEFORE hashing, so trivially-reformatted copies (combining
+    // marks vs precomposed, case, spacing) land in one cluster that raw
+    // md5(text) splits. Same hash-groupBy plan as dedup_exact; the
+    // normalization is one compiled projection (NfcNormalize ≡ utf8proc
+    // nfc_normalize — portability pinned by f33).
+    QueryDef("dedup_exact_canonical", (s, dir) => {
+      val canon = regexp_replace(
+        lower(graft.expressions.NfcNormalize(col("text"))), "\\s+", " ")
+      t("documents")(s, dir)
+        .select(col("doc_id"), md5(canon).as("canon_hash"))
+        .groupBy(col("canon_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+        .orderBy(col("keep_id"))
+    }, Some("""
+      SELECT md5(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS canon_hash,
+             min(doc_id) AS keep_id, count(*) AS n_dups
+      FROM documents GROUP BY 1 ORDER BY keep_id""")),
+
     // MinHash + LSH near-dup pairs, verified by true shingle Jaccard.
     QueryDef("dedup_minhash_lsh", (s, dir) => {
       Dedup.minhashLsh(t("documents")(s, dir), "doc_id", "text",

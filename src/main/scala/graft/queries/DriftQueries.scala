@@ -171,6 +171,104 @@ object DriftQueries {
                / CAST(t.n_a * t.n_b AS DOUBLE) AS ks
       FROM cum, t GROUP BY t.n_a, t.n_b""")),
 
+    // Benford first-digit conformance per event_type: TV distance between
+    // the leading-digit distribution of `value` and Benford's law — the
+    // classic synthetic-data / fabricated-numbers alarm. The Benford
+    // probabilities log₁₀(1+1/d) are computed ONCE in Scala and embedded
+    // as shortest-roundtrip double literals in BOTH engines (the same
+    // trick as the LSH plane literals), so no engine ever calls log.
+    // Leading digit comes from floor(value·100) via a fixed integer CASE
+    // chain (floor preserves the leading digit for x ≥ 1) — no log10, no
+    // string formatting. Per-digit counts are conditional sums in ONE
+    // aggregate row; the 9 |c_d − p_d·n| terms fold in fixed order.
+    QueryDef("drift_benford_firstdigit", (s, dir) => {
+      val pd = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+      val m = floor(col("value") * lit(100.0)).cast("long")
+      val lead = when(m < 10L, m)
+        .when(m < 100L, expr("__m DIV 10"))
+        .when(m < 1000L, expr("__m DIV 100"))
+        .when(m < 10000L, expr("__m DIV 1000"))
+        .when(m < 100000L, expr("__m DIV 10000"))
+        .when(m < 1000000L, expr("__m DIV 100000"))
+        .when(m < 10000000L, expr("__m DIV 1000000"))
+        .otherwise(expr("__m DIV 10000000"))
+      val base = t("events")(s, dir)
+        .where(col("value") >= 0.01)
+        .withColumn("__m", m)
+        .select(col("event_type"), lead.as("d"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          (1 to 9).map(d =>
+            sum(when(col("d") === d.toLong, 1L).otherwise(0L))
+              .cast("double").as(s"c$d")): _*)
+      val tv = (1 to 9).map(d => abs(col(s"c$d") - lit(pd(d - 1)) * col("n")))
+        .reduce(_ + _) / (lit(2.0) * col("n"))
+      base.select(col("event_type"), col("n").cast("long").as("n"),
+          tv.as("tv_benford"))
+        .orderBy(col("event_type"))
+    }, Some {
+      val pd = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+      val lead = "CASE WHEN m < 10 THEN m WHEN m < 100 THEN m // 10 " +
+        "WHEN m < 1000 THEN m // 100 WHEN m < 10000 THEN m // 1000 " +
+        "WHEN m < 100000 THEN m // 10000 WHEN m < 1000000 THEN m // 100000 " +
+        "WHEN m < 10000000 THEN m // 1000000 ELSE m // 10000000 END"
+      // e0 suffix forces DuckDB to parse the literal DIRECTLY as a double
+      // (correctly-rounded strtod); a bare decimal literal goes through
+      // DECIMAL first, whose cast to double can be off by one ulp
+      val terms = (1 to 9).map(d =>
+        s"abs(c$d - ${pd(d - 1)}e0 * n)").mkString(" + ")
+      val cs = (1 to 9).map(d =>
+        s"CAST(sum(CASE WHEN d = $d THEN 1 ELSE 0 END) AS DOUBLE) AS c$d").mkString(", ")
+      s"""
+      WITH b AS (
+        SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS m
+        FROM events WHERE value >= 0.01),
+      l AS (SELECT event_type, $lead AS d FROM b),
+      a AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, $cs
+            FROM l GROUP BY event_type)
+      SELECT event_type, CAST(n AS BIGINT) AS n,
+             ($terms) / (CAST(2.0 AS DOUBLE) * n) AS tv_benford
+      FROM a ORDER BY event_type"""
+    }),
+
+    // Seasonality drift: TV distance between the hour-of-day activity
+    // profiles of weekdays vs weekends — the load-shape check behind
+    // "can we batch tonight". Day-set membership uses EACH ENGINE'S OWN
+    // dow convention for the same day set (Spark dayofweek 1=Sun/7=Sat,
+    // DuckDB isodow 6/7 — the hash pins equivalence); the 24-hour grid
+    // is bounded, the numerator exact BIGINT.
+    QueryDef("drift_hour_seasonality", (s, dir) => {
+      val perHour = t("events")(s, dir)
+        .select(hour(col("ts")).cast("long").as("h"),
+          when(dayofweek(col("ts")).isin(1, 7), 1L).otherwise(0L).as("we"))
+        .groupBy(col("h"))
+        .agg(sum(lit(1L) - col("we")).as("ca"), sum(col("we")).as("cb"))
+      val tots = perHour.agg(sum(col("ca")).as("n_weekday"),
+        sum(col("cb")).as("n_weekend"))
+      perHour.crossJoin(broadcast(tots))
+        .groupBy(col("n_weekday"), col("n_weekend"))
+        .agg(sum(abs(col("ca") * col("n_weekend") - col("cb") * col("n_weekday")))
+          .as("tv_num"))
+        .select(col("n_weekday"), col("n_weekend"), col("tv_num"),
+          (col("tv_num").cast("double") /
+            (lit(2L) * col("n_weekday") * col("n_weekend")).cast("double"))
+            .as("tv"))
+    }, Some("""
+      WITH b AS (
+        SELECT CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS h,
+               CASE WHEN isodow(CAST(ts AS TIMESTAMP)) IN (6, 7) THEN 1 ELSE 0 END AS we
+        FROM events),
+      ph AS (SELECT h, CAST(sum(1 - we) AS BIGINT) AS ca,
+                    CAST(sum(we) AS BIGINT) AS cb
+             FROM b GROUP BY h),
+      t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_weekday,
+                   CAST(sum(cb) AS BIGINT) AS n_weekend FROM ph)
+      SELECT t.n_weekday, t.n_weekend,
+             CAST(sum(abs(ca * t.n_weekend - cb * t.n_weekday)) AS BIGINT) AS tv_num,
+             CAST(sum(abs(ca * t.n_weekend - cb * t.n_weekday)) AS DOUBLE)
+               / CAST(2 * t.n_weekday * t.n_weekend AS DOUBLE) AS tv
+      FROM ph CROSS JOIN t GROUP BY t.n_weekday, t.n_weekend""")),
+
     // Novel-category influx: per week, the share of events whose
     // event_type is seen for the FIRST time that week — the "new domain
     // arriving" alarm. first_seen = min(week) per type, joined back;

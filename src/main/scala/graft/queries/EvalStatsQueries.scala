@@ -346,6 +346,79 @@ object EvalStatsQueries {
             FROM li a JOIN li b ON a.l_partkey = b.l_partkey)
       SELECT * FROM p CROSS JOIN a""")),
 
+    // ANN MRR evaluation: mean reciprocal rank of the TRUE nearest
+    // neighbor (brute-force top-1) inside the LSH top-5 list — the
+    // rank-sensitive companion to ann_recall_eval (recall says the
+    // neighbor was found; MRR says WHERE). Reciprocals are single IEEE
+    // divisions; the mean is a query_id-ORDERED sequential fold
+    // (sort_array + aggregate ↔ list(… ORDER BY) + list_reduce), never
+    // an unordered double sum across groups.
+    QueryDef("ann_mrr_eval", (s, dir) => {
+      val emb = t("embeddings")(s, dir)
+      val q = emb.where(col("vec_id") < 10)
+      val planeSets = Seq(
+        Ann.deterministicPlanes(8, 64, seed = 1),
+        Ann.deterministicPlanes(8, 64, seed = 2))
+      val truth = Ann.bruteForceTopK(q, emb, "vec_id", "embedding", 1)
+        .select(col("query_id"), col("neighbor_id").as("true_nn"))
+      val approx = Ann.lshTopK(q, emb, "vec_id", "embedding", 5, planeSets)
+        .select(col("query_id").as("ql"), col("neighbor_id").as("nl"),
+          col("rank"))
+      val rr = truth.join(approx,
+          col("query_id") === col("ql") && col("true_nn") === col("nl"), "left")
+        .select(col("query_id"),
+          coalesce(lit(1.0) / col("rank").cast("double"), lit(0.0)).as("rr"))
+      rr.agg(count(lit(1)).as("n_queries"),
+          sort_array(collect_list(struct(col("query_id"), col("rr"))))
+            .as("__arr"))
+        .select(col("n_queries"),
+          (aggregate(transform(col("__arr"), x => x.getField("rr")),
+            lit(0.0), (a, v) => a + v) / col("n_queries").cast("double"))
+            .as("mrr"))
+    }, Some {
+      val planeSets = Seq(
+        Ann.deterministicPlanes(8, 64, seed = 1),
+        Ann.deterministicPlanes(8, 64, seed = 2))
+      def bucketSql(v: String, planes: Seq[Seq[Double]]): String =
+        planes.zipWithIndex.map { case (p, i) =>
+          val lit = p.map(_.toString).mkString("[", ", ", "]")
+          s"CASE WHEN ${Sql.dot(v, s"CAST($lit AS DOUBLE[])")} >= 0.0 THEN ${1L << i} ELSE 0 END"
+        }.mkString("(", " + ", ")")
+      val b0q = bucketSql("q.embedding", planeSets(0))
+      val b1q = bucketSql("q.embedding", planeSets(1))
+      val b0c = bucketSql("c.embedding", planeSets(0))
+      val b1c = bucketSql("c.embedding", planeSets(1))
+      s"""
+      WITH truth AS (
+        SELECT query_id, neighbor_id AS true_nn FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY ${Sql.cosine("q.embedding", "c.embedding")} DESC, c.vec_id) AS rn
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        WHERE rn = 1),
+      cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               q.embedding AS qv, c.embedding AS cv
+        FROM embeddings q JOIN embeddings c
+          ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+         AND ($b0q = $b0c OR $b1q = $b1c)),
+      approx AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY ${Sql.cosine("qv", "cv")} DESC, neighbor_id) AS INT) AS rank
+        FROM cand QUALIFY rank <= 5),
+      rr AS (
+        SELECT t.query_id,
+               coalesce(1.0e0 / CAST(a.rank AS DOUBLE), 0.0e0) AS rr
+        FROM truth t LEFT JOIN approx a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.true_nn)
+      SELECT CAST(count(*) AS BIGINT) AS n_queries,
+             ${Sql.foldSum("list(rr ORDER BY query_id)")}
+               / CAST(count(*) AS DOUBLE) AS mrr
+      FROM rr"""
+    }),
+
     // Dedup-LSH recall evaluation: exact all-pairs ground truth (word
     // 3-shingle Jaccard ≥ 0.2 over a bounded doc subset — O(N²) BY
     // DESIGN, it's the ground truth) vs the MinHash-LSH pair set over

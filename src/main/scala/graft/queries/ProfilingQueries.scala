@@ -20,7 +20,61 @@ object ProfilingQueries {
   private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
     Tables.load(s, dir, name)
 
+  /** Exact Gini of a non-negative long column `v` (see
+    * `stats_gini_doclen`): count-of-counts grid → doubled rank-weighted
+    * block sums → G = W/(n·T) − (n+1)/n. Integers until the final three
+    * mirrored IEEE ops; ties need no order.
+    */
+  def giniLong(values: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val grid = values.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = grid.withColumn("o",
+      coalesce(sum(col("c")).over(w), lit(0L)))
+    cum.agg(
+        sum(col("c")).as("n"),
+        sum(col("v") * col("c")).as("total"),
+        sum(col("v") * (lit(2L) * col("c") * col("o") +
+          col("c") * (col("c") + lit(1L)))).as("w2"))
+      .select(col("n"), col("total"),
+        (col("w2").cast("double") / (col("n") * col("total")).cast("double") -
+          (col("n") + lit(1L)).cast("double") / col("n").cast("double"))
+          .as("gini"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Gini coefficient of document lengths — corpus inequality: is the
+    // token mass spread across documents or concentrated in a few
+    // giants? Exact via the count-of-counts grid: for a length v with
+    // count c at cumulative offset o, the doubled rank-weighted sum over
+    // its block is v·(2co + c(c+1)) — ALL integers (ties need no order),
+    // G = W/(n·T) − (n+1)/n is three IEEE ops mirrored verbatim. Scale:
+    // the grid and its cumsum run over DISTINCT LENGTHS (bounded by the
+    // max doc length), never over docs.
+    QueryDef("stats_gini_doclen", (s, dir) =>
+      giniLong(t("documents")(s, dir)
+        .select(size(graft.functions.TextAnalysisFns.tokens(col("text")))
+          .cast("long").as("v")))
+    , Some {
+      val toks = Sql.tokens("text")
+      s"""
+      WITH lv AS (SELECT CAST(len($toks) AS BIGINT) AS v FROM documents),
+      g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM lv GROUP BY v),
+      cw AS (SELECT v, c,
+                    CAST(coalesce(sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS o
+             FROM g),
+      a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(v * c) AS BIGINT) AS total,
+                   CAST(sum(v * (2 * c * o + c * (c + 1))) AS BIGINT) AS w2
+            FROM cw)
+      SELECT n, total,
+             CAST(w2 AS DOUBLE) / CAST(n * total AS DOUBLE)
+               - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+      FROM a"""
+    }),
 
     // Grouped skewness / kurtosis (population form) from raw moments.
     // The moments are computed over integer CENTS (skew/kurt are

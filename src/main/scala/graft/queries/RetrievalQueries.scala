@@ -151,6 +151,66 @@ object RetrievalQueries {
       FROM r WHERE rn <= 5
       ORDER BY source, rn""")),
 
+    // Budget-capped weighted selection: per source, admit documents in
+    // priority order (the same q = w/u priority-sampling key) until a
+    // 3000-token budget is spent — the "fill each domain's quota with a
+    // weighted draw" curation step that composes sampling with mixture
+    // budgets. The kept set is pinned by an order-sensitive fold hash
+    // ((a·31 + id) mod 1e9+7 over ids in admission order), so the oracle
+    // checks WHICH docs were taken and in what order, not just counts.
+    // Scale note: the per-source priority sort is inherent to budgeted
+    // selection; at extreme per-source cardinality the admission
+    // threshold is found on the count-grid first (profile_key_skew's
+    // trick) and only candidates above it are sorted.
+    QueryDef("mixture_priority_sample", (s, dir) => {
+      val budget = 3000L
+      val base = t("documents")(s, dir).select(col("source"), col("doc_id"),
+        size(graft.functions.TextAnalysisFns.tokens(col("text")))
+          .cast("long").as("n_toks"))
+      val h48 = conv(substring(md5(concat(lit("mix0:"),
+        col("doc_id").cast("string"))), 1, 12), 16, 10).cast("bigint")
+      val u = (h48 + lit(1L)).cast("double") / lit(281474976710656.0)
+      val q = (col("n_toks") + lit(1L)).cast("double") / u
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("priority").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val kept = base.withColumn("priority", q)
+        .withColumn("cum", sum(col("n_toks")).over(w))
+        .where(col("cum") <= budget)
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_toks")).as("tokens_kept"),
+          aggregate(
+            transform(sort_array(collect_list(struct(
+              (-col("priority")).as("negp"), col("doc_id")))),
+              x => x.getField("doc_id")),
+            lit(0L), (a, id) => (a * 31 + id) % 1000000007L).as("kept_hash"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH b AS (
+        SELECT source, doc_id,
+               CAST(len(${Sql.tokens("text")}) AS BIGINT) AS n_toks,
+               CAST(concat('0x', substr(md5('mix0:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h48
+        FROM documents),
+      p AS (
+        SELECT source, doc_id, n_toks,
+               CAST(n_toks + 1 AS DOUBLE) / (CAST(h48 + 1 AS DOUBLE) / CAST(281474976710656 AS DOUBLE)) AS priority
+        FROM b),
+      c AS (
+        SELECT source, doc_id, n_toks, priority,
+               sum(n_toks) OVER (PARTITION BY source
+                 ORDER BY priority DESC, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM p),
+      k AS (SELECT * FROM c WHERE cum <= 3000)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(sum(n_toks) AS BIGINT) AS tokens_kept,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list(doc_id ORDER BY priority DESC, doc_id)),
+               (a, id) -> (a * 31 + id) % 1000000007) AS BIGINT) AS kept_hash
+      FROM k GROUP BY source ORDER BY source""")),
+
     // Distributed inverted-index build: distinct (doc, term) postings →
     // per-term document frequency + a capped, doc-id-ordered postings
     // head (cap 100 — real indexes shard the tail; the df column keeps

@@ -87,6 +87,21 @@ class DriftSpec extends AnyFunSuite {
     assert(rows.map(_._2) == rows.map(_._2).sorted)
   }
 
+  test("Gini: 0 for equal values, (n-1)/n for total concentration, known 2-value case") {
+    import graft.queries.ProfilingQueries.giniLong
+    val equal = Seq.fill(50)(7L).toDF("v")
+    assert(giniLong(equal).select($"gini").as[Double].first() == 0.0)
+
+    // one holder of all mass among n=10: G = (n-1)/n = 0.9 — asserted via
+    // the same W/(nT) − (n+1)/n op sequence (2.0 − 1.1 in IEEE)
+    val conc = (Seq.fill(9)(0L) :+ 1000L).toDF("v")
+    assert(giniLong(conc).select($"gini").as[Double].first() == 2.0 - 1.1)
+
+    // {1,3}: sorted ranks → G = (2·(1·1+2·3)/(2·4)) − 3/2 = 14/8 − 12/8 = 0.25
+    val two = Seq(1L, 3L).toDF("v")
+    assert(giniLong(two).select($"gini").as[Double].first() == 0.25)
+  }
+
   private def date_trunc(unit: String, c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.date_trunc(unit, c)
 }
