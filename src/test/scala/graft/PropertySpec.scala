@@ -141,4 +141,45 @@ class PropertySpec extends AnyFunSuite {
       else assert(scale == 0.0)
     }
   }
+
+  test("gini law: count-grid form ≡ mean-absolute-difference form on random lists") {
+    // G = Σᵢⱼ|xᵢ−xⱼ| / (2n²μ) = Σᵢⱼ|xᵢ−xⱼ| / (2nT) — the textbook MAD
+    // identity, computed independently of the rank-based grid form
+    val listGen = Gen.choose(2, 30)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0L, 50L)))
+      .suchThat(_.sum > 0)
+    samples(listGen, 25).zipWithIndex.foreach { case (xs, i) =>
+      val got = graft.queries.ProfilingQueries
+        .giniLong(xs.toDF("v")).select($"gini").as[Double].first()
+      val n = xs.length
+      val t = xs.sum
+      val mad = (for (a <- xs; b <- xs) yield math.abs(a - b)).sum
+      val ref = mad.toDouble / (2.0 * n * t)
+      assert(math.abs(got - ref) < 1e-12, s"case $i: $got vs $ref on $xs")
+      assert(got >= -1e-12 && got <= (n - 1).toDouble / n + 1e-12)
+    }
+  }
+
+  test("priority-sample law: agg top-k ≡ window top-k over q = w/u on random weights") {
+    val rowsGen = Gen.choose(5, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("g1", "g2", "g3"), Gen.choose(0L, 100L))))
+    val all = samples(rowsGen, 12).zipWithIndex.flatMap { case (rows, i) =>
+      rows.zipWithIndex.map { case ((g, w), j) =>
+        (s"case$i#$g", i.toLong * 1000 + j, w) }
+    }.toDF("grp", "id", "w")
+    val k = 4
+    val got = graft.operators.Sampling
+      .priorityPerGroup(all, "grp", "id", $"w", k, "pp")
+      .select($"grp", $"id").as[(String, Long)].collect().toSet
+    val h48 = conv(substring(md5(concat(lit("pp:"), $"id".cast("string"))), 1, 12), 16, 10)
+      .cast("bigint")
+    val q = $"w".cast("double") /
+      (($"h48" + lit(1L)).cast("double") / lit(281474976710656.0))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"grp").orderBy($"q".desc, $"id")
+    val ref = all.withColumn("h48", h48).withColumn("q", q)
+      .withColumn("rn", row_number().over(win))
+      .where($"rn" <= k).select($"grp", $"id").as[(String, Long)].collect().toSet
+    assert(got == ref)
+  }
 }
