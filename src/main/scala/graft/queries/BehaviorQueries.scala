@@ -63,6 +63,48 @@ object BehaviorQueries {
       JOIN na y ON y.event_type = i.type_b
       ORDER BY type_a, type_b""")),
 
+    // RFM segmentation — the classic recency/frequency/monetary customer
+    // quartile coding. One grouped pass builds the per-customer triple
+    // (last order date, order count, DECIMAL-exact spend); three ntile(4)
+    // windows assign quartiles (1 = best) under fully-deterministic
+    // orders (metric, custkey tiebreak — ntile's fill rule is the same
+    // standard definition in both engines). rfm_code = 100r + 10f + m.
+    QueryDef("rfm_segments", (s, dir) => {
+      val cust = t("orders")(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(12,2)")).as("__spend"))
+        .select(col("o_custkey"), col("last_order"), col("n_orders"),
+          col("__spend").cast("double").as("spend"))
+      def quart(order: Seq[org.apache.spark.sql.Column]) = ntile(4).over(
+        Window.orderBy(order: _*))
+      cust
+        .withColumn("r", quart(Seq(col("last_order").desc, col("o_custkey"))))
+        .withColumn("f", quart(Seq(col("n_orders").desc, col("o_custkey"))))
+        .withColumn("m", quart(Seq(col("spend").desc, col("o_custkey"))))
+        .select(col("o_custkey"),
+          col("last_order").cast("timestamp").as("last_order"),
+          col("n_orders"), col("spend"),
+          (col("r") * 100 + col("f") * 10 + col("m")).as("rfm_code"))
+        .orderBy(col("o_custkey"))
+    }, Some("""
+      WITH c AS (
+        SELECT o_custkey, max(CAST(o_orderdate AS TIMESTAMP)) AS last_order,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+        FROM orders GROUP BY o_custkey),
+      q AS (
+        SELECT o_custkey, last_order, n_orders, spend,
+               ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+               ntile(4) OVER (ORDER BY n_orders DESC, o_custkey) AS f,
+               ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS m
+        FROM c)
+      SELECT o_custkey, CAST(last_order AS TIMESTAMP) AS last_order,
+             n_orders, spend,
+             CAST(r * 100 + f * 10 + m AS INT) AS rfm_code
+      FROM q ORDER BY o_custkey""")),
+
     // Gopher-style repetition signal: fraction of duplicate word 2-grams
     // per document (1 − distinct/total). High values flag the
     // boilerplate/spam documents a training-data filter drops. Counts are

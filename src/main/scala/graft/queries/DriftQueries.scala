@@ -231,6 +231,71 @@ object DriftQueries {
       FROM a ORDER BY event_type"""
     }),
 
+    // Burstiness (Fano factor) of hourly event counts per type:
+    // variance-to-mean ratio of the per-hour counts — F ≈ 1 is Poisson
+    // (steady), F ≫ 1 is bursty (needs bigger micro-batch headroom).
+    // Population variance over the k hourly counts via integer raw sums:
+    // F = (k·Σx² − S²) / (k·S) — exact BIGINTs, ONE double division.
+    QueryDef("burstiness_fano", (s, dir) => {
+      val hourly = t("events")(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("x"))
+      hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("k"), sum(col("x")).as("s"),
+          sum(col("x") * col("x")).as("sx2"))
+        .select(col("event_type"), col("k"), col("s"),
+          ((col("k") * col("sx2") - col("s") * col("s")).cast("double") /
+            (col("k") * col("s")).cast("double")).as("fano"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH h AS (
+        SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2),
+      a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(x) AS BIGINT) AS s,
+                   CAST(sum(x * x) AS BIGINT) AS sx2
+            FROM h GROUP BY event_type)
+      SELECT event_type, k, s,
+             CAST(k * sx2 - s * s AS DOUBLE) / CAST(k * s AS DOUBLE) AS fano
+      FROM a ORDER BY event_type""")),
+
+    // Inter-arrival-time quartiles per event type — the traffic-shape
+    // profile (bursty vs steady feeds need different micro-batch sizing).
+    // Gaps are exact integer MICROSECONDS from a per-user lag; quartiles
+    // ride the proven percentile ≡ quantile_cont bit-exactness on
+    // integer-valued doubles at quarter fractions (text_token_quantiles).
+    QueryDef("interarrival_quartiles", (s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      t("events")(s, dir)
+        .withColumn("__prev", lag(col("ts"), 1).over(w))
+        .where(col("__prev").isNotNull)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) - unix_micros(col("__prev")))
+            .cast("double").as("gap_us"))
+        .groupBy(col("event_type"))
+        .agg(expr("percentile(gap_us, 0.25D)").as("p25"),
+          expr("percentile(gap_us, 0.5D)").as("p50"),
+          expr("percentile(gap_us, 0.75D)").as("p75"),
+          count(lit(1)).as("n_gaps"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      WITH o AS (
+        SELECT event_type,
+               CAST(epoch_us(CAST(ts AS TIMESTAMP)) -
+                    epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER
+                      (PARTITION BY user_id, event_type
+                       ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS DOUBLE) AS gap_us
+        FROM events),
+      g AS (SELECT event_type, gap_us FROM o WHERE gap_us IS NOT NULL)
+      SELECT event_type, quantile_cont(gap_us, 0.25) AS p25,
+             quantile_cont(gap_us, 0.5) AS p50,
+             quantile_cont(gap_us, 0.75) AS p75,
+             count(*) AS n_gaps
+      FROM g GROUP BY event_type ORDER BY event_type""")),
+
     // Seasonality drift: TV distance between the hour-of-day activity
     // profiles of weekdays vs weekends — the load-shape check behind
     // "can we batch tonight". Day-set membership uses EACH ENGINE'S OWN

@@ -76,6 +76,70 @@ object ProfilingQueries {
       FROM a"""
     }),
 
+    // Lorenz-curve deciles — Gini's companion exhibit: for each decile d
+    // of documents (ordered by length), the cumulative share of total
+    // tokens held by the bottom d·10%. Same count-of-counts grid as
+    // stats_gini_doclen; the decile row count comes from the
+    // cross-multiplied threshold (cum_docs·10 ≥ d·n), its token share is
+    // the cumulative-token sum at that boundary plus the partial block —
+    // all integers, two final divisions per row mirrored verbatim.
+    QueryDef("stats_lorenz_doclen", (s, dir) => {
+      val grid = t("documents")(s, dir)
+        .select(size(graft.functions.TextAnalysisFns.tokens(col("text")))
+          .cast("long").as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = grid
+        .withColumn("cd", sum(col("c")).over(w))
+        .withColumn("ct", sum(col("v") * col("c")).over(w))
+      val tots = grid.agg(sum(col("c")).as("n"),
+        sum(col("v") * col("c")).as("t"))
+      val dec = cum.sparkSession.range(1, 10).select(col("id").as("decile"))
+      // boundary row for decile d: the first grid value whose cumulative
+      // doc count clears d·n/10; docs beyond the boundary inside that
+      // value block contribute v each
+      // cd and ct are monotone in v, so the boundary row's three fields
+      // are three independent mins — no struct-min needed on either side
+      val cut = expr("(decile * n + 9) DIV 10")
+      val bottom = col("bct") - (col("bcd") - cut) * col("bv")
+      cum.crossJoin(broadcast(tots)).crossJoin(broadcast(dec))
+        .where(col("cd") * 10 >= col("decile") * col("n"))
+        .groupBy(col("decile"), col("n"), col("t"))
+        .agg(min(col("v")).as("bv"), min(col("cd")).as("bcd"),
+          min(col("ct")).as("bct"))
+        .select(col("decile"),
+          // tokens held by the bottom ceil(d·n/10) docs: cumulative tokens
+          // through the boundary value, minus the boundary-block docs
+          // ABOVE the decile cut (each of length bv)
+          bottom.as("tokens_bottom"),
+          col("t").as("tokens_total"),
+          (bottom.cast("double") / col("t").cast("double")).as("share"))
+        .orderBy(col("decile"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      s"""
+      WITH lv AS (SELECT CAST(len($toks) AS BIGINT) AS v FROM documents),
+      g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM lv GROUP BY v),
+      cw AS (SELECT v,
+                    CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cd,
+                    CAST(sum(v * c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct
+             FROM g),
+      tt AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(v * c) AS BIGINT) AS t FROM g),
+      d AS (SELECT unnest(generate_series(1, 9)) AS decile),
+      b AS (SELECT d.decile, tt.n, tt.t,
+                   min(cw.v) AS bv, min(cw.cd) AS bcd, min(cw.ct) AS bct
+            FROM cw CROSS JOIN tt CROSS JOIN d
+            WHERE cw.cd * 10 >= d.decile * tt.n
+            GROUP BY d.decile, tt.n, tt.t)
+      SELECT CAST(decile AS BIGINT) AS decile,
+             CAST(bct - (bcd - (decile * n + 9) // 10) * bv AS BIGINT) AS tokens_bottom,
+             t AS tokens_total,
+             CAST(bct - (bcd - (decile * n + 9) // 10) * bv AS DOUBLE)
+               / CAST(t AS DOUBLE) AS share
+      FROM b ORDER BY decile"""
+    }),
+
     // Grouped skewness / kurtosis (population form) from raw moments.
     // The moments are computed over integer CENTS (skew/kurt are
     // scale-invariant) and every double→DECIMAL cast happens BELOW 2^53:

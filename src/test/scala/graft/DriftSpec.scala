@@ -102,6 +102,17 @@ class DriftSpec extends AnyFunSuite {
     assert(giniLong(two).select($"gini").as[Double].first() == 0.25)
   }
 
+  test("Lorenz deciles: shares monotone, below the diagonal, consistent with Gini's data") {
+    val rows = SparkEntry.queries("stats_lorenz_doclen")(spark, "/root/testdata/sf0.001")
+      .select($"decile", $"share").as[(Long, Double)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 9L))
+    val shares = rows.map(_._2)
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b }, shares.mkString(","))
+    // bottom d·10% of docs (by length) holds AT MOST d·10% of tokens
+    rows.foreach { case (d, s) => assert(s <= d / 10.0 + 1e-12, s"d=$d s=$s") }
+    assert(shares.head > 0.0 && shares.last < 1.0)
+  }
+
   private def date_trunc(unit: String, c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.date_trunc(unit, c)
 }
