@@ -79,20 +79,28 @@ object Ann {
     topKByScore(scored, k)
   }
 
-  /** Brute-force cosine top-k: for each query vector, the k most similar
-    * corpus vectors (self-match excluded), ties broken by corpus id.
+  /** The shared brute-force scoring block (broadcast queries × streamed
+    * corpus, norms precomputed, self-match excluded) — one source of
+    * truth for [[bruteForceTopK]] and [[hardNegatives]], so a fix to the
+    * plan (exclusion rule, norm precompute) lands in both.
     */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+  private def scoredCandidates(queries: DataFrame, corpus: DataFrame,
+                               idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       VecFns.norm(col(vecCol)).as("qn"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       VecFns.norm(col(vecCol)).as("cn"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosinePre(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
-    topKByScore(scored, k)
   }
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * corpus vectors (self-match excluded), ties broken by corpus id.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame =
+    topKByScore(scoredCandidates(queries, corpus, idCol, vecCol), k)
 
   /** Hard-negative mining for contrastive embedding training: per query,
     * the k MOST similar corpus vectors that are NOT near-duplicates
@@ -106,17 +114,9 @@ object Ann {
     * the lsh/ivf candidate equi-join — filter and tail are unchanged.
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
-                    vecCol: String, k: Int, dupThreshold: Double): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      VecFns.norm(col(vecCol)).as("qn"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      VecFns.norm(col(vecCol)).as("cn"))
-    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosinePre(col("qv"), col("qn"), col("cv"), col("cn")).as("cosine"))
-      .where(col("cosine") < dupThreshold)
-    topKByScore(scored, k)
-  }
+                    vecCol: String, k: Int, dupThreshold: Double): DataFrame =
+    topKByScore(scoredCandidates(queries, corpus, idCol, vecCol)
+      .where(col("cosine") < dupThreshold), k)
 
   /** All pairs (id_a < id_b) with cosine ≥ threshold — exact, O(N²); the
     * small-scale oracle for the LSH variants.

@@ -140,13 +140,24 @@ object Sampling {
     *
     * Output: (group, rn 1..k in priority order, id, priority).
     */
+  /** The priority-sampling key q = w/u with u = (md5-h48 + 1)/2⁴⁸ — the
+    * ONE construction shared by [[priorityPerGroup]] and the budgeted
+    * admission query (`mixture_priority_sample`), and mirrored verbatim
+    * by their oracles: seed separator ':', 12 hex chars, +1 offset, the
+    * 2⁴⁸ constant. Change it here and every user (and its SQL mirror)
+    * must move together.
+    */
+  def priorityKey(seed: String, id: Column, weight: Column): Column = {
+    val h48 = conv(substring(md5(concat(lit(seed), lit(":"),
+      id.cast("string"))), 1, 12), 16, 10).cast("bigint")
+    val u = (h48 + lit(1L)).cast("double") / lit(281474976710656.0)
+    weight.cast("double") / u
+  }
+
   def priorityPerGroup(df: DataFrame, groupCol: String, idCol: String,
                        weight: Column, k: Int, seed: String): DataFrame = {
     require(k > 0, "k must be positive")
-    val h48 = conv(substring(md5(concat(lit(seed), lit(":"),
-      col(idCol).cast("string"))), 1, 12), 16, 10).cast("bigint")
-    val u = (h48 + lit(1L)).cast("double") / lit(281474976710656.0)
-    val entry = struct((weight.cast("double") / u).as("score"),
+    val entry = struct(priorityKey(seed, col(idCol), weight).as("score"),
       col(idCol).cast("long").as("id"))
     df.groupBy(col(groupCol))
       .agg(graft.expressions.TopKAgg.topK(entry, k).as("__top"))

@@ -69,6 +69,14 @@ object BehaviorQueries {
     // windows assign quartiles (1 = best) under fully-deterministic
     // orders (metric, custkey tiebreak — ntile's fill rule is the same
     // standard definition in both engines). rfm_code = 100r + 10f + m.
+    // Scale caveat: the three ntile windows are GLOBAL sorts of the
+    // per-customer rollup (|customers| rows — far below the fact table,
+    // but corpus-cardinality, not grid-bounded). At extreme cardinality
+    // compute the three quartile boundaries on the count-of-counts grid
+    // (profile_key_skew's cross-multiplied threshold) and assign by
+    // comparison — the ntile form is kept here because boundary TIES are
+    // then split by row order, which comparison-assignment can't
+    // reproduce bit-for-bit.
     QueryDef("rfm_segments", (s, dir) => {
       val cust = t("orders")(s, dir)
         .groupBy(col("o_custkey"))

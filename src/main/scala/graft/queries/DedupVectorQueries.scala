@@ -24,6 +24,16 @@ object DedupVectorQueries {
   private val NgramThreshold   = 0.3
   private val CosineThreshold  = 0.3
 
+  /** Canonical-form content hash: NFC-normalize, casefold, collapse
+    * whitespace, md5 — the key of `dedup_exact_canonical` (the corpus
+    * has no reformatted copies, so the spec constructs them; the oracle
+    * mirrors each step with utf8proc nfc_normalize / lower /
+    * regexp_replace).
+    */
+  def canonicalHash(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    md5(regexp_replace(
+      lower(graft.expressions.NfcNormalize(text)), "\\s+", " "))
+
   /** The dedup-clustering oracle (MinHash-LSH pairs → recursive-CTE
     * transitive closure → min reachable id), shared verbatim by
     * `dedup_components` (driver union-find path) and
@@ -98,15 +108,13 @@ object DedupVectorQueries {
     // normalization is one compiled projection (NfcNormalize ≡ utf8proc
     // nfc_normalize — portability pinned by f33).
     QueryDef("dedup_exact_canonical", (s, dir) => {
-      val canon = regexp_replace(
-        lower(graft.expressions.NfcNormalize(col("text"))), "\\s+", " ")
       t("documents")(s, dir)
-        .select(col("doc_id"), md5(canon).as("canon_hash"))
+        .select(col("doc_id"), canonicalHash(col("text")).as("canon_hash"))
         .groupBy(col("canon_hash"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
         .orderBy(col("keep_id"))
     }, Some("""
-      SELECT md5(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS canon_hash,
+      SELECT md5(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g')) AS canon_hash,
              min(doc_id) AS keep_id, count(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY keep_id""")),
 

@@ -184,14 +184,14 @@ object DriftQueries {
     QueryDef("drift_benford_firstdigit", (s, dir) => {
       val pd = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
       val m = floor(col("value") * lit(100.0)).cast("long")
-      val lead = when(m < 10L, m)
-        .when(m < 100L, expr("__m DIV 10"))
-        .when(m < 1000L, expr("__m DIV 100"))
-        .when(m < 10000L, expr("__m DIV 1000"))
-        .when(m < 100000L, expr("__m DIV 10000"))
-        .when(m < 1000000L, expr("__m DIV 100000"))
-        .when(m < 10000000L, expr("__m DIV 1000000"))
-        .otherwise(expr("__m DIV 10000000"))
+      // full 18-decade chain: any representable positive long keeps a
+      // SINGLE-digit lead (a truncated chain would emit 10..99 for
+      // values beyond its last band — counted in n but landing in no
+      // digit bucket, silently distorting the TV)
+      val lead = (1 to 17).foldLeft(when(m < 10L, m)) { case (acc, p) =>
+        acc.when(m < math.pow(10, p + 1).toLong,
+          expr(s"__m DIV ${math.pow(10, p).toLong}"))
+      }.otherwise(expr(s"__m DIV ${1000000000000000000L}"))
       val base = t("events")(s, dir)
         .where(col("value") >= 0.01)
         .withColumn("__m", m)
@@ -208,10 +208,13 @@ object DriftQueries {
         .orderBy(col("event_type"))
     }, Some {
       val pd = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
-      val lead = "CASE WHEN m < 10 THEN m WHEN m < 100 THEN m // 10 " +
-        "WHEN m < 1000 THEN m // 100 WHEN m < 10000 THEN m // 1000 " +
-        "WHEN m < 100000 THEN m // 10000 WHEN m < 1000000 THEN m // 100000 " +
-        "WHEN m < 10000000 THEN m // 1000000 ELSE m // 10000000 END"
+      // same 18-decade chain as the Spark side — generated from one loop
+      // so the band lists can never drift apart
+      val lead = "CASE WHEN m < 10 THEN m " +
+        (1 to 17).map(p =>
+          s"WHEN m < ${math.pow(10, p + 1).toLong} THEN m // ${math.pow(10, p).toLong}")
+          .mkString(" ") +
+        s" ELSE m // ${1000000000000000000L} END"
       // e0 suffix forces DuckDB to parse the literal DIRECTLY as a double
       // (correctly-rounded strtod); a bare decimal literal goes through
       // DECIMAL first, whose cast to double can be off by one ulp
@@ -380,8 +383,11 @@ object DriftQueries {
     // plots to see returns-per-added-data flattening (shingles, not bare
     // tokens: the synthetic corpus has only ~31 distinct words, so the
     // combinatorial unit is what actually grows). Scale: explode → min
-    // per shingle (one shuffle on the shingle key), cumsum over the
-    // BOUNDED batch axis.
+    // per shingle (one shuffle on the shingle key); the batch axis grows
+    // with the corpus (N/20 rows), so the prefix sum is SHARDED — 256
+    // batches per shard, per-shard windows plus a broadcast offset join
+    // (the same distributed-cumsum shape as profile_key_skew) — never a
+    // single-partition sort of the whole axis.
     QueryDef("vocab_growth", (s, dir) => {
       val firstSeen = t("documents")(s, dir)
         .select(expr("doc_id DIV 20").as("batch"),
@@ -390,10 +396,18 @@ object DriftQueries {
         .groupBy(col("tok")).agg(min(col("batch")).as("fbatch"))
       val perBatch = firstSeen.groupBy(col("fbatch").as("batch"))
         .agg(count(lit(1)).as("new_types"))
-      val cumW = Window.orderBy(col("batch"))
+        .withColumn("shard", expr("batch DIV 256"))
+      val shardW = Window.partitionBy(col("shard")).orderBy(col("batch"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      perBatch
-        .withColumn("vocab", sum(col("new_types")).over(cumW))
+      val icum = perBatch.withColumn("icum", sum(col("new_types")).over(shardW))
+      val stot = perBatch.groupBy(col("shard")).agg(sum(col("new_types")).as("snk"))
+      val off = stot.as("a")
+        .join(broadcast(stot.as("b")), col("b.shard") < col("a.shard"), "left")
+        .groupBy(col("a.shard").as("shard"))
+        .agg(coalesce(sum(col("b.snk")), lit(0L)).as("off"))
+      icum.join(broadcast(off), Seq("shard"))
+        .select(col("batch"), col("new_types"),
+          (col("icum") + col("off")).as("vocab"))
         .orderBy(col("batch"))
     }, Some {
       val toks = Sql.tokens("text")

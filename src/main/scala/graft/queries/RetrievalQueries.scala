@@ -167,10 +167,8 @@ object RetrievalQueries {
       val base = t("documents")(s, dir).select(col("source"), col("doc_id"),
         size(graft.functions.TextAnalysisFns.tokens(col("text")))
           .cast("long").as("n_toks"))
-      val h48 = conv(substring(md5(concat(lit("mix0:"),
-        col("doc_id").cast("string"))), 1, 12), 16, 10).cast("bigint")
-      val u = (h48 + lit(1L)).cast("double") / lit(281474976710656.0)
-      val q = (col("n_toks") + lit(1L)).cast("double") / u
+      val q = graft.operators.Sampling.priorityKey("mix0",
+        col("doc_id"), col("n_toks") + lit(1L))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("priority").desc, col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,

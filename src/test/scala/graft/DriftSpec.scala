@@ -113,6 +113,27 @@ class DriftSpec extends AnyFunSuite {
     assert(shares.head > 0.0 && shares.last < 1.0)
   }
 
+  test("canonicalHash: whitespace/case/NFC variants collapse to one cluster, cross-engine-pinned") {
+    import graft.queries.DedupVectorQueries.canonicalHash
+    // the fixture corpus has no reformatted copies, so the oracle gate
+    // exercises this vacuously — these constructed variants are the test
+    val variants = Seq(
+      "Hello  Wórld\tx",        // double space + tab, precomposed ó
+      "hello wórld x",          // already canonical
+      "HELLO WÓRLD X",         // decomposed o + combining acute
+      "hello\nwórld  x")        // newline + trailing double space
+    val hashes = variants.toDF("text")
+      .select(canonicalHash($"text").as("h")).as[String].collect().toSet
+    assert(hashes.size == 1, hashes.toString)
+    // pinned against DuckDB's md5(regexp_replace(lower(nfc_normalize(..)))
+    // on the same variants (computed once, offline)
+    assert(hashes.head == "c2718f18059d8bd9bb973063b56e11f1")
+    // and a genuinely different text does NOT collapse
+    val other = Seq("hello world x").toDF("text")
+      .select(canonicalHash($"text")).as[String].first()
+    assert(other != hashes.head)
+  }
+
   private def date_trunc(unit: String, c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.date_trunc(unit, c)
 }
