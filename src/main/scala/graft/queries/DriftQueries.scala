@@ -19,6 +19,21 @@ object DriftQueries {
   private def t(name: String) = (s: org.apache.spark.sql.SparkSession, dir: String) =>
     Tables.load(s, dir, name)
 
+  /** Leading decimal digit of a positive long column (by name, so the
+    * division is the SQL integer `DIV` — Spark's Column `/` on longs is
+    * double division) — a full 18-decade CASE chain, so ANY representable
+    * value keeps a single-digit lead (a truncated chain emits 10..99
+    * beyond its last band: counted in n but landing in no digit bucket,
+    * silently distorting the Benford TV).
+    */
+  def leadingDigit(colName: String): org.apache.spark.sql.Column = {
+    val m = col(colName)
+    (1 to 17).foldLeft(when(m < 10L, m)) { case (acc, p) =>
+      acc.when(m < math.pow(10, p + 1).toLong,
+        expr(s"$colName DIV ${math.pow(10, p).toLong}"))
+    }.otherwise(expr(s"$colName DIV ${1000000000000000000L}"))
+  }
+
   /** Week-over-week total-variation distance between per-week `event_type`
     * distributions: TV = ½·Σ|p_i − q_i| computed as
     * Σ|c_cur·n_prev − c_prev·n_cur| / (2·n_cur·n_prev) — the numerator is
@@ -184,18 +199,10 @@ object DriftQueries {
     QueryDef("drift_benford_firstdigit", (s, dir) => {
       val pd = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
       val m = floor(col("value") * lit(100.0)).cast("long")
-      // full 18-decade chain: any representable positive long keeps a
-      // SINGLE-digit lead (a truncated chain would emit 10..99 for
-      // values beyond its last band — counted in n but landing in no
-      // digit bucket, silently distorting the TV)
-      val lead = (1 to 17).foldLeft(when(m < 10L, m)) { case (acc, p) =>
-        acc.when(m < math.pow(10, p + 1).toLong,
-          expr(s"__m DIV ${math.pow(10, p).toLong}"))
-      }.otherwise(expr(s"__m DIV ${1000000000000000000L}"))
       val base = t("events")(s, dir)
         .where(col("value") >= 0.01)
         .withColumn("__m", m)
-        .select(col("event_type"), lead.as("d"))
+        .select(col("event_type"), leadingDigit("__m").as("d"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).cast("double").as("n"),
           (1 to 9).map(d =>

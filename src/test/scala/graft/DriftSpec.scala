@@ -134,6 +134,20 @@ class DriftSpec extends AnyFunSuite {
     assert(other != hashes.head)
   }
 
+  test("leadingDigit: single digit across all 19 decades of a long") {
+    // one value per decade, with a non-trivial lead (7×10^p), plus edges
+    val cases = (0 to 18).map(p =>
+      if (p == 18) 7000000000000000000L else 7L * math.pow(10, p).toLong) ++
+      Seq(1L, 9L, 10L, 99L, Long.MaxValue)
+    val got = cases.toDF("__m")
+      .select($"__m", DriftQueries.leadingDigit("__m").as("d"))
+      .as[(Long, Long)].collect().toMap
+    cases.foreach { m =>
+      val expected = m.toString.head.toString.toLong
+      assert(got(m) == expected, s"m=$m got=${got(m)}")
+    }
+  }
+
   private def date_trunc(unit: String, c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.date_trunc(unit, c)
 }
