@@ -63,6 +63,45 @@ object BehaviorQueries {
       JOIN na y ON y.event_type = i.type_b
       ORDER BY type_a, type_b""")),
 
+    // Stickiness (DAU/WAU) per week: Σ daily-distinct users over the
+    // week divided by (n_days · weekly-distinct users) — the classic
+    // product-engagement ratio (1.0 = every weekly user active every
+    // day). All distinct counts exact integers; one final division.
+    QueryDef("stickiness_dau_wau", (s, dir) => {
+      val ev = t("events")(s, dir)
+        .select(date_trunc("week", col("ts")).cast("date").as("week"),
+          date_trunc("day", col("ts")).cast("date").as("day"),
+          col("user_id"))
+      val daily = ev.groupBy(col("week"), col("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .groupBy(col("week"))
+        .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+      val weekly = ev.groupBy(col("week"))
+        .agg(countDistinct(col("user_id")).as("wau"))
+      daily.join(weekly, Seq("week"))
+        .select(col("week").cast("timestamp").as("week"),
+          col("n_days"), col("sum_dau"), col("wau"),
+          (col("sum_dau").cast("double") /
+            (col("n_days") * col("wau")).cast("double")).as("stickiness"))
+        .orderBy(col("week"))
+    }, Some("""
+      WITH e AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week,
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+               user_id
+        FROM events),
+      d AS (SELECT week, day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+            FROM e GROUP BY 1, 2),
+      dw AS (SELECT week, CAST(sum(dau) AS BIGINT) AS sum_dau,
+                    CAST(count(*) AS BIGINT) AS n_days
+             FROM d GROUP BY week),
+      w AS (SELECT week, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM e GROUP BY week)
+      SELECT CAST(dw.week AS TIMESTAMP) AS week, n_days, sum_dau, wau,
+             CAST(sum_dau AS DOUBLE) / CAST(n_days * wau AS DOUBLE) AS stickiness
+      FROM dw JOIN w ON w.week = dw.week
+      ORDER BY week""")),
+
     // RFM segmentation — the classic recency/frequency/monetary customer
     // quartile coding. One grouped pass builds the per-customer triple
     // (last order date, order count, DECIMAL-exact spend); three ntile(4)

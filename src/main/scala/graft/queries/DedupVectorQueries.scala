@@ -118,6 +118,53 @@ object DedupVectorQueries {
              min(doc_id) AS keep_id, count(*) AS n_dups
       FROM documents GROUP BY 1 ORDER BY keep_id""")),
 
+    // Per-source duplication report: how much of each ingest source is
+    // exact-dup redundancy (non-keeper share of docs AND of token mass) —
+    // the per-feed number a curation dashboard tracks week over week.
+    // Keeper = min doc_id of the content hash, same rule as dedup_exact;
+    // counts exact, two final divisions.
+    QueryDef("dedup_rate_by_source", (s, dir) => {
+      val docs = t("documents")(s, dir)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("h"),
+          size(graft.functions.TextAnalysisFns.tokens(col("text")))
+            .cast("long").as("n_toks"))
+      val keepers = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      docs.join(keepers, Seq("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+            .as("dup_docs"),
+          sum(col("n_toks")).as("tokens"),
+          sum(when(col("doc_id") =!= col("keep_id"), col("n_toks"))
+            .otherwise(0L)).as("dup_tokens"))
+        .select(col("source"), col("n_docs"), col("dup_docs"),
+          col("tokens"), col("dup_tokens"),
+          (col("dup_docs").cast("double") / col("n_docs").cast("double"))
+            .as("dup_doc_rate"),
+          (col("dup_tokens").cast("double") / col("tokens").cast("double"))
+            .as("dup_token_rate"))
+        .orderBy(col("source"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      s"""
+      WITH d AS (
+        SELECT source, doc_id, md5(text) AS h,
+               CAST(len($toks) AS BIGINT) AS n_toks
+        FROM documents),
+      k AS (SELECT h, min(doc_id) AS keep_id FROM d GROUP BY h)
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+             CAST(sum(n_toks) AS BIGINT) AS tokens,
+             CAST(sum(CASE WHEN doc_id <> keep_id THEN n_toks ELSE 0 END) AS BIGINT) AS dup_tokens,
+             CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS dup_doc_rate,
+             CAST(sum(CASE WHEN doc_id <> keep_id THEN n_toks ELSE 0 END) AS DOUBLE)
+               / CAST(sum(n_toks) AS DOUBLE) AS dup_token_rate
+      FROM d JOIN k USING (h)
+      GROUP BY source ORDER BY source"""
+    }),
+
     // MinHash + LSH near-dup pairs, verified by true shingle Jaccard.
     QueryDef("dedup_minhash_lsh", (s, dir) => {
       Dedup.minhashLsh(t("documents")(s, dir), "doc_id", "text",
