@@ -140,6 +140,32 @@ object ProfilingQueries {
       FROM b ORDER BY decile"""
     }),
 
+    // Gini of per-user event counts — activity concentration: is the
+    // event stream a broad population or a handful of power users?
+    // Same giniLong machinery over a different value column (the grid
+    // bound here is the max per-user count, not doc length).
+    QueryDef("stats_gini_user_activity", (s, dir) =>
+      giniLong(t("events")(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+        .select(col("v")))
+    , Some("""
+      WITH uv AS (SELECT CAST(count(*) AS BIGINT) AS v
+                  FROM events GROUP BY user_id),
+      g AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM uv GROUP BY v),
+      cw AS (SELECT v, c,
+                    CAST(coalesce(sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS o
+             FROM g),
+      a AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                   CAST(sum(v * c) AS BIGINT) AS total,
+                   CAST(sum(v * (2 * c * o + c * (c + 1))) AS BIGINT) AS w2
+            FROM cw)
+      SELECT n, total,
+             CAST(w2 AS DOUBLE) / CAST(n * total AS DOUBLE)
+               - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+      FROM a""")),
+
     // Grouped skewness / kurtosis (population form) from raw moments.
     // The moments are computed over integer CENTS (skew/kurt are
     // scale-invariant) and every double→DECIMAL cast happens BELOW 2^53:
