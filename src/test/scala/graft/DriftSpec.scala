@@ -148,6 +148,24 @@ class DriftSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-rate report reconciles with exact dedup; stickiness bounded") {
+    val dir = "/root/testdata/sf0.001"
+    val rates = SparkEntry.queries("dedup_rate_by_source")(spark, dir)
+      .select($"n_docs", $"dup_docs", $"dup_doc_rate", $"dup_token_rate")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(rates.forall { case (n, d, rd, rt) =>
+      d <= n && rd >= 0.0 && rd <= 1.0 && rt >= 0.0 && rt <= 1.0 })
+    // Σ dup_docs over sources == total docs − distinct content hashes
+    val docs = Tables.load(spark, dir, "documents")
+    val expectDups = docs.count() -
+      docs.select(org.apache.spark.sql.functions.md5($"text")).distinct().count()
+    assert(rates.map(_._2).sum == expectDups)
+
+    val st = SparkEntry.queries("stickiness_dau_wau")(spark, dir)
+      .select($"stickiness").as[Double].collect()
+    assert(st.nonEmpty && st.forall(s => s > 0.0 && s <= 1.0), st.mkString(","))
+  }
+
   private def date_trunc(unit: String, c: org.apache.spark.sql.Column) =
     org.apache.spark.sql.functions.date_trunc(unit, c)
 }
