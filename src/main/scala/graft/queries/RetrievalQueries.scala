@@ -117,6 +117,108 @@ object RetrievalQueries {
       FROM r WHERE rn <= 10
       ORDER BY o_orderpriority, rn""")),
 
+    // Per-document keyword extraction: top-3 terms by tf/df — TF-IDF's
+    // ordering without the log (idf is monotone in 1/df, so the top-k by
+    // tf/df equals the top-k by tf·idf for any corpus; the ratio is ONE
+    // double division, portable, where log(N/df) is libm). Per-doc
+    // window sort is bounded by the doc's own distinct-term count.
+    QueryDef("doc_top_terms", (s, dir) => {
+      val tf = t("documents")(s, dir)
+        .where(col("doc_id") < 200)
+        .select(col("doc_id"),
+          explode(graft.functions.TextAnalysisFns.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, Seq("term"))
+        .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .where(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          col("score"))
+        .orderBy(col("doc_id"), col("rank"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      s"""
+      WITH tk AS (SELECT doc_id, unnest($toks) AS term
+                  FROM documents WHERE doc_id < 200),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM tk GROUP BY 1, 2),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      sc AS (SELECT doc_id, tf.term, tf, df,
+                    CAST(tf AS DOUBLE) / CAST(df AS DOUBLE) AS score
+             FROM tf JOIN df ON df.term = tf.term),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score DESC, term) AS INT) AS rank
+            FROM sc)
+      SELECT doc_id, rank, term, tf, df, score
+      FROM r WHERE rank <= 3
+      ORDER BY doc_id, rank"""
+    }),
+
+    // Collocation mining by LIFT — P(ab)/(P(a)·P(b)) without log-PMI
+    // (same ranking, zero libm). Factored as
+    // (c_ab·N_uni)/(N_bg·c_a) × (N_uni/c_b): every integer product stays
+    // far below 2⁶³ even at 10⁸-token corpora (the single-fraction form
+    // squares N_uni and overflows BIGINT two decades earlier), and both
+    // engines compute the identical two-division, one-multiply chain.
+    // Min support 5; top-20 by (lift DESC, bigram) — deterministic.
+    QueryDef("bigram_lift_top", (s, dir) => {
+      val toks = t("documents")(s, dir)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysisFns.tokens(col("text")).as("ts"))
+      val uni = toks.select(explode(col("ts")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nUni = uni.agg(sum(col("c")).as("n_uni"))
+      val bg = toks
+        .select(explode(expr(
+          "transform(sequence(1, greatest(size(ts) - 1, 0)), i -> concat(ts[i-1], ' ', ts[i]))"))
+          .as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 5)
+      val nBg = toks.select(
+        greatest(size(col("ts")) - 1, lit(0)).cast("long").as("k"))
+        .agg(sum(col("k")).as("n_bg"))
+      bg
+        .withColumn("w1", split(col("bigram"), " ").getItem(0))
+        .withColumn("w2", split(col("bigram"), " ").getItem(1))
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBg))
+        .select(col("bigram"), col("c_ab"), col("c_a"), col("c_b"),
+          ((col("c_ab") * col("n_uni")).cast("double") /
+            (col("n_bg") * col("c_a")).cast("double") *
+            (col("n_uni").cast("double") / col("c_b").cast("double")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(20)
+    }, Some {
+      val toks = Sql.tokens("text")
+      s"""
+      WITH d AS (SELECT doc_id, $toks AS ts FROM documents),
+      uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+              FROM (SELECT unnest(ts) AS w FROM d) GROUP BY w),
+      nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uni),
+      bg0 AS (SELECT unnest(list_transform(generate_series(1, greatest(len(ts) - 1, 0)),
+                     i -> ts[i] || ' ' || ts[i+1])) AS bigram
+              FROM d),
+      bg AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c_ab
+             FROM bg0 GROUP BY bigram HAVING count(*) >= 5),
+      nb AS (SELECT CAST(sum(greatest(len(ts) - 1, 0)) AS BIGINT) AS n_bg FROM d),
+      j AS (SELECT bigram, c_ab,
+                   split_part(bigram, ' ', 1) AS w1,
+                   split_part(bigram, ' ', 2) AS w2
+            FROM bg)
+      SELECT bigram, c_ab, a.c AS c_a, b.c AS c_b,
+             CAST(c_ab * nu.n_uni AS DOUBLE) / CAST(nb.n_bg * a.c AS DOUBLE)
+               * (CAST(nu.n_uni AS DOUBLE) / CAST(b.c AS DOUBLE)) AS lift
+      FROM j JOIN uni a ON a.w = j.w1 JOIN uni b ON b.w = j.w2
+      CROSS JOIN nu CROSS JOIN nb
+      ORDER BY lift DESC, bigram LIMIT 20"""
+    }),
+
     // WEIGHTED k-per-source sample without replacement (priority
     // sampling: q = w/u, u = (h48+1)/2^48 — libm-free, so the oracle
     // reproduces every priority double bit-for-bit; see
