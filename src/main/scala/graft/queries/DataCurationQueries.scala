@@ -63,6 +63,62 @@ object DataCurationQueries {
                '${PiiFns.PhoneToken}', 'g')) AS redacted_hash
       FROM d ORDER BY c_custkey""")),
 
+    // Per-segment PII exposure report — the compliance dashboard number:
+    // share of rows carrying ANY email/phone per market segment, plus
+    // total hit counts (same synthesized PII text and regexes as
+    // text_pii_redact). Exact integer counts, one final division.
+    QueryDef("pii_rate_by_segment", (s, dir) => {
+      val doc = t("customer")(s, dir).select(
+        col("c_mktsegment"),
+        concat(
+          col("c_name"),
+          when(col("c_custkey") % 3 === 0,
+            concat(lit(" at user"), col("c_custkey").cast("string"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(col("c_custkey") % 2 === 0,
+            concat(lit(" call 09"),
+              lpad(((col("c_custkey") * 7919) % 1000000000).cast("string"),
+                9, "0"))).otherwise(lit("")),
+          lit(" ok")).as("text"))
+      doc.select(col("c_mktsegment"),
+          PiiFns.piiCount(col("text"), PiiFns.EmailRe).as("ne"),
+          PiiFns.piiCount(col("text"), PiiFns.PhoneRe).as("np"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("ne").cast("long")).as("n_emails"),
+          sum(col("np").cast("long")).as("n_phones"),
+          sum(when(col("ne") > 0 || col("np") > 0, 1L).otherwise(0L))
+            .as("pii_rows"))
+        .select(col("c_mktsegment"), col("n_rows"), col("n_emails"),
+          col("n_phones"), col("pii_rows"),
+          (col("pii_rows").cast("double") / col("n_rows").cast("double"))
+            .as("pii_row_rate"))
+        .orderBy(col("c_mktsegment"))
+    }, Some(s"""
+      WITH d AS (
+        SELECT c_mktsegment,
+               c_name ||
+               CASE WHEN c_custkey % 3 = 0
+                    THEN ' at user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+                    ELSE '' END ||
+               CASE WHEN c_custkey % 2 = 0
+                    THEN ' call 09' ||
+                         lpad(CAST((c_custkey * 7919) % 1000000000 AS VARCHAR), 9, '0')
+                    ELSE '' END || ' ok' AS text
+        FROM customer),
+      h AS (SELECT c_mktsegment,
+                   len(regexp_extract_all(text, '${PiiFns.EmailRe}')) AS ne,
+                   len(regexp_extract_all(text, '${PiiFns.PhoneRe}')) AS np
+            FROM d)
+      SELECT c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(ne) AS BIGINT) AS n_emails,
+             CAST(sum(np) AS BIGINT) AS n_phones,
+             CAST(sum(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS pii_rows,
+             CAST(sum(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS pii_row_rate
+      FROM h GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // Deterministic corpus shuffle: seeded md5 permutation into shards +
     // in-shard positions (Splits.deterministicShuffle). Replaces ORDER BY
     // rand() — reproducible, engine-portable, and the position window
