@@ -63,6 +63,50 @@ object BehaviorQueries {
       JOIN na y ON y.event_type = i.type_b
       ORDER BY type_a, type_b""")),
 
+    // Return-rate analytics by brand: returned-line share and
+    // returned-revenue share per part brand — the product-quality
+    // ranking a retailer actually sorts by. Revenue goes through
+    // DECIMAL(28,8) (the repo's money rule) before the ratio's single
+    // double division; line counts exact.
+    QueryDef("return_rate_by_brand", (s, dir) => {
+      val li = t("lineitem")(s, dir)
+      val p = t("part")(s, dir).select(col("p_partkey"), col("p_brand"))
+      val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(28,8)")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("returned_lines"),
+          sum(rev).as("__rev"),
+          sum(when(col("l_returnflag") === "R", rev)
+            .otherwise(lit(0).cast("decimal(28,8)"))).as("__rrev"))
+        .select(col("p_brand"), col("n_lines"), col("returned_lines"),
+          col("__rev").cast("double").as("revenue"),
+          col("__rrev").cast("double").as("returned_revenue"),
+          (col("returned_lines").cast("double") / col("n_lines").cast("double"))
+            .as("return_line_rate"),
+          (col("__rrev").cast("double") / col("__rev").cast("double"))
+            .as("return_revenue_rate"))
+        .orderBy(col("p_brand"))
+    }, Some("""
+      SELECT p_brand,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_lines,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
+                           ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) AS returned_revenue,
+             CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS return_line_rate,
+             CAST(sum(CASE WHEN l_returnflag = 'R'
+                           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
+                           ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+               AS return_revenue_rate
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand ORDER BY p_brand""")),
+
     // Stickiness (DAU/WAU) per week: Σ daily-distinct users over the
     // week divided by (n_days · weekly-distinct users) — the classic
     // product-engagement ratio (1.0 = every weekly user active every
