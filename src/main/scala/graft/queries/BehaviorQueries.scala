@@ -63,6 +63,34 @@ object BehaviorQueries {
       JOIN na y ON y.event_type = i.type_b
       ORDER BY type_a, type_b""")),
 
+    // Order-size histogram — the count-of-counts profile (how many
+    // orders have k line items) plus each size's share of all lines:
+    // the fact-table shape diagnostic behind join-size estimates and
+    // pack sizing. Two grouped counts; shares are single divisions.
+    QueryDef("order_size_histogram", (s, dir) => {
+      val sizes = t("lineitem")(s, dir)
+        .groupBy(col("l_orderkey")).agg(count(lit(1)).as("k"))
+      val grid = sizes.groupBy(col("k")).agg(count(lit(1)).as("n_orders"))
+      val tots = grid.agg(sum(col("n_orders")).as("n_total"),
+        sum(col("k") * col("n_orders")).as("lines_total"))
+      grid.crossJoin(broadcast(tots))
+        .select(col("k"), col("n_orders"),
+          (col("n_orders").cast("double") / col("n_total").cast("double"))
+            .as("order_share"),
+          ((col("k") * col("n_orders")).cast("double") /
+            col("lines_total").cast("double")).as("line_share"))
+        .orderBy(col("k"))
+    }, Some("""
+      WITH s AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS k
+                 FROM lineitem GROUP BY 1),
+      g AS (SELECT k, CAST(count(*) AS BIGINT) AS n_orders FROM s GROUP BY k),
+      t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total,
+                   CAST(sum(k * n_orders) AS BIGINT) AS lines_total FROM g)
+      SELECT k, n_orders,
+             CAST(n_orders AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS order_share,
+             CAST(k * n_orders AS DOUBLE) / CAST(t.lines_total AS DOUBLE) AS line_share
+      FROM g CROSS JOIN t ORDER BY k""")),
+
     // Return-rate analytics by brand: returned-line share and
     // returned-revenue share per part brand — the product-quality
     // ranking a retailer actually sorts by. Revenue goes through

@@ -419,6 +419,60 @@ object EvalStatsQueries {
       FROM rr"""
     }),
 
+    // Dedup-LSH PRECISION evaluation — the other half of the banding
+    // tradeoff (dedup_lsh_recall_eval audits recall): of the candidate
+    // pairs the band join surfaces, how many survive the true-Jaccard
+    // verify? Low precision means the verify stage (the expensive
+    // per-pair Jaccard) is mostly wasted work and wants more bands/rows.
+    // Counts exact; precision is the one division.
+    QueryDef("dedup_lsh_precision_eval", (s, dir) => {
+      import graft.functions.{SimFns, TextAnalysisFns}
+      val docs = t("documents")(s, dir)
+      val sh = docs.select(col("doc_id").as("id"),
+          SimFns.wordShingles(TextAnalysisFns.tokens(col("text")), 3).as("grams"))
+        .where(size(col("grams")) > 0)
+      val banded = sh.select(col("id"), col("grams"),
+        explode(graft.functions.HashFns.lshBandKeys(
+          graft.functions.HashFns.minhashSignature(col("grams"), 8), 4, 2))
+          .as("band"))
+      val cand = banded.alias("a").join(banded.alias("b"),
+          col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          col("a.grams").as("ga"), col("b.grams").as("gb"))
+        .distinct()
+      cand.agg(count(lit(1)).as("n_candidates"),
+          sum(when(graft.expressions.JaccardGeq(col("ga"), col("gb"), 0.2), 1L)
+            .otherwise(0L)).as("n_verified"))
+        .select(col("n_candidates"), col("n_verified"),
+          (col("n_verified").cast("double") / col("n_candidates").cast("double"))
+            .as("precision"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      val sig  = Sql.minhashSignature("shingles", 8)
+      val bandKeys = Sql.lshBandKeys("sig", 4, 2)
+      s"""
+      WITH sh AS (
+        SELECT doc_id AS id, ${Sql.wordShingles(toks, 3)} AS shingles
+        FROM documents),
+      nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      sg AS (SELECT id, shingles, $sig AS sig FROM nz),
+      banded AS (SELECT id, shingles, unnest($bandKeys) AS band FROM sg),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+      v AS (
+        SELECT c.id_a, c.id_b,
+               CASE WHEN ${Sql.jaccard("x.shingles", "y.shingles")} >= 0.2
+                    THEN 1 ELSE 0 END AS ok
+        FROM cand c
+        JOIN nz x ON x.id = c.id_a
+        JOIN nz y ON y.id = c.id_b)
+      SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+             CAST(sum(ok) AS BIGINT) AS n_verified,
+             CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS precision
+      FROM v"""
+    }),
+
     // Dedup-LSH recall evaluation: exact all-pairs ground truth (word
     // 3-shingle Jaccard ≥ 0.2 over a bounded doc subset — O(N²) BY
     // DESIGN, it's the ground truth) vs the MinHash-LSH pair set over
