@@ -82,8 +82,14 @@ object Bench {
       else {
         val txt = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("BASELINE.md")), "UTF-8")
-        "`([a-z0-9_]+)` ([0-9]+\\.[0-9]+)".r.findAllMatchIn(txt)
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        // anchored to TABLE ROWS only (lines starting with '|'): prose
+        // mentions like "`graph_pagerank` 5.11 s" must not enter the map.
+        // Later tables override earlier ones (toMap keeps the last match),
+        // so the newest standing-baseline section wins per query.
+        val cell = "`([a-z0-9_]+)` ([0-9]+\\.[0-9]+)".r
+        txt.linesIterator.filter(_.trim.startsWith("|")).flatMap(line =>
+          cell.findAllMatchIn(line).map(m => m.group(1) -> m.group(2).toDouble))
+          .toMap
       }
     val qmap = SparkEntry.queries
     val isolated: Seq[(String, Double)] =

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{AdvancedQueries, AnalyticsQueries, AnalyticsWave2Queries, BehaviorQueries, BreadthQueries, CurationWave2Queries, DataCurationQueries, DedupVectorQueries, GraphWarehouseQueries, PipelineParityQueries, ProfilingQueries, ProfilingWave2Queries, QueryDef, RelationalQueries, RetrievalQueries, ScaleOpsQueries, ScaleOpsWave2Queries, ScaleOpsWave3Queries, SemiStructuredQueries, SqlSurfaceQueries, TextSimQueries, TpchShapeQueries, TrainingPipelineQueries, TrainingWave2Queries, ValidationWaveQueries, EvalStatsQueries, SketchGraphQueries, MiningDiffQueries, BehaviorGeoQueries, TemporalPatternQueries, HybridRetrievalQueries, CurationWave3Queries, DriftQueries}
+import graft.queries.{AdvancedQueries, AnalyticsQueries, AnalyticsWave2Queries, BehaviorQueries, BreadthQueries, CurationWave2Queries, DataCurationQueries, DedupVectorQueries, GraphWarehouseQueries, PipelineParityQueries, ProfilingQueries, ProfilingWave2Queries, QueryDef, RelationalQueries, RetrievalQueries, ScaleOpsQueries, ScaleOpsWave2Queries, ScaleOpsWave3Queries, SemiStructuredQueries, SqlSurfaceQueries, TextSimQueries, TpchShapeQueries, TrainingPipelineQueries, TrainingWave2Queries, ValidationWaveQueries, EvalStatsQueries, SketchGraphQueries, MiningDiffQueries, BehaviorGeoQueries, TemporalPatternQueries, HybridRetrievalQueries, CurationWave3Queries, DriftQueries, CurationWave4Queries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -18,7 +18,8 @@ object SparkEntry {
       ProfilingWave2Queries.defs ++ ScaleOpsWave3Queries.defs ++
       TrainingWave2Queries.defs ++ ValidationWaveQueries.defs ++
       EvalStatsQueries.defs ++ SketchGraphQueries.defs ++ MiningDiffQueries.defs ++ BehaviorGeoQueries.defs ++ TemporalPatternQueries.defs ++
-      HybridRetrievalQueries.defs ++ CurationWave3Queries.defs ++ DriftQueries.defs
+      HybridRetrievalQueries.defs ++ CurationWave3Queries.defs ++ DriftQueries.defs ++
+      CurationWave4Queries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Runs the §3.2 convo-analysis lifecycle shape end-to-end: conversation

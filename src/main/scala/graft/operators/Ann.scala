@@ -41,8 +41,11 @@ object Ann {
         col("__e.score").as("cosine"), (col("__pos") + 1).cast("int").as("rank"))
 
   /** SQ8 top-k: brute-force search against the int8 scalar-quantized
-    * corpus — per-vector scale `127 / max|x|`, codes `floor(x·scale)`
-    * (the same quantizer as `embed_quantize_int8`), queries scored at
+    * corpus — per-vector scale `127 / max|x|`, codes `round(x·scale)`
+    * (round-to-nearest, ties away from zero — the same convention in
+    * Spark's `round` and DuckDB's `round`, and the same quantizer as
+    * `embed_quantize_int8`; an earlier floor() variant biased codes
+    * toward −∞ by up to half a step), queries scored at
     * full precision against the on-the-fly reconstruction
     * `codes[i] / scale` (asymmetric distance: the standard SQ8 serving
     * shape — e.g. Faiss `ScalarQuantizer` QT_8bit). Zero vectors
@@ -65,7 +68,7 @@ object Ann {
       .withColumn("__scale",
         when(col("__m") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("__m")))
       .withColumn("__codes",
-        transform(v, x => floor(x.cast("double") * col("__scale")).cast("long")))
+        transform(v, x => round(x.cast("double") * col("__scale")).cast("long")))
       .select(col(idCol).as("neighbor_id"),
         transform(col("__codes"), c =>
           when(col("__scale") === 0.0, lit(0.0))

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact global ranking without a single-partition window — the sharded
+  * prefix-sum pattern: range-partition by the sort keys, rank WITHIN each
+  * partition (a partitioned window — parallel, spill-safe), then add the
+  * per-partition row-count prefix sums (a bounded driver-side collect of
+  * one count per partition, like `stats_equidepth_histogram`'s boundary
+  * probes). `Window.orderBy` with no partition spec serializes the whole
+  * input through ONE task — fine for a post-aggregate of bounded key
+  * cardinality, a scale-killer for per-entity tables (customers, users,
+  * documents) that grow with the corpus.
+  *
+  * The partitioned input is `localCheckpoint`ed before the offsets job:
+  * range partitioning samples its bounds, so an unpinned plan could
+  * repartition DIFFERENTLY between the count job and the main job and
+  * misalign the offsets.
+  *
+  * Requirement: `sortCols` must be a TOTAL order (include a unique
+  * tiebreaker) — ties crossing a range-partition boundary would otherwise
+  * make the rank depend on the sampled bounds.
+  */
+object GlobalRank {
+
+  /** `df` + `outCol` = the 1-based global row number under `sortCols`. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      outCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    // offset of partition i = total rows in partitions before it
+    val offsets = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    parted
+      .withColumn("__lrn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, col("__off") + col("__lrn"))
+      .drop("__pid", "__lrn", "__off")
+  }
+
+  /** `df` + `outCol` = NTILE(buckets) under `sortCols`, replicating the
+    * standard semantics shared by Spark and DuckDB: with n rows,
+    * q = n / buckets and r = n % buckets, the first r buckets hold q+1
+    * rows and the rest q — computed from the sharded global row number,
+    * never a partition-less window.
+    */
+  def shardedNtile(df: DataFrame, buckets: Int, sortCols: Seq[Column],
+                   outCol: String): DataFrame = {
+    val rn = "__ntile_rn"
+    val ranked = globalRowNumber(df, sortCols, rn).localCheckpoint()
+    val n = ranked.count()
+    val q = n / buckets
+    val r = n % buckets
+    val cut = r * (q + 1)
+    val tile =
+      if (q == 0) col(rn) // fewer rows than buckets: bucket i = row i
+      else when(col(rn) <= cut, (col(rn) - 1) / (q + 1) + 1)
+        .otherwise(lit(r) + (col(rn) - cut - 1) / q + 1)
+    ranked.withColumn(outCol, tile.cast("int")).drop(rn)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Suffix-ranking substring deduplication — the scale upgrade of the
+  * fixed-L gram-key approach (`dedup_substring_exact`): find all MAXIMAL
+  * duplicate token spans of length ≥ L across the corpus, the
+  * training-data-dedup standard of Lee et al. 2021 ("Deduplicating
+  * Training Data Makes Language Models Better", arXiv:2107.06499), which
+  * builds a suffix array over the corpus and removes every repeated
+  * substring over a length threshold.
+  *
+  * Spark-first shape — prefix doubling over equi-joins, never all-pairs
+  * and never materialized L-grams:
+  *
+  *  - Round 0 assigns each distinct TOKEN a dense integer label.
+  *  - Doubling round j: label_{2w}(p) = dense id of the pair
+  *    (label_w(p), label_w(p+w)) — one self EQUI-join on (doc, pos+w)
+  *    plus one distinct+sort to densify, per round; ⌈log₂ L⌉ rounds
+  *    total. Each row is a fixed handful of longs, so the working set is
+  *    O(N·log L) small rows — the gram-key approach pays O(N·L) tokens of
+  *    materialized gram strings (a 50× blowup at Lee et al.'s L = 50).
+  *  - Two positions share an L-token window iff their overlapping
+  *    power-of-two window labels agree: with a = the largest power of two
+  *    < L (so a ≥ L/2), key_L(p) = (label_a(p), label_a(p+L−a)) — the
+  *    sparse-table trick; label equality is EXACT (dense ids, no hashing,
+  *    zero false positives/negatives).
+  *  - A position is COVERED iff its key occurs ≥ 2 times corpus-wide
+  *    (cross-doc or within-doc). Maximal spans = per-doc runs of covered
+  *    positions merged while consecutive windows overlap or touch
+  *    (gap ≤ L) — a bounded per-doc gaps-and-islands window.
+  *
+  * Dense labels are assigned by total-sorting the distinct pair set and
+  * attaching contiguous indices (`zipWithIndex` — the sharded prefix-sum
+  * pattern: range-partitioned distributed sort, per-partition offsets; no
+  * single-partition window). Each round's labeled table is
+  * `localCheckpoint`ed: the values are pinned once (a lazily recomputed
+  * id assignment could disagree with itself across reuses) and the
+  * per-round lineage is truncated, exactly like PageRank's iterations.
+  *
+  * 100 TB: every join is an equi-join on (doc_id, pos) keys; shuffles
+  * carry O(N) fixed-width rows per round for ⌈log₂ L⌉ ≈ 6 rounds at
+  * L = 50; the only windows are per-doc (bounded by doc length). The
+  * densify sort is a standard distributed sort of ≤ N rows per round.
+  */
+object SuffixDedup {
+
+  /** Dense ids for distinct (l1, l2) label pairs: total order by the pair,
+    * contiguous ids via zipWithIndex (deterministic — the sort is total
+    * and the pairs are distinct).
+    */
+  private def assignPairIds(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val rdd = pairs.orderBy(col("l1"), col("l2")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .zipWithIndex()
+      .map { case ((a, b), i) => Row(a, b, i) }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("l1", LongType, nullable = false),
+      StructField("l2", LongType, nullable = false),
+      StructField("id", LongType, nullable = false))))
+  }
+
+  /** (doc_id, pos) of every position whose L-token window occurs ≥ 2
+    * times in the corpus. `toks` must be (doc_id: long, pos: long 1-based,
+    * tok: string) with contiguous per-doc positions.
+    */
+  def coveredPositions(toks: DataFrame, L: Int): DataFrame = {
+    require(L >= 2, s"window length must be >= 2, got $L")
+    val spark = toks.sparkSession
+
+    // a = largest power of two < L; a >= L/2 so the two a-windows at p and
+    // p+L-a overlap and exactly cover [p, p+L-1]
+    val a = Integer.highestOneBit(L - 1)
+
+    // round 0: dense token ids (distinct tokens, total-sorted)
+    val tokIds = {
+      val rdd = toks.select(col("tok")).distinct().orderBy(col("tok")).rdd
+        .map(_.getString(0)).zipWithIndex().map { case (t, i) => Row(t, i) }
+      spark.createDataFrame(rdd, StructType(Seq(
+        StructField("tok", org.apache.spark.sql.types.StringType, nullable = false),
+        StructField("id", LongType, nullable = false))))
+    }
+    var cur = toks.join(tokIds, Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("id").as("lbl"))
+      .localCheckpoint()
+
+    var width = 1
+    while (width < a) {
+      val nxt = cur.as("x").join(cur.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("y.pos") === col("x.pos") + width)
+        .select(col("x.doc_id").as("doc_id"), col("x.pos").as("pos"),
+          col("x.lbl").as("l1"), col("y.lbl").as("l2"))
+      val ids = assignPairIds(nxt.select(col("l1"), col("l2")).distinct())
+      cur = nxt.join(ids, Seq("l1", "l2"))
+        .select(col("doc_id"), col("pos"), col("id").as("lbl"))
+        .localCheckpoint()
+      width *= 2
+    }
+
+    // key_L(p) = (label_a(p), label_a(p + L - a)); the join's existence
+    // also enforces pos + L - 1 <= doc_len (short-tail positions drop out)
+    val keyed = cur.as("x").join(cur.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("y.pos") === col("x.pos") + (L - a))
+      .select(col("x.doc_id").as("doc_id"), col("x.pos").as("pos"),
+        col("x.lbl").as("k1"), col("y.lbl").as("k2"))
+    val dupKeys = keyed.groupBy(col("k1"), col("k2"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
+      .select(col("k1"), col("k2"))
+    keyed.join(dupKeys, Seq("k1", "k2")).select(col("doc_id"), col("pos"))
+  }
+
+  /** Maximal duplicate spans ≥ L tokens: merged runs of covered L-windows
+    * per doc — output (doc_id, span_start, span_end, span_len), 1-based
+    * inclusive token positions. Two windows merge while they overlap or
+    * touch (next start ≤ prev start + L).
+    */
+  def maximalDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                            L: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TextAnalysisFns.tokens(col(textCol)))
+          .as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok"))
+    val covered = coveredPositions(toks, L)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    covered
+      .withColumn("__prev", lag(col("pos"), 1).over(w))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("pos") - col("__prev") > L, 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (L - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+}

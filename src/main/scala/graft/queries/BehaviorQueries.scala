@@ -177,17 +177,16 @@ object BehaviorQueries {
     // RFM segmentation — the classic recency/frequency/monetary customer
     // quartile coding. One grouped pass builds the per-customer triple
     // (last order date, order count, DECIMAL-exact spend); three ntile(4)
-    // windows assign quartiles (1 = best) under fully-deterministic
-    // orders (metric, custkey tiebreak — ntile's fill rule is the same
-    // standard definition in both engines). rfm_code = 100r + 10f + m.
-    // Scale caveat: the three ntile windows are GLOBAL sorts of the
-    // per-customer rollup (|customers| rows — far below the fact table,
-    // but corpus-cardinality, not grid-bounded). At extreme cardinality
-    // compute the three quartile boundaries on the count-of-counts grid
-    // (profile_key_skew's cross-multiplied threshold) and assign by
-    // comparison — the ntile form is kept here because boundary TIES are
-    // then split by row order, which comparison-assignment can't
-    // reproduce bit-for-bit.
+    // assignments give quartiles (1 = best) under fully-deterministic
+    // orders (metric, custkey tiebreak). rfm_code = 100r + 10f + m.
+    // Scale: the per-customer rollup is corpus-cardinality (|customers|
+    // rows), so a partition-less ntile window would serialize it through
+    // ONE task — instead each quartile comes from GlobalRank.shardedNtile
+    // (range-partition → per-partition row_number → bounded prefix-sum
+    // offsets), which replicates the standard ntile fill rule exactly —
+    // including boundary ties split by row order, since the sort keys are
+    // total — while every window stays partitioned. The oracle keeps
+    // DuckDB's native ntile: same definition, hash-pinned.
     QueryDef("rfm_segments", (s, dir) => {
       val cust = t("orders")(s, dir)
         .groupBy(col("o_custkey"))
@@ -196,12 +195,14 @@ object BehaviorQueries {
           sum(col("o_totalprice").cast("decimal(12,2)")).as("__spend"))
         .select(col("o_custkey"), col("last_order"), col("n_orders"),
           col("__spend").cast("double").as("spend"))
-      def quart(order: Seq[org.apache.spark.sql.Column]) = ntile(4).over(
-        Window.orderBy(order: _*))
-      cust
-        .withColumn("r", quart(Seq(col("last_order").desc, col("o_custkey"))))
-        .withColumn("f", quart(Seq(col("n_orders").desc, col("o_custkey"))))
-        .withColumn("m", quart(Seq(col("spend").desc, col("o_custkey"))))
+      def quart(df: org.apache.spark.sql.DataFrame,
+                order: Seq[org.apache.spark.sql.Column], out: String) =
+        graft.operators.GlobalRank.shardedNtile(df, 4, order, out)
+      val r3 = quart(quart(quart(cust,
+        Seq(col("last_order").desc, col("o_custkey")), "r"),
+        Seq(col("n_orders").desc, col("o_custkey")), "f"),
+        Seq(col("spend").desc, col("o_custkey")), "m")
+      r3
         .select(col("o_custkey"),
           col("last_order").cast("timestamp").as("last_order"),
           col("n_orders"), col("spend"),

@@ -44,7 +44,8 @@ object CurationWave3Queries {
     // column is what a 100 TB index stores (4× smaller than float32);
     // quantize + reconstruct + dot all run in one codegen projection.
     // The oracle replays the same quantizer (scale 127/max|x|, codes
-    // floor(x·s)) and the engine-standard cosine fold, so even the
+    // round(x·s) — round-to-nearest, ties away from zero, identical in
+    // Spark and DuckDB) and the engine-standard cosine fold, so even the
     // lossy scores are hash-exact.
     QueryDef("ann_topk_sq", (s, dir) => {
       val emb = t("embeddings")(s, dir)
@@ -64,7 +65,7 @@ object CurationWave3Queries {
       rec AS (
         SELECT vec_id AS neighbor_id,
                list_transform(v, x -> CASE WHEN scale = 0.0 THEN 0.0
-                 ELSE CAST(CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)
+                 ELSE CAST(CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)
                         AS DOUBLE) / scale END) AS rv
         FROM sc)
       SELECT q.vec_id AS query_id, r.neighbor_id,

@@ -56,17 +56,31 @@ object DriftQueries {
       .select(coalesce(col("c.week"), col("p.week")).as("week"),
         coalesce(col("c.c"), lit(0L)).as("c_cur"),
         coalesce(col("p.c_prev"), lit(0L)).as("c_prev"))
+    // LEFT join to the current-week totals (n_cur defaults to 0): a feed
+    // that vanishes entirely — prior-week events, zero current events —
+    // is the MOST extreme drift and must report tv = 1.0, not silently
+    // drop out of the monitor. The week axis therefore comes from the
+    // union of current and shifted-previous weeks (`pair` is already a
+    // full outer on (week, event_type)); only a week with no PRIOR week
+    // (the first week of data — nothing to drift from) is excluded, by
+    // the inner join to the shifted totals. When n_cur = 0 the integer
+    // numerator degenerates to 0, so tv is pinned to 1.0 explicitly (TV
+    // between a distribution and the empty measure, by convention).
     pair
-      .join(tot.select(col("week"), col("n").as("n_cur")), Seq("week"))
+      .join(tot.select(col("week"), col("n").as("n_cur")), Seq("week"),
+        "left_outer")
       .join(broadcast(tot.select(date_add(col("week"), 7).as("week"),
         col("n").as("n_prev"))), Seq("week"))
+      .select(col("week"), col("c_cur"), col("c_prev"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"), col("n_prev"))
       .groupBy(col("week"), col("n_prev"), col("n_cur"))
       .agg(sum(abs(col("c_cur") * col("n_prev") - col("c_prev") * col("n_cur")))
         .as("tv_num"))
       .select(col("week").cast("timestamp").as("week"),
         col("n_prev"), col("n_cur"), col("tv_num"),
-        (col("tv_num").cast("double") /
-          (lit(2L) * col("n_cur") * col("n_prev")).cast("double")).as("tv"))
+        when(col("n_cur") === 0L, lit(1.0)).otherwise(
+          col("tv_num").cast("double") /
+            (lit(2L) * col("n_cur") * col("n_prev")).cast("double")).as("tv"))
       .orderBy(col("week"))
   }
 
@@ -147,14 +161,18 @@ object DriftQueries {
         FULL OUTER JOIN (SELECT week + 7 AS week, event_type, c AS c_prev FROM wk) p
           ON c.week = p.week AND c.event_type = p.event_type),
       agg AS (
-        SELECT pair.week, tp.n AS n_prev, tc.n AS n_cur,
-               CAST(sum(abs(c_cur * tp.n - c_prev * tc.n)) AS BIGINT) AS tv_num
+        SELECT pair.week, tp.n AS n_prev,
+               CAST(coalesce(tc.n, 0) AS BIGINT) AS n_cur,
+               CAST(sum(abs(c_cur * tp.n - c_prev * coalesce(tc.n, 0)))
+                 AS BIGINT) AS tv_num
         FROM pair
-        JOIN tot tc ON tc.week = pair.week
+        LEFT JOIN tot tc ON tc.week = pair.week
         JOIN tot tp ON tp.week + 7 = pair.week
         GROUP BY pair.week, tp.n, tc.n)
       SELECT CAST(week AS TIMESTAMP) AS week, n_prev, n_cur, tv_num,
-             CAST(tv_num AS DOUBLE) / CAST(2 * n_cur * n_prev AS DOUBLE) AS tv
+             CASE WHEN n_cur = 0 THEN 1.0
+                  ELSE CAST(tv_num AS DOUBLE) /
+                       CAST(2 * n_cur * n_prev AS DOUBLE) END AS tv
       FROM agg ORDER BY week""")),
 
     // Two-sample Kolmogorov–Smirnov drift on `value`, even vs odd

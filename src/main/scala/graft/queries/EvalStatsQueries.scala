@@ -34,7 +34,7 @@ object EvalStatsQueries {
       .withColumn("scale",
         when(col("m") === 0.0, lit(0.0)).otherwise(lit(127.0) / col("m")))
       .withColumn("codes", transform(v,
-        x => floor(x.cast("double") * col("scale")).cast("long")))
+        x => round(x.cast("double") * col("scale")).cast("long")))
       .withColumn("sq", transform(expr(s"arrays_zip($vecCol, codes)"),
         e => {
           val err = e.getField(vecCol).cast("double") -
@@ -120,7 +120,10 @@ object EvalStatsQueries {
       ORDER BY bucket""")),
 
     // int8 embedding quantization (the 4× memory compressor for vector
-    // serving): per-vector scale 127/max|x|, codes floor(x·s) — pure
+    // serving): per-vector scale 127/max|x|, codes round(x·s)
+    // (round-to-nearest, ties away from zero — Spark round and DuckDB
+    // round agree; floor would bias codes toward −∞ by half a step and
+    // can emit −128 for the max-magnitude negative component) — pure
     // elementwise projections, no shuffle. The reconstruction MSE is a
     // SEQUENTIAL left fold over the element errors (the foldSum
     // pattern), so even the accumulated float error is bit-identical to
@@ -141,7 +144,7 @@ object EvalStatsQueries {
       c AS (
         SELECT vec_id, v, scale,
                list_transform(v, x ->
-                 CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS codes
+                 CAST(round(CAST(x AS DOUBLE) * scale) AS BIGINT)) AS codes
         FROM sc),
       e AS (
         SELECT vec_id, scale, codes,

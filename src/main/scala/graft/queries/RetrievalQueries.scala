@@ -172,9 +172,17 @@ object RetrievalQueries {
       val uni = toks.select(explode(col("ts")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("c"))
       val nUni = uni.agg(sum(col("c")).as("n_uni"))
+      // guard size(ts) >= 2 EXPLICITLY: Spark's sequence(1, 0) yields the
+      // DESCENDING array [1, 0] (not empty, unlike DuckDB's
+      // generate_series), which would emit null-bigram rows that only
+      // happen to vanish in the inner joins below — make the short-doc
+      // case produce a genuinely empty array instead.
       val bg = toks
         .select(explode(expr(
-          "transform(sequence(1, greatest(size(ts) - 1, 0)), i -> concat(ts[i-1], ' ', ts[i]))"))
+          """CASE WHEN size(ts) >= 2
+               THEN transform(sequence(1, size(ts) - 1),
+                              i -> concat(ts[i-1], ' ', ts[i]))
+               ELSE CAST(array() AS ARRAY<STRING>) END"""))
           .as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("c_ab"))
         .where(col("c_ab") >= 5)

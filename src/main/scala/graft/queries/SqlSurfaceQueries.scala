@@ -24,14 +24,21 @@ object SqlSurfaceQueries {
     // DIV (Spark) / // (DuckDB) — plain '/' would be double division in
     // Spark.
     QueryDef("rec_cte_ancestors", (s, dir) => {
-      t("customer")(s, dir).createOrReplaceTempView("rec_customer_v")
       // the default 1M-row recursion guard is a local-mode safety net, not
       // a semantic bound — the sf1.0 run (150k customers x ~17 halving
       // levels ≈ 2.4M rows) trips it while the recursion itself stays
-      // log-depth. Raise it the way a production workload config would;
-      // the LEVEL limit (100) stays as the runaway guard.
-      s.conf.set("spark.sql.cteRecursionRowLimit", 100000000)
-      s.sql("""
+      // log-depth. Raise it on a SESSION CLONE (newSession shares the
+      // SparkContext/cached data but owns its SQLConf and temp-view
+      // catalog), so the weakened guard can't leak into the shared session
+      // every other bench/driver query runs on — the returned DataFrame
+      // stays bound to the clone, so the raised limit is still in force
+      // when the lazy plan actually executes. The LEVEL limit (100) stays
+      // as the runaway guard either way.
+      val sLocal = s.newSession()
+      sLocal.conf.set("spark.sql.cteRecursionRowLimit", 100000000)
+      Tables.load(sLocal, dir, "customer")
+        .createOrReplaceTempView("rec_customer_v")
+      sLocal.sql("""
         WITH RECURSIVE anc(node, a) AS (
           SELECT c_custkey, c_custkey DIV 2 FROM rec_customer_v WHERE c_custkey >= 2
           UNION ALL

@@ -81,13 +81,20 @@ object GenScaleRankFile {
     out.result()
   }
 
+  /** Generate the full table and write it as a .tiktoken rank file —
+    * callable from tests (TiktokenSpec generates it on demand so the
+    * full-scale path runs in every `sbt test`, no env gate).
+    */
+  def write(out: java.nio.file.Path): Unit = {
+    if (out.getParent != null) Files.createDirectories(out.getParent)
+    Files.writeString(out, BpeOps.renderTiktoken(entries()))
+  }
+
   def main(args: Array[String]): Unit = {
     val out = Paths.get(args.headOption.getOrElse("target/scale_rankfile.tiktoken"))
-    if (out.getParent != null) Files.createDirectories(out.getParent)
     val t0 = System.nanoTime()
-    val es = entries()
-    Files.writeString(out, BpeOps.renderTiktoken(es))
-    println(s"[fixtures] wrote $out: ${es.size} entries in " +
+    write(out)
+    println(s"[fixtures] wrote $out: ${Entries} entries in " +
       f"${(System.nanoTime() - t0) / 1e9}%.2f s")
   }
 }

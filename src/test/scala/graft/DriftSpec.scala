@@ -21,16 +21,47 @@ class DriftSpec extends AnyFunSuite {
       (1L, ts(1), "click"), (2L, ts(2), "view"),
       (3L, ts(8), "click"), (4L, ts(9), "view"))
       .toDF("event_id", "ts", "event_type")
-    val tv0 = DriftQueries.tvWeekly(same).select($"tv").as[Double].collect()
-    assert(tv0.toSeq == Seq(0.0))
+    // (the trailing week one past the end of data always reports tv = 1.0
+    // — "everything vanished" — by the vanished-week rule; see the next
+    // test)
+    val tv0 = DriftQueries.tvWeekly(same)
+      .orderBy($"week").select($"tv").as[Double].collect()
+    assert(tv0.toSeq == Seq(0.0, 1.0))
 
     // disjoint type sets across the week boundary → tv 1
     val disjoint = Seq(
       (1L, ts(1), "click"), (2L, ts(2), "view"),
       (3L, ts(8), "purchase"), (4L, ts(9), "signup"))
       .toDF("event_id", "ts", "event_type")
-    val tv1 = DriftQueries.tvWeekly(disjoint).select($"tv").as[Double].collect()
-    assert(tv1.toSeq == Seq(1.0))
+    val tv1 = DriftQueries.tvWeekly(disjoint)
+      .orderBy($"week").select($"tv").as[Double].collect()
+    assert(tv1.toSeq == Seq(1.0, 1.0))
+  }
+
+  test("TV reports 1.0 for a week that vanishes entirely (zero current events)") {
+    // week of Jan 1 has events; week of Jan 8 has NONE; week of Jan 15
+    // resumes. Two rows must come out, both tv = 1.0 with n_cur = 0:
+    //  - Jan 8 vs Jan 1 — the feed vanished (the old inner joins silently
+    //    dropped exactly this, the most extreme drift);
+    //  - Jan 22 vs Jan 15 — the trailing week one past the end of data is
+    //    likewise "everything vanished", by the same rule.
+    // Jan 15 itself does NOT appear: its predecessor Jan 8 is empty, so
+    // there is no prior distribution to drift from (same reason the first
+    // week of data never appears).
+    val ev = Seq(
+      (1L, ts(1), "click"), (2L, ts(2), "view"),
+      (3L, ts(15), "click"))
+      .toDF("event_id", "ts", "event_type")
+    val rows = DriftQueries.tvWeekly(ev)
+      .select($"week", $"n_prev", $"n_cur", $"tv")
+      .as[(Timestamp, Long, Long, Double)].collect().sortBy(_._1.getTime)
+    assert(rows.length == 2, rows.mkString(","))
+    val (wk8, nPrev8, nCur8, tv8) = rows(0)
+    assert(wk8 == Timestamp.valueOf("2024-01-08 00:00:00"))
+    assert(nPrev8 == 2L && nCur8 == 0L && tv8 == 1.0)
+    val (wk22, nPrev22, nCur22, tv22) = rows(1)
+    assert(wk22 == Timestamp.valueOf("2024-01-22 00:00:00"))
+    assert(nPrev22 == 1L && nCur22 == 0L && tv22 == 1.0)
   }
 
   test("TV is within [0,1] and weeks without a predecessor are dropped") {

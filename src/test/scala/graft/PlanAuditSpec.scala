@@ -608,6 +608,81 @@ class PlanAuditSpec extends AnyFunSuite {
       s"window not above the batch aggregate:\n${plan.take(800)}")
   }
 
+  // --- bounded-window family: every PARTITION-LESS window (a
+  // single-partition sort at execution) must take its input from a
+  // GROUPED aggregate, so its cardinality is the grouping-key domain
+  // (value bins, distinct doc lengths, top-k candidates), never the row
+  // count. These executed-plan walks turn the "bounded by construction"
+  // comments into failing specs.
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val kids = p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case o => o.children
+    }
+    p +: kids.flatMap(allNodes)
+  }
+
+  private def executedOf(name: String): org.apache.spark.sql.execution.SparkPlan = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan
+  }
+
+  private def windowsOf(name: String) = allNodes(executedOf(name)).collect {
+    case w: org.apache.spark.sql.execution.window.WindowExec => w
+  }
+
+  private def assertPartitionlessWindowsPostAggregate(name: String): Unit = {
+    val wins = windowsOf(name)
+    assert(wins.nonEmpty, s"$name: no WindowExec found — audit is vacuous")
+    wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val agg = allNodes(w.child).exists {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+          a.groupingExpressions.nonEmpty
+        case _ => false
+      }
+      assert(agg, s"$name: partition-less window input is NOT a grouped " +
+        s"aggregate — its sort scales with row count:\n${w.child.toString.take(600)}")
+    }
+  }
+
+  test("drift_ks_value + drift_decile_bounds: cumulative windows run on the bin grid, post-aggregate") {
+    assertPartitionlessWindowsPostAggregate("drift_ks_value")
+    assertPartitionlessWindowsPostAggregate("drift_decile_bounds")
+  }
+
+  test("stats_gini_doclen + stats_lorenz_doclen: rank windows run on the count-of-counts grid, post-aggregate") {
+    assertPartitionlessWindowsPostAggregate("stats_gini_doclen")
+    assertPartitionlessWindowsPostAggregate("stats_lorenz_doclen")
+  }
+
+  test("retrieval_rrf_fusion + retrieval_prf_expansion: ranking windows see only aggregated top-k candidates") {
+    assertPartitionlessWindowsPostAggregate("retrieval_rrf_fusion")
+    assertPartitionlessWindowsPostAggregate("retrieval_prf_expansion")
+  }
+
+  test("rfm_segments: NO partition-less window — quartiles come from the sharded ntile") {
+    // the sharded ntile's own per-partition windows live BEHIND its
+    // localCheckpoints (GlobalRankSpec pins that internal shape); the
+    // final plan must show no global window at any point
+    val unpartitioned = windowsOf("rfm_segments").filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      s"rfm quartile assignment regressed to a global window:\n${unpartitioned.headOption.map(_.toString.take(400))}")
+  }
+
+  test("dedup_substring_suffix: equi-joins only — no cartesian, no nested loop, no partition-less window") {
+    val plan = planOf("dedup_substring_suffix")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"prefix-doubling degenerated to all-pairs:\n${plan.take(800)}")
+    val unpartitioned = windowsOf("dedup_substring_suffix").filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      "suffix dedup must only use per-doc (gaps-and-islands) and per-range-partition windows")
+  }
+
   test("dedup_embedding_lsh: bucket equi-join, never all-pairs, 2-column scan") {
     // the hyperplane-LSH scale path must pair rows ONLY through the
     // bucket equi-join — a cartesian or nested loop means the blocking
