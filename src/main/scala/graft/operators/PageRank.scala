@@ -40,32 +40,41 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val nn = nodes.agg(count(lit(1)).as("nn"))
-    val base =
-      s"((${dampDen - dampNum} * ($Scale DIV nn)) DIV $dampDen)"
     // The per-iteration inputs are reused `iters` times — cache them so
     // each round re-reads materialized blocks instead of re-scanning and
-    // re-shuffling the edge list.
-    val eC = e.cache(); val nodesC = nodes.cache(); val outdegC = outdeg.cache()
-    var r = nodesC.crossJoin(broadcast(nn))
-      .select(col("node"), expr(s"$Scale DIV nn").as("rank"))
+    // re-shuffling the edge list. The out-degree is folded INTO the
+    // cached edge table once (r10 cost-floor profile: the per-iteration
+    // edges⋈outdeg join was ~0.5 s/run at sf0.1 and pure overhead — deg
+    // is static), so each iteration is ONE equi-join + one hash agg.
+    val ed = e.join(outdeg, "src").cache()
+    val nodesC = nodes.cache()
+    // node count as a driver literal (ONE bounded scalar — the profile
+    // showed the per-iteration broadcast crossJoin + repeated count
+    // aggregation of the cached nodes was measurable, the value never
+    // changes, and the integer arithmetic is unchanged: Scala Long '/'
+    // on positives == floor DIV)
+    val nnV = nodesC.count()
+    val initRank = Scale / nnV
+    val base = (dampDen - dampNum) * (Scale / nnV) / dampDen
+    var r = nodesC.select(col("node"), lit(initRank).as("rank"))
     for (_ <- 1 to iters) {
-      val contrib = r.join(eC, col("node") === col("src"))
-        .join(outdegC, "src")
+      val contrib = r.join(ed, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(expr("rank DIV deg")).as("contrib"))
       // localCheckpoint (eager) severs lineage: without it iteration k's
       // plan embeds iteration k−1's and planning cost compounds with
       // depth (the Dedup.components hazard). Superseded checkpoint blocks
-      // are reclaimed by the ContextCleaner once unreferenced.
+      // are reclaimed by the ContextCleaner once unreferenced. (The r10
+      // profile measured the checkpoint write at ≤0.3 s/run at sf0.1 —
+      // NOT the cost floor; the floor is the fixed graph build + cache
+      // materialization, see PLANS.md round-10 exhibit.)
       r = nodesC.join(contrib, col("node") === col("dst"), "left")
-        .crossJoin(broadcast(nn))
         .select(col("node"),
           expr(s"$base + ($dampNum * coalesce(contrib, 0L)) DIV $dampDen")
             .as("rank"))
         .localCheckpoint()
     }
-    eC.unpersist(false); nodesC.unpersist(false); outdegC.unpersist(false)
+    ed.unpersist(false); nodesC.unpersist(false)
     r
   }
 }
