@@ -21,10 +21,16 @@ if "--threshold" in sys.argv:
 with open(bench_path) as f:
     bench = json.load(f)["queries"]
 
+# anchored to TABLE ROWS only (lines starting with '|') so prose mentions
+# never enter the map; later tables override earlier ones, so the newest
+# standing-baseline section wins per query (mirrors graft.Bench's parser)
 baseline = {}
 with open("BASELINE.md") as f:
-    for m in re.finditer(r"`([a-z0-9_]+)` ([0-9]+\.[0-9]+)", f.read()):
-        baseline[m.group(1)] = float(m.group(2))
+    for line in f:
+        if not line.lstrip().startswith("|"):
+            continue
+        for m in re.finditer(r"`([a-z0-9_]+)` ([0-9]+\.[0-9]+)", line):
+            baseline[m.group(1)] = float(m.group(2))
 
 common = sorted(set(bench) & set(baseline))
 missing = sorted(set(baseline) - set(bench))

@@ -25,9 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** `df` + `outCol` = the 1-based global row number under `sortCols`. */
-  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
-                      outCol: String): DataFrame = {
+  /** Core: `df` + `outCol` = the 1-based global row number, PLUS the
+    * total row count (free — it's the sum of the per-partition counts
+    * the offsets job already collected, so ntile needs no second pass).
+    */
+  private def rankedWithCount(df: DataFrame, sortCols: Seq[Column],
+                              outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
     val parted = df.repartitionByRange(sortCols: _*)
       .withColumn("__pid", spark_partition_id())
@@ -43,25 +46,32 @@ object GlobalRank {
     }
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__pid", "__off")
-    parted
+    val ranked = parted
       .withColumn("__lrn", row_number().over(
         Window.partitionBy(col("__pid")).orderBy(sortCols: _*)))
       .join(broadcast(offDf), Seq("__pid"))
       .withColumn(outCol, col("__off") + col("__lrn"))
       .drop("__pid", "__lrn", "__off")
+    (ranked, counts.map(_._2).sum)
   }
+
+  /** `df` + `outCol` = the 1-based global row number under `sortCols`. */
+  def globalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                      outCol: String): DataFrame =
+    rankedWithCount(df, sortCols, outCol)._1
 
   /** `df` + `outCol` = NTILE(buckets) under `sortCols`, replicating the
     * standard semantics shared by Spark and DuckDB: with n rows,
     * q = n / buckets and r = n % buckets, the first r buckets hold q+1
     * rows and the rest q — computed from the sharded global row number,
-    * never a partition-less window.
+    * never a partition-less window. The row count comes free from the
+    * offsets collect, so the whole op is one checkpoint + one
+    * partitioned window + one broadcast join.
     */
   def shardedNtile(df: DataFrame, buckets: Int, sortCols: Seq[Column],
                    outCol: String): DataFrame = {
     val rn = "__ntile_rn"
-    val ranked = globalRowNumber(df, sortCols, rn).localCheckpoint()
-    val n = ranked.count()
+    val (ranked, n) = rankedWithCount(df, sortCols, rn)
     val q = n / buckets
     val r = n % buckets
     val cut = r * (q + 1)

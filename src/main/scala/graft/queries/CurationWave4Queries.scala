@@ -62,6 +62,153 @@ object CurationWave4Queries {
              CAST(max(pos) + ${SpanL - 1} AS BIGINT) AS span_end,
              CAST(max(pos) + $SpanL - min(pos) AS BIGINT) AS span_len
       FROM is2 GROUP BY doc_id, island
-      ORDER BY doc_id, span_start"""))
+      ORDER BY doc_id, span_start""")),
+
+    // Span-removal report — the APPLY step of suffix dedup (Lee et al.
+    // ExactSubstr removes every occurrence of a duplicated span): per
+    // doc, tokens before/after cutting the maximal duplicate spans.
+    // Maximal spans are disjoint by construction (overlapping/touching
+    // windows merged), so removed = Σ span_len is exact. One extra
+    // grouped aggregate + a left join onto the per-doc token counts —
+    // the spans pipeline's plan shape carries over unchanged.
+    QueryDef("dedup_substring_removal", (s, dir) => {
+      val docs = t("documents")(s, dir)
+      val spans = SuffixDedup.maximalDuplicateSpans(docs, "doc_id", "text",
+        SpanL)
+      val per = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_len")).as("removed_tokens"))
+      docs.select(col("doc_id"),
+          size(graft.functions.TextAnalysisFns.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        .join(per, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("removed_tokens"), lit(0L)).as("removed_tokens"))
+        .withColumn("retained_tokens", col("n_tokens") - col("removed_tokens"))
+        .withColumn("retained_frac",
+          when(col("n_tokens") === 0L, lit(1.0)).otherwise(
+            col("retained_tokens").cast("double") /
+              col("n_tokens").cast("double")))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, ${Sql.tokens("text")} AS ts FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(generate_series(1, greatest(len(ts) - ${SpanL - 1}, 0)))
+                     AS pos,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(ts) - ${SpanL - 1}, 0)),
+                     i -> array_to_string(ts[i:i+${SpanL - 1}], ' '))) AS gram
+            FROM tk),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      cov AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      isl AS (SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                            IS NULL
+                          OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) > $SpanL
+                          THEN 1 ELSE 0 END AS brk
+              FROM cov),
+      is2 AS (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl),
+      sp AS (SELECT doc_id, island,
+                    max(pos) + $SpanL - min(pos) AS span_len
+             FROM is2 GROUP BY doc_id, island),
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(span_len) AS BIGINT) AS removed_tokens
+              FROM sp GROUP BY doc_id)
+      SELECT tk.doc_id, CAST(len(ts) AS BIGINT) AS n_tokens,
+             coalesce(per.n_spans, 0) AS n_spans,
+             coalesce(per.removed_tokens, 0) AS removed_tokens,
+             CAST(len(ts) AS BIGINT) - coalesce(per.removed_tokens, 0)
+               AS retained_tokens,
+             CASE WHEN len(ts) = 0 THEN 1.0
+                  ELSE CAST(len(ts) - coalesce(per.removed_tokens, 0) AS DOUBLE)
+                       / CAST(len(ts) AS DOUBLE) END AS retained_frac
+      FROM tk LEFT JOIN per USING (doc_id)
+      ORDER BY tk.doc_id""")),
+
+    // Per-source boilerplate grams — the prevalence dimension exact
+    // substring dedup doesn't see: an 8-token gram is BOILERPLATE in a
+    // source when it appears in ≥ 3 distinct documents of that source
+    // (headers, footers, templates — the CCNet-style within-source
+    // cleanup signal). Per doc: distinct grams, boilerplate grams among
+    // them, and the fraction. Shuffles key on (source, gram) and
+    // (doc_id) only — never doc×doc; prevalence counts are per-source
+    // grouped counts of DISTINCT (gram, doc) postings.
+    QueryDef("boilerplate_gram_source", (s, dir) => {
+      val docs = t("documents")(s, dir)
+      val grams = docs.select(col("doc_id"), col("source"),
+          explode(graft.functions.SimFns.wordShingles(
+            graft.functions.TextAnalysisFns.tokens(col("text")), SpanL))
+            .as("g"))
+      val prev = grams.groupBy(col("source"), col("g"))
+        .agg(count(lit(1)).as("nd"))
+      val boiler = prev.where(col("nd") >= 3)
+        .select(col("source"), col("g"), lit(1L).as("is_boiler"))
+      val per = grams.join(boiler, Seq("source", "g"), "left_outer")
+        .groupBy(col("doc_id"), col("source"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("is_boiler"), lit(0L))).as("n_boiler"))
+      per.select(col("doc_id"), col("source"), col("n_grams"),
+          col("n_boiler"),
+          (col("n_boiler").cast("double") / col("n_grams").cast("double"))
+            .as("boiler_frac"))
+        .orderBy(col("doc_id"))
+    }, Some {
+      val sh = Sql.wordShingles("ts", SpanL)
+      s"""
+      WITH tk AS (SELECT doc_id, source, ${Sql.tokens("text")} AS ts
+                  FROM documents),
+      gr AS (SELECT doc_id, source, unnest($sh) AS g FROM tk
+             WHERE len(ts) >= $SpanL),
+      prev AS (SELECT source, g, CAST(count(*) AS BIGINT) AS nd
+               FROM gr GROUP BY source, g),
+      per AS (SELECT gr.doc_id, gr.source,
+                     CAST(count(*) AS BIGINT) AS n_grams,
+                     CAST(sum(CASE WHEN prev.nd >= 3 THEN 1 ELSE 0 END)
+                       AS BIGINT) AS n_boiler
+              FROM gr JOIN prev ON prev.source = gr.source AND prev.g = gr.g
+              GROUP BY gr.doc_id, gr.source)
+      SELECT doc_id, source, n_grams, n_boiler,
+             CAST(n_boiler AS DOUBLE) / CAST(n_grams AS DOUBLE) AS boiler_frac
+      FROM per ORDER BY doc_id"""
+    }),
+
+    // Cross-source duplication matrix — the contamination map between
+    // corpus sources: for each UNORDERED source pair, how many distinct
+    // 8-token grams they share. Per gram, the distinct source list is
+    // tiny (≤ |sources|), so the pair fan-out per gram is bounded by
+    // |sources|² regardless of corpus size; the output is |sources|²
+    // rows. Shuffle keys: gram, then (src_a, src_b) — never doc×doc.
+    QueryDef("dup_cross_source_matrix", (s, dir) => {
+      val docs = t("documents")(s, dir)
+      val sg = docs.select(col("source"),
+          explode(graft.functions.SimFns.wordShingles(
+            graft.functions.TextAnalysisFns.tokens(col("text")), SpanL))
+            .as("g"))
+        .distinct()
+      val pairs = sg.as("a").join(sg.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      pairs.groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+        .orderBy(col("src_a"), col("src_b"))
+    }, Some {
+      val sh = Sql.wordShingles("ts", SpanL)
+      s"""
+      WITH tk AS (SELECT doc_id, source, ${Sql.tokens("text")} AS ts
+                  FROM documents),
+      sg AS (SELECT DISTINCT source, g
+             FROM (SELECT source, unnest($sh) AS g FROM tk
+                   WHERE len(ts) >= $SpanL)),
+      pr AS (SELECT a.source AS src_a, b.source AS src_b
+             FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source)
+      SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_grams
+      FROM pr GROUP BY src_a, src_b
+      ORDER BY src_a, src_b"""
+    })
   )
 }
