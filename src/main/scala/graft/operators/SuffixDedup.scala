@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Suffix-ranking substring deduplication — the scale upgrade of the
   * fixed-L gram-key approach (`dedup_substring_exact`): find all MAXIMAL
@@ -34,9 +33,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *    (gap ≤ L) — a bounded per-doc gaps-and-islands window.
   *
   * Dense labels are assigned by total-sorting the distinct pair set and
-  * attaching contiguous indices (`zipWithIndex` — the sharded prefix-sum
-  * pattern: range-partitioned distributed sort, per-partition offsets; no
-  * single-partition window). Each round's labeled table is
+  * attaching contiguous indices (GlobalRank.globalRowNumber — the sharded
+  * prefix-sum pattern: range partition, per-partition rank window,
+  * broadcast offsets; no single-partition window, no RDD round trip). Each round's labeled table is
   * `localCheckpoint`ed: the values are pinned once (a lazily recomputed
   * id assignment could disagree with itself across reuses) and the
   * per-round lineage is truncated, exactly like PageRank's iterations.
@@ -48,21 +47,16 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object SuffixDedup {
 
-  /** Dense ids for distinct (l1, l2) label pairs: total order by the pair,
-    * contiguous ids via zipWithIndex (deterministic — the sort is total
-    * and the pairs are distinct).
+  /** Dense ORDER-CORRECT ids for distinct (l1, l2) label pairs: 1-based
+    * contiguous ids in (l1, l2) order via [[GlobalRank.globalRowNumber]]
+    * (range partition → per-partition window → broadcast prefix-sum
+    * offsets — all DataFrame ops; the earlier RDD zipWithIndex route paid
+    * a catalyst↔scala serialization round trip of the full pair table per
+    * doubling round). Deterministic: the sort is total and the pairs are
+    * distinct.
     */
-  private def assignPairIds(pairs: DataFrame): DataFrame = {
-    val spark = pairs.sparkSession
-    val rdd = pairs.orderBy(col("l1"), col("l2")).rdd
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .zipWithIndex()
-      .map { case ((a, b), i) => Row(a, b, i) }
-    spark.createDataFrame(rdd, StructType(Seq(
-      StructField("l1", LongType, nullable = false),
-      StructField("l2", LongType, nullable = false),
-      StructField("id", LongType, nullable = false))))
-  }
+  private def assignPairIds(pairs: DataFrame): DataFrame =
+    GlobalRank.globalRowNumber(pairs, Seq(col("l1"), col("l2")), "id")
 
   /** (doc_id, pos) of every position whose L-token window occurs ≥ 2
     * times in the corpus. `toks` must be (doc_id: long, pos: long 1-based,
@@ -70,20 +64,14 @@ object SuffixDedup {
     */
   def coveredPositions(toks: DataFrame, L: Int): DataFrame = {
     require(L >= 2, s"window length must be >= 2, got $L")
-    val spark = toks.sparkSession
 
     // a = largest power of two < L; a >= L/2 so the two a-windows at p and
     // p+L-a overlap and exactly cover [p, p+L-1]
     val a = Integer.highestOneBit(L - 1)
 
     // round 0: dense token ids (distinct tokens, total-sorted)
-    val tokIds = {
-      val rdd = toks.select(col("tok")).distinct().orderBy(col("tok")).rdd
-        .map(_.getString(0)).zipWithIndex().map { case (t, i) => Row(t, i) }
-      spark.createDataFrame(rdd, StructType(Seq(
-        StructField("tok", org.apache.spark.sql.types.StringType, nullable = false),
-        StructField("id", LongType, nullable = false))))
-    }
+    val tokIds = GlobalRank.globalRowNumber(
+      toks.select(col("tok")).distinct(), Seq(col("tok")), "id")
     var cur = toks.join(tokIds, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("id").as("lbl"))
       .localCheckpoint()
@@ -113,6 +101,62 @@ object SuffixDedup {
       .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
       .select(col("k1"), col("k2"))
     keyed.join(dupKeys, Seq("k1", "k2")).select(col("doc_id"), col("pos"))
+  }
+
+  /** TRUE suffix ranks — the distributed suffix ARRAY, not just the
+    * duplicate test: every (doc_id, pos) gets a label such that
+    * label(a) < label(b) ⇔ the token suffix starting at a sorts strictly
+    * before the one starting at b (equal suffixes share a label; ties are
+    * broken downstream by (doc_id, pos)). Same prefix-doubling loop as
+    * [[coveredPositions]] with two changes that make the labels
+    * ORDER-correct, not merely equality-correct:
+    *
+    *  - the densify sort assigns ids in (l1, l2) order and the initial
+    *    token ids are assigned in token order, so order is preserved
+    *    inductively — rank_{2w} order IS lexicographic (rank_w[p],
+    *    rank_w[p+w]) order;
+    *  - positions whose second half falls off the end of the doc keep a
+    *    SENTINEL −1 second label (LEFT join), which sorts first — the
+    *    standard "shorter suffix is a prefix ⇒ sorts first" rule.
+    *
+    * Rounds: ⌈log₂ max-doc-length⌉ equi-join + densify-sort rounds; the
+    * suffix order of a corpus-sized token table is built in O(N log N)
+    * fixed-width rows, never materializing suffix strings.
+    */
+  def suffixRanks(toks: DataFrame): DataFrame = {
+    val maxLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).first().getLong(0)
+    val tokIds = GlobalRank.globalRowNumber(
+      toks.select(col("tok")).distinct(), Seq(col("tok")), "id")
+    var cur = toks.join(tokIds, Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("id").as("lbl"))
+      .localCheckpoint()
+    var width = 1L
+    // classic prefix-doubling termination: label classes only ever SPLIT,
+    // so if a round's distinct-label count is unchanged the partition is
+    // identical and (inductively) every later round is too — iterate
+    // until stable or width covers the longest doc, whichever is first.
+    // On mostly-unique text this stops at width ≈ the longest repeated
+    // passage, not the longest document.
+    var nDistinct = -1L
+    var stable = false
+    while (width < maxLen && !stable) {
+      val nxt = cur.as("x").join(cur.as("y"),
+          col("x.doc_id") === col("y.doc_id") &&
+            col("y.pos") === col("x.pos") + width, "left_outer")
+        .select(col("x.doc_id").as("doc_id"), col("x.pos").as("pos"),
+          col("x.lbl").as("l1"), coalesce(col("y.lbl"), lit(-1L)).as("l2"))
+      val ids = assignPairIds(nxt.select(col("l1"), col("l2")).distinct())
+        .localCheckpoint()
+      val n = ids.count()
+      cur = nxt.join(ids, Seq("l1", "l2"))
+        .select(col("doc_id"), col("pos"), col("id").as("lbl"))
+        .localCheckpoint()
+      stable = n == nDistinct
+      nDistinct = n
+      width *= 2
+    }
+    cur
   }
 
   /** Maximal duplicate spans ≥ L tokens: merged runs of covered L-windows

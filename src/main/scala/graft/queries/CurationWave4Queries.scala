@@ -209,6 +209,53 @@ object CurationWave4Queries {
       SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS shared_grams
       FROM pr GROUP BY src_a, src_b
       ORDER BY src_a, src_b"""
-    })
+    }),
+
+    // TRUE distributed suffix array: the first 100 corpus suffixes in
+    // lexicographic token order (rank, position, 8-token preview) —
+    // SuffixDedup.suffixRanks' order-correct prefix-doubling labels
+    // (⌈log₂ max-doc-len⌉ equi-join + densify-sort rounds over
+    // fixed-width rows; suffix STRINGS are never materialized
+    // engine-side). The oracle CAN afford the strings at sf0.01: it
+    // sorts space-joined suffixes directly — byte order of space-joined
+    // token lists equals token-sequence lexicographic order because
+    // tokens are whitespace-free and ' ' (0x20) sorts below every token
+    // byte, and a shorter prefix-suffix sorts first in both conventions
+    // (the engine's −1 sentinel ≡ the string's early end). Equal
+    // suffixes (duplicated text) tie-break by (doc_id, pos) on both
+    // sides. The final top-100 is a sort-limit (TakeOrdered — bounded),
+    // and the 100-row rank window is bounded by the LIMIT.
+    QueryDef("suffix_array_topk", (s, dir) => {
+      val docs = t("documents")(s, dir)
+      val withTs = docs.select(col("doc_id"),
+        graft.functions.TextAnalysisFns.tokens(col("text")).as("ts"))
+      val toks = withTs
+        .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("tok"))
+      val top = SuffixDedup.suffixRanks(toks)
+        .orderBy(col("lbl"), col("doc_id"), col("pos")).limit(100)
+      top.join(withTs, Seq("doc_id"))
+        .select(col("lbl"), col("doc_id"), col("pos"),
+          concat_ws(" ",
+            slice(col("ts"), col("pos").cast("int"), lit(8))).as("preview"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("lbl"), col("doc_id"), col("pos"))).cast("int"))
+        .select(col("rank"), col("doc_id"), col("pos"), col("preview"))
+        .orderBy(col("rank"))
+    }, Some(s"""
+      WITH tk AS (SELECT doc_id, ${Sql.tokens("text")} AS ts FROM documents),
+      p AS (SELECT doc_id, unnest(generate_series(1, len(ts))) AS pos, ts
+            FROM tk),
+      s AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   array_to_string(ts[pos:len(ts)], ' ') AS suf,
+                   array_to_string(ts[pos:least(pos+7, len(ts))], ' ')
+                     AS preview
+            FROM p)
+      SELECT CAST(row_number() OVER (ORDER BY suf, doc_id, pos) AS INT)
+               AS rank,
+             doc_id, pos, preview
+      FROM s ORDER BY rank LIMIT 100"""))
   )
 }

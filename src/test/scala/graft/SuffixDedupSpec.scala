@@ -67,6 +67,62 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L, 16L, 16L)))
   }
 
+  private def toksOf(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.TextAnalysisFns.tokens(col("text")))
+          .as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
+
+  test("suffixRanks: label order == brute-force token-sequence suffix order (prefix rule, cross-doc ties)") {
+    // crafted to exercise every ordering rule: a prefix-suffix ("b c" vs
+    // "b c a" — shorter first), an equal cross-doc suffix ("c a" in both
+    // docs — SAME label), and unequal-length docs (sentinel propagation
+    // through multiple doubling rounds)
+    val docs = Seq(
+      (1L, "a b c a"),
+      (2L, "b c a d b c a")).toDF("doc_id", "text")
+    val got = SuffixDedup.suffixRanks(toksOf(docs))
+      .as[(Long, Long, Long)].collect()
+      .map { case (d, p, l) => (d, p) -> l }.toMap
+
+    // brute-force: suffix token sequences ordered by Seq[String] order
+    val suf = Seq(
+      1L -> Seq("a", "b", "c", "a"),
+      2L -> Seq("b", "c", "a", "d", "b", "c", "a")).flatMap { case (d, ts) =>
+      (1 to ts.length).map(p => (d, p.toLong, ts.drop(p - 1)))
+    }
+    import scala.math.Ordering.Implicits._
+    def cmp(a: Seq[String], b: Seq[String]) = a < b // Seq lexicographic: prefix sorts first
+    for ((d1, p1, s1) <- suf; (d2, p2, s2) <- suf) {
+      val (l1, l2) = (got((d1, p1)), got((d2, p2)))
+      if (s1 == s2) assert(l1 == l2, s"equal suffixes $s1 got labels $l1 != $l2")
+      else if (cmp(s1, s2)) assert(l1 < l2, s"$s1 < $s2 but labels $l1 >= $l2")
+      else assert(l1 > l2, s"$s1 > $s2 but labels $l1 <= $l2")
+    }
+    // the duplicated cross-doc suffixes share one label:
+    // doc1 pos3 = ["c","a"] == doc2 pos6; doc1 pos4 = ["a"] == doc2 pos7
+    assert(got((1L, 3L)) == got((2L, 6L)))
+    assert(got((1L, 4L)) == got((2L, 7L)))
+  }
+
+  test("suffix_array_topk matches a driver-side sort of all suffixes on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("suffix_array_topk")(spark, dir)
+      .as[(Int, Long, Long, String)].collect().toSeq
+    assert(got.size == 100 && got.map(_._1) == (1 to 100))
+    // brute force on the collected corpus
+    val docs = Tables.load(spark, dir, "documents")
+      .select($"doc_id", graft.functions.TextAnalysisFns.tokens($"text").as("ts"))
+      .as[(Long, Seq[String])].collect()
+    import scala.math.Ordering.Implicits._
+    val all = docs.flatMap { case (d, ts) =>
+      (1 to ts.length).map(p => (ts.drop(p - 1).toSeq, d, p.toLong)) }
+    val want = all.sortBy(identity).take(100)
+      .zipWithIndex.map { case ((s, d, p), i) =>
+        (i + 1, d, p, s.take(8).mkString(" ")) }
+    assert(got == want.toSeq)
+  }
+
   test("prefix-doubling covered set == direct L-gram covered set on the sf0.001 corpus") {
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
     val toks = docs.select(col("doc_id"),
