@@ -22,10 +22,12 @@ class EvalStatsSpec extends AnyFunSuite {
     val (_, scale, sum, mx, mse) = EvalStatsQueries.quantizeInt8(df, "id", "v")
       .as[(Long, Double, Long, Long, Double)].first()
     assert(scale == 127.0)
-    // codes: floor(0.5·127) = 63, floor(−1·127) = −127
-    assert(sum == 63L - 127L && mx == 63L)
+    // codes: round(0.5·127) = round(63.5) = 64 (ties away from zero),
+    // round(−1·127) = −127 — the r10 round() quantizer: the negative
+    // extreme lands EXACTLY on −127 (never −128, floor's edge case)
+    assert(sum == 64L - 127L && mx == 64L)
     // max-magnitude element reconstructs exactly → only 0.5's error remains
-    val err = 0.5 - 63.0 / 127.0
+    val err = 0.5 - 64.0 / 127.0
     assert(mse == err * err / 2.0)
   }
 
