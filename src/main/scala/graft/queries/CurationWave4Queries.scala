@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.SuffixDedup
+import graft.operators.{Ann, SuffixDedup}
 
 /** Round-10 curation wave: suffix-ranking substring dedup (the Lee et al.
   * 2021 "all maximal duplicate spans ≥ L tokens" standard, replacing the
@@ -256,6 +256,66 @@ object CurationWave4Queries {
       SELECT CAST(row_number() OVER (ORDER BY suf, doc_id, pos) AS INT)
                AS rank,
              doc_id, pos, preview
-      FROM s ORDER BY rank LIMIT 100"""))
+      FROM s ORDER BY rank LIMIT 100""")),
+
+    // One Lloyd's update round, hash-exact: per (cell, dim), the member
+    // count and the new centroid mean — iteration-0 assignment (the same
+    // argmin device dedup_semantic gates) followed by the k-means MEANS
+    // step pinned cross-engine: the per-(cell, dim) float sum is an
+    // ORDERED fold (members sorted by vec_id on both sides), then ONE
+    // division. Ann.ivfTrain's production loop uses Spark's unordered
+    // grouped sum for speed (spec'd with tolerance); THIS query pins the
+    // arithmetic of the update step bit-for-bit. Scale: assignment is a
+    // one-scan codegen projection; the means shuffle keys on
+    // (cell, dim) — nlist × dim rows out, never vectors × vectors.
+    QueryDef("ivf_lloyd_means", (s, dir) => {
+      val emb = t("embeddings")(s, dir)
+      val index = Ann.ivfTrain(emb, "vec_id", "embedding", nlist = 8,
+        iters = 0)
+      val cells = Ann.assignCells(emb, "embedding", index)
+      cells
+        .select(col("cell"), col("vec_id"),
+          posexplode(col("embedding").cast("array<double>"))
+            .as(Seq("d0", "x")))
+        .groupBy(col("cell"), col("d0"))
+        .agg(count(lit(1)).as("n"),
+          aggregate(
+            sort_array(collect_list(struct(col("vec_id"), col("x")))),
+            lit(0.0), (a, e) => a + e.getField("x")).as("sx"))
+        .select(col("cell").cast("int").as("cell"),
+          (col("d0") + 1).cast("long").as("d"), col("n"),
+          (col("sx") / col("n").cast("double")).as("mean"))
+        .orderBy(col("cell"), col("d"))
+    }, Some {
+      def distSq(v: String, c: String): String =
+        s"(${Sql.dot(v, v)} - 2.0 * ${Sql.dot(v, c)} + ${Sql.dot(c, c)})"
+      s"""
+      WITH cent AS (
+        SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+               CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+        QUALIFY row_number() OVER (ORDER BY vec_id) <= 8),
+      corp AS (SELECT vec_id, embedding AS v FROM embeddings),
+      assign AS (
+        SELECT corp.vec_id, cent.cid,
+               row_number() OVER (PARTITION BY corp.vec_id
+                 ORDER BY ${distSq("corp.v", "cent.cv")}, cent.cid) AS rn
+        FROM corp CROSS JOIN cent),
+      cells AS (SELECT vec_id, cid AS cell FROM assign WHERE rn = 1),
+      xs AS (SELECT c.cell, e.vec_id,
+                    unnest(generate_series(1, len(e.embedding))) AS d,
+                    unnest(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE))) AS x
+             FROM cells c JOIN embeddings e ON e.vec_id = c.vec_id),
+      m AS (SELECT cell, d, CAST(count(*) AS BIGINT) AS n,
+                   list_reduce(
+                     list_prepend(CAST(0.0 AS DOUBLE),
+                       list(x ORDER BY vec_id)),
+                     (a, xx) -> a + xx) AS sx
+            FROM xs GROUP BY cell, d)
+      SELECT CAST(cell AS INT) AS cell, CAST(d AS BIGINT) AS d, n,
+             sx / CAST(n AS DOUBLE) AS mean
+      FROM m ORDER BY cell, d"""
+    })
   )
 }
