@@ -208,12 +208,13 @@ object Streams {
     * survives across batches, so float addition order would otherwise
     * depend on batch boundaries.
     */
-  class RunningUserTotals extends StatefulProcessor[Long, Event, UserTotals] {
+  class RunningUserTotals(ttl: TTLConfig = TTLConfig.NONE)
+      extends StatefulProcessor[Long, Event, UserTotals] {
     @transient private var totals: ValueState[(Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       totals = getHandle.getValueState[(Long, Long)](
         "totals", Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
-        TTLConfig.NONE)
+        ttl)
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timerValues: TimerValues): Iterator[UserTotals] = {
       var (n, cents) = if (totals.exists()) totals.get() else (0L, 0L)
@@ -368,6 +369,22 @@ object Streams {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningUserTotals, TimeMode.None(), OutputMode.Update())
+  }
+
+  /** [[runningUserTotals]] with a state TTL — the mechanism that makes
+    * keyed LIFETIME state deployable on an unbounded key space: without
+    * it, per-user state rows grow with cumulative distinct users forever
+    * (the StreamStateExhibit contrast line); with a TTL, a user idle
+    * longer than `ttlMs` is evicted and restarts from zero on return.
+    * State TTL is processing-time-based in Spark, so the operator runs in
+    * TimeMode.ProcessingTime.
+    */
+  def runningUserTotalsTtl(events: Dataset[Event], ttlMs: Long): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningUserTotals(
+        TTLConfig(java.time.Duration.ofMillis(ttlMs))),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Streaming upsert sink: foreachBatch applying the K4 staged merge into

@@ -52,6 +52,61 @@ class StreamingV2Spec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState TTL: an idle key is evicted and restarts from zero") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    // 1.5 s processing-time TTL. NB: in TimeMode.ProcessingTime the
+    // query never goes idle (processing-time ticks keep scheduling
+    // batches), so processAllAvailable / AvailableNow+awaitTermination
+    // both stall — poll the memory sink for the expected output and stop
+    // the query explicitly instead. One checkpoint across both runs:
+    // state persists, and the wall-clock gap between them exceeds the
+    // TTL.
+    val out = Streams.runningUserTotalsTtl(mem.toDS(), ttlMs = 1500)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("tws_ttl_ckpt").toString
+    // the memory sink cannot recover from a checkpoint — collect through
+    // foreachBatch (recoverable) into a driver-side buffer instead
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    def rowsNow() = { import scala.jdk.CollectionConverters._; buf.asScala.toSet }
+    def runUntil(expect: Set[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+      val q = out.writeStream.outputMode("update")
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[Streams.UserTotals], _: Long) =>
+          b.collect().foreach(u => buf.add((u.user_id, u.n_events, u.total_cents)))
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      try {
+        val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+        while (rowsNow() != expect && System.nanoTime() < deadline)
+          Thread.sleep(100)
+        rowsNow()
+      } finally q.stop()
+    }
+    try {
+      mem.addData(
+        Event(1, ts("2024-01-01 10:00:00"), 1, "click", 1.25),
+        Event(2, ts("2024-01-01 10:01:00"), 1, "click", 2.50))
+      val first = runUntil(Set((1L, 2L, 375L)))
+      assert(first == Set((1L, 2L, 375L)), first.mkString(","))
+      Thread.sleep(2500) // idle past the TTL (processing time)
+      buf.clear()
+      mem.addData(Event(3, ts("2024-01-01 10:10:00"), 1, "click", 0.25))
+      // run 2 would read (3, 400) if the state survived — the TTL
+      // evicted it, so the totals RESTART from zero
+      val second = runUntil(Set((1L, 1L, 25L)))
+      assert(second == Set((1L, 1L, 25L)), second.mkString(","))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("left-outer interval join: unmatched left emitted null-padded after watermark") {
     implicit val sq = spark.sqlContext
     val lMem = MemoryStream[Event]
