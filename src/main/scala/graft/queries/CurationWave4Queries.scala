@@ -316,6 +316,42 @@ object CurationWave4Queries {
       SELECT CAST(cell AS INT) AS cell, CAST(d AS BIGINT) AS d, n,
              sx / CAST(n AS DOUBLE) AS mean
       FROM m ORDER BY cell, d"""
-    })
+    }),
+
+    // Hapax-legomena profile per source: the fraction of a source's
+    // distinct vocabulary that occurs exactly once — the lexical-richness
+    // signal (natural prose ≈ 0.4–0.6; templated/boilerplate-heavy
+    // sources read far lower, token-soup spam far higher). Two grouped
+    // counts keyed on (source, term) then source; all integers to one
+    // final division.
+    QueryDef("text_hapax_ratio", (s, dir) => {
+      val tf = t("documents")(s, dir)
+        .select(col("source"),
+          explode(graft.functions.TextAnalysisFns.tokens(col("text")))
+            .as("term"))
+        .groupBy(col("source"), col("term"))
+        .agg(count(lit(1)).as("c"))
+      tf.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+          sum(col("c")).as("n_tokens"))
+        .select(col("source"), col("n_terms"), col("n_hapax"),
+          col("n_tokens"),
+          (col("n_hapax").cast("double") / col("n_terms").cast("double"))
+            .as("hapax_ratio"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH tf AS (
+        SELECT source, t AS term, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT source, unnest(${Sql.tokens("text")}) AS t
+              FROM documents)
+        GROUP BY source, t)
+      SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(sum(c) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS hapax_ratio
+      FROM tf GROUP BY source ORDER BY source"""))
   )
 }

@@ -193,6 +193,75 @@ object DedupVectorQueries {
       ORDER BY id_a, id_b"""
     }),
 
+    // MinHash estimator-quality audit: for every LSH candidate pair, the
+    // signature-agreement Jaccard ESTIMATE (#equal minhash components / k
+    // — the standard unbiased estimator the banding theory rests on) next
+    // to the TRUE shingle Jaccard, plus |error|. This is the eval that
+    // justifies k: a drifting corpus (longer docs, different shingle
+    // cardinality) degrades the estimate before it degrades recall, and
+    // this query sees it first. Integer agreement count, one division,
+    // abs of an exact IEEE difference — hash-exact on both engines.
+    // Scale: same band equi-join as dedup_minhash_lsh; the signature zip
+    // is O(k) per candidate pair.
+    QueryDef("minhash_jaccard_est_eval", (s, dir) => {
+      val sh = t("documents")(s, dir).select(col("doc_id").as("id"),
+          graft.functions.SimFns.wordShingles(
+            graft.functions.TextAnalysisFns.tokens(col("text")),
+            ShingleWords).as("shingles"))
+        .where(size(col("shingles")) > 0)
+      val sg = sh.withColumn("sig",
+        graft.functions.HashFns.minhashSignature(col("shingles"), NumHashes))
+      val banded = sg.select(col("id"),
+        explode(graft.functions.HashFns.lshBandKeys(
+          col("sig"), Bands, NumHashes / Bands)).as("band"))
+      val pairs = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      pairs
+        .join(sg.select(col("id").as("id_a"), col("shingles").as("sh_a"),
+          col("sig").as("sig_a")), Seq("id_a"))
+        .join(sg.select(col("id").as("id_b"), col("shingles").as("sh_b"),
+          col("sig").as("sig_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (aggregate(zip_with(col("sig_a"), col("sig_b"),
+              (x, y) => when(x === y, 1L).otherwise(0L)),
+            lit(0L), (a, c) => a + c).cast("double") /
+            lit(NumHashes).cast("double")).as("est_jaccard"),
+          graft.functions.SimFns.jaccard(col("sh_a"), col("sh_b"))
+            .as("jaccard"))
+        .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+        .orderBy(col("id_a"), col("id_b"))
+    }, Some {
+      val toks = Sql.tokens("text")
+      val sig  = Sql.minhashSignature("shingles", NumHashes)
+      val bandKeys = Sql.lshBandKeys("sig", Bands, NumHashes / Bands)
+      s"""
+      WITH sh AS (
+        SELECT doc_id AS id, ${Sql.wordShingles(toks, ShingleWords)} AS shingles
+        FROM documents),
+      nz AS (SELECT * FROM sh WHERE len(shingles) > 0),
+      sg AS (SELECT id, shingles, $sig AS sig FROM nz),
+      banded AS (SELECT id, unnest($bandKeys) AS band FROM sg),
+      pairs AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id),
+      sc AS (
+        SELECT p.id_a, p.id_b,
+               CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, $NumHashes),
+                   i -> CASE WHEN x.sig[i] = y.sig[i]
+                        THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+                 (a, c) -> a + c) AS DOUBLE)
+                 / CAST($NumHashes AS DOUBLE) AS est_jaccard,
+               ${Sql.jaccard("x.shingles", "y.shingles")} AS jaccard
+        FROM pairs p
+        JOIN sg x ON x.id = p.id_a
+        JOIN sg y ON y.id = p.id_b)
+      SELECT id_a, id_b, est_jaccard, jaccard,
+             abs(est_jaccard - jaccard) AS abs_err
+      FROM sc ORDER BY id_a, id_b"""
+    }),
+
     // Dedup clustering: connected components over the MinHash near-dup
     // pairs → canonical keeper per doc (min reachable id). Oracle: the
     // same pair set + a recursive-CTE transitive closure.
