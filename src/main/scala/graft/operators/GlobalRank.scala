@@ -60,6 +60,44 @@ object GlobalRank {
                       outCol: String): DataFrame =
     rankedWithCount(df, sortCols, outCol)._1
 
+  /** `df` + `outCol` = the GLOBAL DENSE RANK of `keys` (1-based; equal
+    * keys share a label, labels are order-correct and contiguous),
+    * computed IN PLACE — no separate distinct + re-join: range-partition
+    * by the keys (equal keys land in one partition by construction),
+    * per-partition dense_rank, then add per-partition DISTINCT-count
+    * prefix offsets (bounded collect). One shuffle + one partitioned
+    * window per call, versus the three shuffles of
+    * distinct → sort-assign → join-back — the prefix-doubling densify
+    * step's cost is this function, ⌈log₂ L⌉ times.
+    *
+    * Returns (labeled df, total distinct key count) — the count is free
+    * (the offsets sum) and is the doubling loop's termination signal.
+    */
+  def withDenseRank(df: DataFrame, keys: Seq[Column],
+                    outCol: String): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val parted = df.repartitionByRange(keys: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy(col("__pid"))
+      .agg(count_distinct(struct(keys: _*)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val offsets = {
+      var acc = 0L
+      counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val labeled = parted
+      .withColumn("__ldr", dense_rank().over(
+        Window.partitionBy(col("__pid")).orderBy(keys: _*)))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn(outCol, col("__off") + col("__ldr"))
+      .drop("__pid", "__ldr", "__off")
+    (labeled, counts.map(_._2).sum)
+  }
+
   /** `df` + `outCol` = NTILE(buckets) under `sortCols`, replicating the
     * standard semantics shared by Spark and DuckDB: with n rows,
     * q = n / buckets and r = n % buckets, the first r buckets hold q+1

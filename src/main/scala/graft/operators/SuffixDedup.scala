@@ -47,17 +47,6 @@ import org.apache.spark.sql.functions._
   */
 object SuffixDedup {
 
-  /** Dense ORDER-CORRECT ids for distinct (l1, l2) label pairs: 1-based
-    * contiguous ids in (l1, l2) order via [[GlobalRank.globalRowNumber]]
-    * (range partition → per-partition window → broadcast prefix-sum
-    * offsets — all DataFrame ops; the earlier RDD zipWithIndex route paid
-    * a catalyst↔scala serialization round trip of the full pair table per
-    * doubling round). Deterministic: the sort is total and the pairs are
-    * distinct.
-    */
-  private def assignPairIds(pairs: DataFrame): DataFrame =
-    GlobalRank.globalRowNumber(pairs, Seq(col("l1"), col("l2")), "id")
-
   /** (doc_id, pos) of every position whose L-token window occurs ≥ 2
     * times in the corpus. `toks` must be (doc_id: long, pos: long 1-based,
     * tok: string) with contiguous per-doc positions.
@@ -83,10 +72,11 @@ object SuffixDedup {
             col("y.pos") === col("x.pos") + width)
         .select(col("x.doc_id").as("doc_id"), col("x.pos").as("pos"),
           col("x.lbl").as("l1"), col("y.lbl").as("l2"))
-      val ids = assignPairIds(nxt.select(col("l1"), col("l2")).distinct())
-      cur = nxt.join(ids, Seq("l1", "l2"))
-        .select(col("doc_id"), col("pos"), col("id").as("lbl"))
-        .localCheckpoint()
+      // in-place dense rank: ONE range shuffle per round (equality-correct
+      // labels are all this duplicate test needs; order-correctness comes
+      // free and keeps the device shared with suffixRanks)
+      cur = GlobalRank.withDenseRank(nxt, Seq(col("l1"), col("l2")), "lbl")
+        ._1.select(col("doc_id"), col("pos"), col("lbl"))
       width *= 2
     }
 
@@ -146,12 +136,12 @@ object SuffixDedup {
             col("y.pos") === col("x.pos") + width, "left_outer")
         .select(col("x.doc_id").as("doc_id"), col("x.pos").as("pos"),
           col("x.lbl").as("l1"), coalesce(col("y.lbl"), lit(-1L)).as("l2"))
-      val ids = assignPairIds(nxt.select(col("l1"), col("l2")).distinct())
-        .localCheckpoint()
-      val n = ids.count()
-      cur = nxt.join(ids, Seq("l1", "l2"))
-        .select(col("doc_id"), col("pos"), col("id").as("lbl"))
-        .localCheckpoint()
+      // in-place ORDER-correct dense rank (one range shuffle per round;
+      // the distinct count for the termination test is the offsets sum —
+      // free); labels are pinned by the checkpoint inside withDenseRank
+      val (labeled, n) = GlobalRank.withDenseRank(
+        nxt, Seq(col("l1"), col("l2")), "lbl")
+      cur = labeled.select(col("doc_id"), col("pos"), col("lbl"))
       stable = n == nDistinct
       nDistinct = n
       width *= 2
