@@ -352,6 +352,101 @@ object CurationWave4Queries {
              CAST(sum(c) AS BIGINT) AS n_tokens,
              CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS hapax_ratio
-      FROM tf GROUP BY source ORDER BY source"""))
+      FROM tf GROUP BY source ORDER BY source""")),
+
+    // Head-coverage curve: what fraction of all token OCCURRENCES the
+    // top-k most frequent terms cover, k ∈ {10, 50, 100, 500} — the
+    // vocabulary-truncation planning curve (how small a vocab still
+    // covers the corpus). Term ranks come from the text_vocab
+    // decomposition trick if needed, but here the cumulative weight of
+    // the top k needs only: per-term counts, a bounded top-k tail
+    // (TopKAgg over terms — shuffle O(k)), and one total. Integers to
+    // one division per k.
+    QueryDef("ngram_coverage_curve", (s, dir) => {
+      val ks = Seq(10, 50, 100, 500)
+      val tf = t("documents")(s, dir)
+        .select(explode(graft.functions.TextAnalysisFns.tokens(col("text")))
+          .as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = tf.agg(sum(col("c")).as("n_total"))
+      // one bounded top-500 tail; each k reads its prefix
+      val top = tf.groupBy()
+        .agg(graft.expressions.TopKAgg.topK(
+          struct(col("c").cast("double"),
+            graft.functions.SketchFns.hash52(col("term")).cast("long")), 500)
+          .as("__top"))
+      // hash52 id is only a tiebreak carrier — the SCORE (count) is what
+      // the coverage sums; ties among equal-count boundary terms make the
+      // top-k AMBIGUOUS, so the scores (not identities) must drive the
+      // sum. Both engines order by (count desc, hash52(term)) — same
+      // deterministic boundary choice, same prefix sums.
+      val exploded = top.select(posexplode(col("__top")).as(Seq("__pos", "__e")))
+        .select((col("__pos") + 1).as("rk"), col("__e.score").cast("long").as("c"))
+      val curve = ks.map { k =>
+        exploded.where(col("rk") <= k)
+          .agg(lit(k).as("k"), sum(col("c")).as("top_tokens"))
+      }.reduce(_ unionByName _)
+      curve.crossJoin(broadcast(tot))
+        .select(col("k"), col("top_tokens"), col("n_total"),
+          (col("top_tokens").cast("double") / col("n_total").cast("double"))
+            .as("coverage"))
+        .orderBy(col("k"))
+    }, Some {
+      val ks = Seq(10, 50, 100, 500)
+      s"""
+      WITH tf AS (
+        SELECT t AS term, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT unnest(${Sql.tokens("text")}) AS t FROM documents)
+        GROUP BY t),
+      r AS (SELECT c, row_number() OVER (ORDER BY c DESC,
+                      ${Sql.hash52("term")}) AS rk
+            FROM tf),
+      tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM tf),
+      curve AS (${ks.map(k =>
+        s"SELECT $k AS k, CAST(sum(CASE WHEN rk <= $k THEN c END) AS BIGINT) AS top_tokens FROM r")
+        .mkString(" UNION ALL ")})
+      SELECT k, top_tokens, n_total,
+             CAST(top_tokens AS DOUBLE) / CAST(n_total AS DOUBLE) AS coverage
+      FROM curve CROSS JOIN tot
+      ORDER BY k"""
+    }),
+
+    // Duplication profile: histogram of maximal duplicate-span lengths —
+    // the report that distinguishes "a few whole-document copies" (mass
+    // at long spans) from "pervasive boilerplate" (mass at short spans).
+    // One grouped count over the spans table.
+    QueryDef("dup_span_length_hist", (s, dir) =>
+      SuffixDedup.maximalDuplicateSpans(t("documents")(s, dir),
+          "doc_id", "text", SpanL)
+        .groupBy(col("span_len"))
+        .agg(count(lit(1)).as("n_spans"))
+        .orderBy(col("span_len"))
+    , Some(s"""
+      WITH tk AS (SELECT doc_id, ${Sql.tokens("text")} AS ts FROM documents),
+      g AS (SELECT doc_id,
+                   unnest(generate_series(1, greatest(len(ts) - ${SpanL - 1}, 0)))
+                     AS pos,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(ts) - ${SpanL - 1}, 0)),
+                     i -> array_to_string(ts[i:i+${SpanL - 1}], ' '))) AS gram
+            FROM tk),
+      dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+      cov AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+      isl AS (SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                            IS NULL
+                          OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) > $SpanL
+                          THEN 1 ELSE 0 END AS brk
+              FROM cov),
+      is2 AS (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl),
+      sp AS (SELECT doc_id, island,
+                    CAST(max(pos) + $SpanL - min(pos) AS BIGINT) AS span_len
+             FROM is2 GROUP BY doc_id, island)
+      SELECT span_len, CAST(count(*) AS BIGINT) AS n_spans
+      FROM sp GROUP BY span_len ORDER BY span_len"""))
   )
 }
