@@ -382,10 +382,16 @@ object CurationWave4Queries {
       // deterministic boundary choice, same prefix sums.
       val exploded = top.select(posexplode(col("__top")).as(Seq("__pos", "__e")))
         .select((col("__pos") + 1).as("rk"), col("__e.score").cast("long").as("c"))
-      val curve = ks.map { k =>
-        exploded.where(col("rk") <= k)
-          .agg(lit(k).as("k"), sum(col("c")).as("top_tokens"))
-      }.reduce(_ unionByName _)
+      // all four prefix sums in ONE aggregate over the ≤500-entry tail
+      // (a union of four aggregates would re-evaluate the TopKAgg subtree
+      // per branch), then unpivoted to rows
+      val one = exploded.agg(
+        sum(when(col("rk") <= ks.head, col("c"))).as(s"t${ks.head}"),
+        ks.tail.map(k =>
+          sum(when(col("rk") <= k, col("c"))).as(s"t$k")): _*)
+      val curve = one.select(explode(array(ks.map(k =>
+          struct(lit(k).as("k"), col(s"t$k").as("top_tokens"))): _*)).as("e"))
+        .select(col("e.k").as("k"), col("e.top_tokens").as("top_tokens"))
       curve.crossJoin(broadcast(tot))
         .select(col("k"), col("top_tokens"), col("n_total"),
           (col("top_tokens").cast("double") / col("n_total").cast("double"))
