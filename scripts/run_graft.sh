@@ -1,7 +1,15 @@
 #!/bin/bash
 # Run a graft main class directly (no sbt lock): scripts/run_graft.sh <MainClass> [args...]
-# Env: GRAFT_MEM (default 24g)
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# Env: SPARK_DRIVER_MEM (default 8g — same knob and default as build.sbt's run
+# protocol, so timings taken here stay comparable to the BENCH_r* ledger).
+set -euo pipefail
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+CLASSES="$REPO/target/scala-2.13/classes"
+if [ ! -d "$CLASSES" ]; then
+  echo "error: $CLASSES missing — run 'sbt compile' first" >&2
+  exit 1
+fi
+CP="$CLASSES:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic \
@@ -9,4 +17,4 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio 
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 exec java $OPENS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-  -Xmx${GRAFT_MEM:-24g} -cp "$CP" "$@"
+  -Xmx${SPARK_DRIVER_MEM:-8g} -cp "$CP" "$@"
