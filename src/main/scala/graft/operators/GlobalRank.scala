@@ -60,6 +60,15 @@ object GlobalRank {
                       outCol: String): DataFrame =
     rankedWithCount(df, sortCols, outCol)._1
 
+  /** As [[globalRowNumber]], also returning the total row count (free —
+    * the sum of the per-partition counts the offsets job collected).
+    * Prefix-doubling callers use it to size the next round's label
+    * universe without a second count job.
+    */
+  def globalRowNumberWithCount(df: DataFrame, sortCols: Seq[Column],
+                               outCol: String): (DataFrame, Long) =
+    rankedWithCount(df, sortCols, outCol)
+
   /** `df` + `outCol` = the GLOBAL DENSE RANK of `keys` (1-based; equal
     * keys share a label, labels are order-correct and contiguous),
     * computed IN PLACE — no separate distinct + re-join: range-partition

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,16 +12,21 @@ import org.apache.spark.sql.functions._
   * builds a suffix array over the corpus and removes every repeated
   * substring over a length threshold.
   *
-  * Spark-first shape — prefix doubling over equi-joins, never all-pairs
-  * and never materialized L-grams:
+  * Spark-first shape — prefix doubling over per-doc lead() windows,
+  * never all-pairs and never materialized L-grams:
   *
   *  - Round 0 assigns each distinct TOKEN a dense integer label.
-  *  - Doubling round j: label_{2w}(p) = dense id of the pair
-  *    (label_w(p), label_w(p+w)) — one self EQUI-join on (doc, pos+w)
-  *    plus one distinct+sort to densify, per round; ⌈log₂ L⌉ rounds
-  *    total. Each row is a fixed handful of longs, so the working set is
-  *    O(N·log L) small rows — the gram-key approach pays O(N·L) tokens of
-  *    materialized gram strings (a 50× blowup at Lee et al.'s L = 50).
+  *  - Doubling: label_{2w}(p) = dense id of the pair
+  *    (label_w(p), label_w(p+w)) — the partner label comes from
+  *    lead(lbl, w) over the per-doc window (positions are contiguous),
+  *    one N-row shuffle instead of a two-sided self-join; densify is an
+  *    in-place sharded dense rank. Two doublings FUSE per densify: the
+  *    packed (l1 << 32 | l2) long is itself an order-correct width-2w
+  *    label, so only the width-4w pair pays the range shuffle —
+  *    ⌈log₄ L⌉ densify rounds. Each row is a fixed handful of longs, so
+  *    the working set is O(N·log L) small rows — the gram-key approach
+  *    pays O(N·L) tokens of materialized gram strings (a 50× blowup at
+  *    Lee et al.'s L = 50).
   *  - Two positions share an L-token window iff their overlapping
   *    power-of-two window labels agree: with a = the largest power of two
   *    < L (so a ≥ L/2), key_L(p) = (label_a(p), label_a(p+L−a)) — the
@@ -47,6 +52,37 @@ import org.apache.spark.sql.functions._
   */
 object SuffixDedup {
 
+  /** Largest label universe for which an (l1, l2) dense-pair packs into
+    * one signed 64-bit key: l1 takes the high 32 bits ⇒ l1 < 2^31 keeps
+    * the long positive; l2 (plus the sentinel offset) the low 32 ⇒
+    * l2 + 1 < 2^32. Dense labels are 1..n, so both hold while
+    * n ≤ 2^31 − 2. Beyond that (a ~100 TB corpus can exceed 2^31
+    * distinct windows) the densify falls back to the two-column key —
+    * same semantics, wider shuffle.
+    */
+  private val PackableLabels = (1L << 31) - 2
+
+  /** (l1 << 32) + (l2 + 1): injective and ORDER-preserving for dense
+    * l1 ∈ [1, 2^31) and l2 ∈ [−1, 2^32 − 2), so the dense rank of the
+    * packed key is bit-identical to the dense rank of the pair — but the
+    * densify shuffle carries ONE primitive long instead of two, and the
+    * range partitioner / window comparator / distinct-count run on a
+    * codegen'd long instead of a two-field ordering. The +1 admits
+    * suffixRanks' −1 "suffix ends here" sentinel while keeping the low
+    * word non-negative.
+    */
+  private def packPair(l1: Column, l2: Column): Column =
+    shiftleft(l1, 32) + l2 + lit(1L)
+
+  /** The per-doc pairing window. Positions are CONTIGUOUS per doc (the
+    * documented input contract), so `lead(lbl, w)` over this window is
+    * the label at pos + w — the prefix-doubling pair partner — without a
+    * self-equi-join: one N-row shuffle on doc_id instead of shuffling
+    * both join sides, and the window is bounded by doc length (never a
+    * partition-less sort).
+    */
+  private val docW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+
   /** (doc_id, pos) of every position whose L-token window occurs ≥ 2
     * times in the corpus. `toks` must be (doc_id: long, pos: long 1-based,
     * tok: string) with contiguous per-doc positions.
@@ -58,39 +94,76 @@ object SuffixDedup {
     // p+L-a overlap and exactly cover [p, p+L-1]
     val a = Integer.highestOneBit(L - 1)
 
-    // round 0: dense token ids (distinct tokens, total-sorted)
-    val tokIds = GlobalRank.globalRowNumber(
+    // round 0: dense token ids (distinct tokens, total-sorted); the row
+    // count is the label-universe size that decides pair packing
+    val (tokIds, nTok) = GlobalRank.globalRowNumberWithCount(
       toks.select(col("tok")).distinct(), Seq(col("tok")), "id")
     var cur = toks.join(tokIds, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("id").as("lbl"))
       .localCheckpoint()
+    var n = nTok
 
+    // Doubling rounds, two structural cuts over the naive
+    // join-densify-per-doubling loop (both EXACT):
+    //  - pairing is a lead() over the per-doc window, not a self-join
+    //    (cur's positions stay contiguous per doc: each round keeps the
+    //    prefix 1..len−width+1, so the row `width` ahead is pos+width);
+    //  - FUSED double-doubling: pack(lbl, lead(lbl, w)) is itself an
+    //    order-correct (sparse) width-2w label, so the width-4w pair is
+    //    formed in the same window pass — (p_2w(x), p_2w(x+2w)) — and
+    //    only IT pays a densify. Half the range-shuffle/checkpoint/
+    //    counts-job rounds; the densify key is two longs (a packed pair
+    //    of packed longs exceeds 63 bits).
     var width = 1
     while (width < a) {
-      val nxt = cur.as("x").join(cur.as("y"),
-          col("x.doc_id") === col("y.doc_id") &&
-            col("y.pos") === col("x.pos") + width)
-        .select(col("x.doc_id").as("doc_id"), col("x.pos").as("pos"),
-          col("x.lbl").as("l1"), col("y.lbl").as("l2"))
-      // in-place dense rank: ONE range shuffle per round (equality-correct
-      // labels are all this duplicate test needs; order-correctness comes
-      // free and keeps the device shared with suffixRanks)
-      cur = GlobalRank.withDenseRank(nxt, Seq(col("l1"), col("l2")), "lbl")
-        ._1.select(col("doc_id"), col("pos"), col("lbl"))
-      width *= 2
+      if (width * 4 <= a && n <= PackableLabels) {
+        val p2w = cur.withColumn("__p",
+          packPair(col("lbl"), lead(col("lbl"), width).over(docW)))
+        // __k2 non-null ⟺ the full 4w window fits (pos + 4w − 1 ≤ len);
+        // __p's own null at the tail never survives that filter
+        val nxt = p2w
+          .withColumn("__k2", lead(col("__p"), 2 * width).over(docW))
+          .where(col("__k2").isNotNull)
+          .select(col("doc_id"), col("pos"), col("__p").as("__k1"),
+            col("__k2"))
+        val (labeled, n2) = GlobalRank.withDenseRank(
+          nxt, Seq(col("__k1"), col("__k2")), "lbl")
+        cur = labeled.select(col("doc_id"), col("pos"), col("lbl"))
+        n = n2
+        width *= 4
+      } else {
+        // single doubling (final hop to a, or the >2^31-label fallback)
+        val paired = cur
+          .withColumn("__l2", lead(col("lbl"), width).over(docW))
+          .where(col("__l2").isNotNull)
+        val (nxt, keys) =
+          if (n <= PackableLabels)
+            (paired.select(col("doc_id"), col("pos"),
+              packPair(col("lbl"), col("__l2")).as("__pk")), Seq(col("__pk")))
+          else (paired.select(col("doc_id"), col("pos"),
+            col("lbl").as("l1"), col("__l2").as("l2")),
+            Seq(col("l1"), col("l2")))
+        val (labeled, n2) = GlobalRank.withDenseRank(nxt, keys, "lbl")
+        cur = labeled.select(col("doc_id"), col("pos"), col("lbl"))
+        n = n2
+        width *= 2
+      }
     }
 
-    // key_L(p) = (label_a(p), label_a(p + L - a)); the join's existence
-    // also enforces pos + L - 1 <= doc_len (short-tail positions drop out)
-    val keyed = cur.as("x").join(cur.as("y"),
-        col("x.doc_id") === col("y.doc_id") &&
-          col("y.pos") === col("x.pos") + (L - a))
-      .select(col("x.doc_id").as("doc_id"), col("x.pos").as("pos"),
-        col("x.lbl").as("k1"), col("y.lbl").as("k2"))
-    val dupKeys = keyed.groupBy(col("k1"), col("k2"))
+    // key_L(p) = (label_a(p), label_a(p + L - a)); the lead's null test
+    // also enforces pos + L - 1 <= doc_len (short-tail positions drop
+    // out). Same packing as the densify rounds: the duplicate-count agg
+    // and the semi-join back run on one long key when the universe fits.
+    val keyed = cur
+      .withColumn("__l2", lead(col("lbl"), L - a).over(docW))
+      .where(col("__l2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        (if (n <= PackableLabels) packPair(col("lbl"), col("__l2"))
+         else struct(col("lbl"), col("__l2"))).as("__k"))
+    val dupKeys = keyed.groupBy(col("__k"))
       .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
-      .select(col("k1"), col("k2"))
-    keyed.join(dupKeys, Seq("k1", "k2")).select(col("doc_id"), col("pos"))
+      .select(col("__k"))
+    keyed.join(dupKeys, Seq("__k")).select(col("doc_id"), col("pos"))
   }
 
   /** TRUE suffix ranks — the distributed suffix ARRAY, not just the
@@ -116,7 +189,11 @@ object SuffixDedup {
   def suffixRanks(toks: DataFrame): DataFrame = {
     val maxLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).first().getLong(0)
-    val tokIds = GlobalRank.globalRowNumber(
+    // lead() offsets are Ints; the quadrupling loop's last width is
+    // < 4·maxLen. Single documents beyond half a billion tokens need a
+    // doc-splitting pre-pass, not a wider offset.
+    require(maxLen < Int.MaxValue / 4, s"longest doc has $maxLen tokens")
+    val (tokIds, nTok) = GlobalRank.globalRowNumberWithCount(
       toks.select(col("tok")).distinct(), Seq(col("tok")), "id")
     var cur = toks.join(tokIds, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("id").as("lbl"))
@@ -126,25 +203,51 @@ object SuffixDedup {
     // so if a round's distinct-label count is unchanged the partition is
     // identical and (inductively) every later round is too — iterate
     // until stable or width covers the longest doc, whichever is first.
-    // On mostly-unique text this stops at width ≈ the longest repeated
-    // passage, not the longest document.
-    var nDistinct = -1L
+    // The position set is constant (left join), so round 0's count (the
+    // distinct-token count, free from the id assignment) participates:
+    // an all-distinct-token corpus terminates after ONE round. On
+    // mostly-unique text this stops at width ≈ the longest repeated
+    // passage, not the longest document. Stability implies the final
+    // labels equal the would-be next round's (identical partition, same
+    // order ⇒ same dense ranks), so early exit is bit-exact.
+    var n = nTok
     var stable = false
+    // Same two structural cuts as coveredPositions — lead() pairing over
+    // the per-doc window (every position stays present here: the left
+    // semantics keep the row set constant, nulls become the −1 "suffix
+    // ends here" sentinel which sorts first) and FUSED double-doubling:
+    // p_2w = pack(lbl, lead(lbl, w) | −1) is an order-correct sparse
+    // width-2w label (p_2w ≥ 2^32 > −1, so the next level's sentinel
+    // still sorts first), and only (p_2w(x), p_2w(x+2w) | −1) pays the
+    // densify — the dense rank of that pair IS rank_4w, bit-exact.
+    // Overshooting maxLen on the last quadruple is harmless: beyond-end
+    // partners are sentinels, which is exactly rank_maxLen. In-place
+    // ORDER-correct dense rank: one range shuffle per densify, on the
+    // packed long key while the universe fits; the distinct count for
+    // the termination test is the offsets sum — free; labels are pinned
+    // by the checkpoint inside withDenseRank.
     while (width < maxLen && !stable) {
-      val nxt = cur.as("x").join(cur.as("y"),
-          col("x.doc_id") === col("y.doc_id") &&
-            col("y.pos") === col("x.pos") + width, "left_outer")
-        .select(col("x.doc_id").as("doc_id"), col("x.pos").as("pos"),
-          col("x.lbl").as("l1"), coalesce(col("y.lbl"), lit(-1L)).as("l2"))
-      // in-place ORDER-correct dense rank (one range shuffle per round;
-      // the distinct count for the termination test is the offsets sum —
-      // free); labels are pinned by the checkpoint inside withDenseRank
-      val (labeled, n) = GlobalRank.withDenseRank(
-        nxt, Seq(col("l1"), col("l2")), "lbl")
+      val (labeled, n2) =
+        if (n <= PackableLabels) {
+          val p2w = cur.withColumn("__p", packPair(col("lbl"),
+            coalesce(lead(col("lbl"), width.toInt).over(docW), lit(-1L))))
+          val nxt = p2w.select(col("doc_id"), col("pos"),
+            col("__p").as("__k1"),
+            coalesce(lead(col("__p"), 2 * width.toInt).over(docW), lit(-1L))
+              .as("__k2"))
+          width *= 4
+          GlobalRank.withDenseRank(nxt, Seq(col("__k1"), col("__k2")), "lbl")
+        } else {
+          val nxt = cur.select(col("doc_id"), col("pos"),
+            col("lbl").as("l1"),
+            coalesce(lead(col("lbl"), width.toInt).over(docW), lit(-1L))
+              .as("l2"))
+          width *= 2
+          GlobalRank.withDenseRank(nxt, Seq(col("l1"), col("l2")), "lbl")
+        }
       cur = labeled.select(col("doc_id"), col("pos"), col("lbl"))
-      stable = n == nDistinct
-      nDistinct = n
-      width *= 2
+      stable = n2 == n
+      n = n2
     }
     cur
   }
