@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Parquet-backed warehouse with snapshot-swap semantics (SURVEY.md §7.1.2,
   * K1–K4). Plain Parquet has no row-level ops, so upserts write a NEW
@@ -175,6 +175,57 @@ class Warehouse(spark: SparkSession, root: String) {
     else overwrite(name, Upsert.merge(read(name), staging, key, updateCols))
   }
 
+  /** The partition predicate a staging batch induces: the disjunction of
+    * its distinct partition-column tuples — a bounded driver collect (a
+    * staging batch touches a handful of partitions: the reference's
+    * 6-hour extraction window is a few date partitions, never the table),
+    * guarded so a mis-partitioned batch fails loudly instead of building
+    * a 100k-term predicate.
+    */
+  def stagedPartitionPredicate(staging: DataFrame,
+                               partitionCols: Seq[String],
+                               maxPartitions: Int = 1000): Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val touched = staging
+      .select(partitionCols.map(col): _*).distinct().collect()
+    require(touched.length <= maxPartitions,
+      s"staging batch touches ${touched.length} partitions " +
+        s"(> $maxPartitions) — partition-scoping would not prune; " +
+        "use the whole-table upsert or repartition the batch")
+    touched.map { r =>
+      partitionCols.zipWithIndex
+        .map { case (c, i) => col(c) <=> lit(r.get(i)) }
+        .reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** K4 at scale — PARTITION-SCOPED staged merge upsert: the target side
+    * of the MERGE join is pruned to the partitions the staging batch
+    * touches (the predicate reaches the parquet scan as a partition
+    * filter — directory pruning), and the merged result replaces only
+    * those partitions; every other partition carries over by hardlink,
+    * untouched and unread. The whole-table [[upsert]] full-outer joins
+    * 100 TB against a 6-hour batch; this joins 6 hours against 6 hours.
+    *
+    * CONTRACT: the partition columns must be stable for a given key
+    * (e.g. created-date partitioning) — a key whose current target row
+    * lives outside the staging rows' partitions would be INSERTED
+    * instead of UPDATED, leaving the old row stale. That is the standard
+    * pruned-MERGE precondition (BigQuery/Delta demand the same predicate
+    * guarantee from the caller).
+    */
+  def upsertPartitioned(name: String, staging: DataFrame, key: String,
+                        updateCols: Seq[String],
+                        partitionCols: Seq[String]): Unit = synchronized {
+    if (!exists(name)) overwritePartitioned(name, staging, partitionCols)
+    else {
+      val slice = read(name)
+        .where(stagedPartitionPredicate(staging, partitionCols))
+      val merged = Upsert.merge(slice, staging, key, updateCols)
+      replacePartitions(name, merged, partitionCols)
+    }
+  }
+
   /** Partition-laid-out snapshot: same pointer-swap contract, but the
     * snapshot is written `partitionBy(cols)` so reads with a partition
     * predicate list only matching directories (PruningSpec asserts the
@@ -191,20 +242,73 @@ class Warehouse(spark: SparkSession, root: String) {
     swapPointer(name, snap)
   }
 
+  /** Leaf partition directories of a snapshot (`depth` levels of
+    * `col=value`), as snapshot-relative path strings. Both sides of a
+    * carry-over compare come from Spark's own writer, so the directory
+    * names share one value-escaping convention — no manual unescaping.
+    */
+  private def leafPartitionDirs(snapDir: java.io.File, depth: Int): Seq[String] = {
+    def walk(d: java.io.File, level: Int): Seq[java.io.File] =
+      if (level == depth) Seq(d)
+      else Option(d.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(c => c.isDirectory && c.getName.contains("="))
+        .flatMap(walk(_, level + 1))
+    walk(snapDir, 0).map(f => snapDir.toPath.relativize(f.toPath).toString)
+  }
+
+  /** Hardlink `src`'s tree under `dst` (copy where the filesystem refuses
+    * links). Hardlinks — not symlinks — so snapshot GC of the source
+    * snapshot never breaks the carried-over data.
+    */
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    Files.createDirectories(dst)
+    Option(src.toFile.listFiles()).getOrElse(Array.empty).foreach {
+      case f if f.isFile =>
+        val to = dst.resolve(f.getName)
+        try Files.createLink(to, f.toPath)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(f.toPath, to, StandardCopyOption.REPLACE_EXISTING) }
+      case d => linkTree(d.toPath, dst.resolve(d.getName))
+    }
+  }
+
   /** Dynamic-partition replace: partitions present in `df` are replaced
-    * wholesale, untouched partitions carry over — the idempotent
-    * reprocess-one-window write (Spark's dynamic partitionOverwriteMode,
-    * expressed through the snapshot contract; a manifest/hardlink layout
-    * would avoid rewriting carried-over data at scale).
+    * wholesale, untouched partitions CARRY OVER BY HARDLINK from the
+    * previous snapshot — Spark writes only the replaced partitions; the
+    * carried-over bytes are never read, shuffled, or rewritten (the
+    * manifest-reuse move of the table formats, expressed on a plain
+    * filesystem). At 100 TB a 6-hour reprocess writes 6 hours of
+    * partitions, not the table. Hardlinked files are byte-identical by
+    * construction (same inodes), which is also the idempotence proof:
+    * untouched partitions cannot drift.
     */
   def replacePartitions(name: String, df: DataFrame,
                         partitionCols: Seq[String]): Unit = synchronized {
-    if (!exists(name)) overwritePartitioned(name, df, partitionCols)
-    else {
-      val incoming = df.select(partitionCols.map(org.apache.spark.sql.functions.col): _*).distinct()
-      val kept = read(name).join(incoming, partitionCols, "left_anti")
-      overwritePartitioned(name,
-        kept.unionByName(df, allowMissingColumns = true), partitionCols)
+    currentSnapshot(name) match {
+      case None => overwritePartitioned(name, df, partitionCols)
+      case Some(curSnap) =>
+        val oldDir = tableDir(name).resolve(curSnap)
+        if (partitionColsOf(oldDir.toFile) != partitionCols) {
+          // layout migration (unpartitioned or differently-partitioned
+          // previous snapshot): no directory-level carry-over exists —
+          // rewrite through the anti-join path once; subsequent replaces
+          // hit the linked fast path
+          val incoming = df.select(partitionCols
+            .map(org.apache.spark.sql.functions.col): _*).distinct()
+          val kept = read(name).join(incoming, partitionCols, "left_anti")
+          overwritePartitioned(name,
+            kept.unionByName(df, allowMissingColumns = true), partitionCols)
+          return
+        }
+        val snap = nextSnap(name)
+        val newDir = tableDir(name).resolve(snap)
+        df.write.mode("overwrite").partitionBy(partitionCols: _*)
+          .parquet(newDir.toString)
+        val replaced = leafPartitionDirs(newDir.toFile, partitionCols.length).toSet
+        leafPartitionDirs(oldDir.toFile, partitionCols.length)
+          .filterNot(replaced)
+          .foreach(rel => linkTree(oldDir.resolve(rel), newDir.resolve(rel)))
+        swapPointer(name, snap)
     }
   }
 

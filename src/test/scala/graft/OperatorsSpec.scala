@@ -178,6 +178,66 @@ class OperatorsSpec extends AnyFunSuite {
     assert(after == Seq(("2024-01-01", 1L), ("2024-01-01", 2L), ("2024-01-02", 9L)))
   }
 
+  test("Warehouse upsertPartitioned: pruned merge; untouched partitions carry over byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-upp").toString
+    val wh = new Warehouse(spark, dir)
+    wh.overwritePartitioned("ev",
+      Seq(("2024-01-01", 1L, 10.0), ("2024-01-01", 2L, 20.0),
+          ("2024-01-02", 3L, 30.0), ("2024-01-03", 4L, 40.0))
+        .toDF("dt", "id", "v"), Seq("dt"))
+    val snapBefore = wh.snapshots("ev").last
+    val staging = Seq(("2024-01-02", 3L, 33.0), ("2024-01-02", 9L, 99.0))
+      .toDF("dt", "id", "v")
+
+    // parity oracle: the WHOLE-TABLE merge result, collected pre-upsert
+    val expect = Upsert.merge(wh.read("ev"), staging, "id", Seq("v"))
+      .select("dt", "id", "v").as[(String, Long, Double)].collect().toSet
+
+    // plan audit: the staged predicate reaches the target scan as a
+    // PARTITION filter, and only the touched partition's rows are read
+    val slice = wh.read("ev")
+      .where(wh.stagedPartitionPredicate(staging, Seq("dt")))
+    val rows = slice.collect()
+    val scan = slice.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "staged predicate must prune partitions")
+    assert(rows.length == 1, "only dt=2024-01-02 may be read")
+
+    wh.upsertPartitioned("ev", staging, "id", Seq("v"), Seq("dt"))
+    val got = wh.read("ev")
+      .select("dt", "id", "v").as[(String, Long, Double)].collect().toSet
+    assert(got == expect, s"scoped merge diverges from whole-table merge: $got")
+
+    // untouched partitions are HARDLINKS of the previous snapshot's files
+    // (same inode ⇒ byte-identical by construction, nothing rewritten)
+    val snapAfter = wh.snapshots("ev").last
+    assert(snapAfter != snapBefore)
+    val untouched = wh.dataFiles("ev").filter(r =>
+      r.startsWith("dt=2024-01-01") || r.startsWith("dt=2024-01-03"))
+    assert(untouched.nonEmpty)
+    untouched.foreach { rel =>
+      val old = java.nio.file.Paths.get(dir, "ev", snapBefore, rel)
+      val neu = java.nio.file.Paths.get(dir, "ev", snapAfter, rel)
+      assert(java.nio.file.Files.isSameFile(old, neu),
+        s"$rel was rewritten, not carried over")
+    }
+    // and the replaced partition was NOT carried over
+    assert(wh.dataFiles("ev").filter(_.startsWith("dt=2024-01-02")).forall { rel =>
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, "ev", snapBefore, rel)) ||
+        !java.nio.file.Files.isSameFile(
+          java.nio.file.Paths.get(dir, "ev", snapBefore, rel),
+          java.nio.file.Paths.get(dir, "ev", snapAfter, rel))
+    })
+    // bounded-predicate guard trips loudly on a partition explosion
+    val wide = (1 to 20).map(i => (s"2024-02-$i", i.toLong, 1.0))
+      .toDF("dt", "id", "v")
+    intercept[IllegalArgumentException] {
+      wh.stagedPartitionPredicate(wide, Seq("dt"), maxPartitions = 10)
+    }
+  }
+
   // ---- A6 convo -----------------------------------------------------
 
   test("A6 conversation assembly: ordered, rendered, joined") {
@@ -482,6 +542,47 @@ class OperatorsSpec extends AnyFunSuite {
     val ivf2 = Ann.ivfTopK(queries, docs, "vec_id", "embedding", 5, idx, nprobe = 2)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(ivf == ivf2)
+  }
+
+  test("IVF k-means‖ init: recall parity with lowest-id init on the clustered fixture, deterministic") {
+    val rndv = new scala.util.Random(11)
+    val centers = Seq(Seq.fill(8)(5f), Seq.fill(8)(-5f),
+      (0 until 8).map(i => if (i % 2 == 0) 5f else -5f))
+    val docs = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rndv.nextFloat() * 0.5f))
+    }.toDF("vec_id", "embedding")
+    val queries = docs.where($"vec_id" < 6)
+    val exact = Ann.bruteForceTopK(queries, docs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(idx: Ann.IvfIndex): Double = {
+      val ivf = Ann.ivfTopK(queries, docs, "vec_id", "embedding", 5, idx, nprobe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      (ivf & exact).size.toDouble / exact.size
+    }
+    val idOld = Ann.ivfTrain(docs, "vec_id", "embedding", nlist = 3, iters = 4)
+    val idPar = Ann.ivfTrain(docs, "vec_id", "embedding", nlist = 3, iters = 4,
+      scalableInit = true)
+    // the quality-aware init must match the old init's recall on data the
+    // old init happens to handle, and must be ≥ the spec's 0.9 bar itself
+    assert(recallOf(idPar) >= math.min(recallOf(idOld), 0.9) - 1e-12,
+      s"k-means‖ recall ${recallOf(idPar)} < lowest-id ${recallOf(idOld)}")
+    assert(recallOf(idPar) >= 0.9)
+    // k-means‖ seeding spreads across the true clusters: after Lloyd, the
+    // three centroids sit in three DIFFERENT ground-truth clusters
+    val assigned = idPar.centroids.map { case (_, c) =>
+      centers.indices.minBy(g => c.zip(centers(g)).map { case (x, y) =>
+        (x - y) * (x - y) }.sum)
+    }
+    assert(assigned.toSet.size == 3, s"centroids collapsed: $assigned")
+    // deterministic: a second train yields identical centroids
+    val idPar2 = Ann.ivfTrain(docs, "vec_id", "embedding", nlist = 3, iters = 4,
+      scalableInit = true)
+    assert(idPar.centroids == idPar2.centroids)
+    // the flag is OFF by default and the old init is untouched (oracle
+    // parity for ivf-family queries)
+    val idOld2 = Ann.ivfTrain(docs, "vec_id", "embedding", nlist = 3, iters = 4)
+    assert(idOld.centroids == idOld2.centroids)
   }
 
   test("PQ: Lloyd-trained codebooks, pure same-cluster ADC retrieval") {
