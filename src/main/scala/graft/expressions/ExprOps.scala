@@ -359,6 +359,41 @@ object ExprOps {
     bestCid
   }
 
+  /** [[NearestCentroidDist]]'s loop: the MIN squared L2 distance itself
+    * (same accumulation as [[nearestCentroid]], which returns the argmin
+    * id) — the k-means‖ sampling weight, clamped at 0 against the
+    * dvv − 2·dvc + Σc² form's tiny negative float residue when v ≡ c.
+    */
+  def nearestCentroidDistSq(v: ArrayData, isFloat: Boolean,
+                            cents: Array[Array[Double]],
+                            ccs: Array[Double]): Double = {
+    val n = v.numElements()
+    var dvv = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      dvv += x * x
+      i += 1
+    }
+    var best = Double.PositiveInfinity
+    var j = 0
+    while (j < cents.length) {
+      val c = cents(j)
+      val m = math.min(n, c.length)
+      var dvc = 0.0
+      i = 0
+      while (i < m) {
+        val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dvc += x * c(i)
+        i += 1
+      }
+      val d = dvv - 2.0 * dvc + ccs(j)
+      if (d < best) best = d
+      j += 1
+    }
+    if (best < 0.0) 0.0 else best
+  }
+
   /** Left-to-right dot product of two dense double vectors — the same
     * accumulation order as `VecFns.dot` / `Sql.dot`, so cosines computed
     * here are bit-identical to both engines' column formulations.

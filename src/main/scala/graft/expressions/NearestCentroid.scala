@@ -70,3 +70,49 @@ object NearestCentroid {
   def apply(vec: Column, centroids: Seq[(Int, Seq[Double])]): Column =
     Bridge.column(NearestCentroid(Bridge.expression(vec), centroids))
 }
+
+/** [[NearestCentroid]]'s distance twin: the MIN squared L2 distance to
+  * the centroid table (not the argmin id) — the per-point k-means‖
+  * sampling weight, with the same O(1) expression tree and
+  * reference-object centroid matrix, so the sampling pass stays one
+  * compiled scan at any candidate count.
+  */
+case class NearestCentroidDist(child: Expression,
+                               centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid_dist expects array<float|double>, got $other")
+  }
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.map(_.toArray).toArray
+  @transient private lazy val ccs: Array[Double] =
+    centroids.map(_.map(x => x * x).sum).toArray
+
+  override def nullSafeEval(v: Any): Any =
+    ExprOps.nearestCentroidDistSq(v.asInstanceOf[ArrayData], isFloat, cents, ccs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+    val ccRef = ctx.addReferenceObj("ccs", ccs, "double[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.expressions.ExprOps.nearestCentroidDistSq($v, $isFloat, $centsRef, $ccRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidDist {
+  def apply(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    Bridge.column(NearestCentroidDist(Bridge.expression(vec), centroids))
+}

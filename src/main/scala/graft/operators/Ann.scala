@@ -185,18 +185,154 @@ object Ann {
   /** IVF (inverted-file) index state: centroid id → centroid vector. */
   final case class IvfIndex(centroids: Seq[(Int, Seq[Double])])
 
+  /** Deterministic k-means‖ seeding (Bahmani et al. 2012, "Scalable
+    * k-means++", PVLDB 5(7)) — the quality-aware init for [[ivfTrain]]'s
+    * `scalableInit` flag. The classic k-means++ picks one center per
+    * sequential pass (k passes over the corpus — a non-starter at scale);
+    * k-means‖ instead OVERSAMPLES ~ℓ candidates per round for a fixed
+    * handful of rounds, then reduces the small weighted candidate set to
+    * `nlist` centers driver-side.
+    *
+    * Determinism (no RNG): the per-point "uniform draw" is
+    * xxhash64(id, round) scaled to [0,1) — reproducible across runs,
+    * partitionings, and cluster sizes; the driver-side reduction is the
+    * weighted farthest-point (maximin) variant of k-means++ followed by
+    * weighted Lloyd, ties to the lowest candidate index.
+    *
+    * Scale: each round is two corpus scans (the Σ min-d² aggregate and
+    * the filtered sample) with the candidate matrix as a compiled
+    * reference object ([[graft.expressions.NearestCentroidDist]] — O(1)
+    * expression tree at any candidate count); driver memory is bounded
+    * by the candidate cap (≤ 16·ℓ per round), never corpus rows.
+    */
+  def kmeansParInit(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, rounds: Int = 5,
+                    oversample: Int = 0): Seq[(Int, Seq[Double])] = {
+    val ell = if (oversample > 0) oversample else 2 * nlist
+    val vecs = corpus.select(col(idCol).cast("long").as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    var cand: Vector[Seq[Double]] =
+      vecs.orderBy(col("__id")).limit(1).select(col("__v"))
+        .collect().map(_.getSeq[Double](0).toSeq).toVector
+    var r = 1
+    var exhausted = cand.isEmpty
+    while (r <= rounds && !exhausted) {
+      val d2 = graft.expressions.NearestCentroidDist(col("__v"), cand)
+      val phi = vecs.agg(sum(d2)).first() match {
+        case row if row.isNullAt(0) => 0.0
+        case row => row.getDouble(0)
+      }
+      if (phi <= 0.0) exhausted = true // every point coincides with a candidate
+      else {
+        // deterministic pseudo-uniform draw in [0,1) per (point, round)
+        val u = pmod(xxhash64(col("__id"), lit(r)), lit(1L << 24))
+          .cast("double") / lit((1L << 24).toDouble)
+        val p = least(lit(1.0), lit(ell.toDouble) * d2 / lit(phi))
+        // E[sample] = ℓ; the cap bounds the driver collect against skew
+        // (a near-degenerate corpus where most mass sits on few points)
+        val picked = vecs.where(u < p).orderBy(col("__id"))
+          .limit(16 * ell).select(col("__v"))
+          .collect().map(_.getSeq[Double](0).toSeq)
+        cand = cand ++ picked
+      }
+      r += 1
+    }
+    // weight candidates by how many corpus points they are nearest to
+    val candIdx = cand.zipWithIndex.map { case (v, i) => (i, v) }
+    val weights: Map[Int, Long] =
+      if (cand.isEmpty) Map.empty
+      else vecs.select(graft.expressions.NearestCentroid(col("__v"), candIdx)
+          .as("__c"))
+        .groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+        .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
+    reduceWeighted(cand, cand.indices.map(i => weights.getOrElse(i, 0L)), nlist)
+  }
+
+  /** Driver-side reduction of the k-means‖ candidate set: weighted
+    * maximin seeding (first = candidate 0, then repeatedly the candidate
+    * maximizing weight × min-d² to chosen, ties → lowest index) followed
+    * by weighted Lloyd until stable (≤ 20 rounds). Deterministic; input
+    * is the bounded candidate set, never corpus rows.
+    */
+  private def reduceWeighted(cand: Vector[Seq[Double]], w: Seq[Long],
+                             nlist: Int): Seq[(Int, Seq[Double])] = {
+    if (cand.isEmpty) return Seq.empty
+    val arrs = cand.map(_.toArray)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val m = math.min(a.length, b.length)
+      while (i < m) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // dedupe exact-duplicate candidates (their weights merge) so maximin
+    // never wastes a center on a copy
+    val uniq = scala.collection.mutable.LinkedHashMap.empty[Seq[Double], Long]
+    cand.zip(w).foreach { case (v, wi) =>
+      uniq.updateWith(v)(prev => Some(prev.getOrElse(0L) + wi))
+    }
+    val uv = uniq.keys.toArray.map(_.toArray)
+    val uw = uniq.values.toArray.map(_.toDouble)
+    val k = math.min(nlist, uv.length)
+    val chosen = scala.collection.mutable.ArrayBuffer(0)
+    val minD = uv.map(d2(_, uv(0)))
+    while (chosen.length < k) {
+      var bi = -1; var bs = -1.0
+      var i = 0
+      while (i < uv.length) {
+        val s = uw(i) * minD(i)
+        if (s > bs + 1e-18 && !chosen.contains(i)) { bs = s; bi = i }
+        i += 1
+      }
+      chosen += bi
+      i = 0
+      while (i < uv.length) {
+        val d = d2(uv(i), uv(bi)); if (d < minD(i)) minD(i) = d; i += 1
+      }
+    }
+    var centers = chosen.map(uv(_)).toArray
+    var moved = true
+    var it = 0
+    while (moved && it < 20) {
+      val sums = Array.fill(centers.length)(new Array[Double](uv(0).length))
+      val cnts = new Array[Double](centers.length)
+      var i = 0
+      while (i < uv.length) {
+        var bj = 0; var bd = Double.PositiveInfinity
+        var j = 0
+        while (j < centers.length) {
+          val d = d2(uv(i), centers(j)); if (d < bd) { bd = d; bj = j }; j += 1
+        }
+        var t = 0
+        while (t < uv(i).length) { sums(bj)(t) += uw(i) * uv(i)(t); t += 1 }
+        cnts(bj) += uw(i)
+        i += 1
+      }
+      val next = centers.indices.map { j =>
+        if (cnts(j) > 0) sums(j).map(_ / cnts(j)) else centers(j)
+      }.toArray
+      moved = centers.zip(next).exists { case (a, b) => d2(a, b) > 1e-24 }
+      centers = next
+      it += 1
+    }
+    centers.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+  }
+
   /** Train an IVF coarse quantizer with deterministic Lloyd's iterations:
-    * init = the `nlist` lowest-id vectors, then `iters` rounds of
-    * assign-to-nearest (L2) + recompute means — all DataFrame ops, the
-    * centroid table broadcast each round. Deterministic: no RNG, fixed
-    * iteration count, ties broken by centroid id.
+    * init = the `nlist` lowest-id vectors (default — oracle parity) or
+    * deterministic k-means‖ ([[kmeansParInit]], `scalableInit = true`),
+    * then `iters` rounds of assign-to-nearest (L2) + recompute means —
+    * all DataFrame ops, the centroid table broadcast each round.
+    * Deterministic either way: no RNG, fixed iteration count, ties broken
+    * by centroid id.
     */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String,
-               nlist: Int, iters: Int = 5): IvfIndex = {
+               nlist: Int, iters: Int = 5,
+               scalableInit: Boolean = false): IvfIndex = {
     val spark = corpus.sparkSession
     val dim = corpus.select(size(col(vecCol))).first().getInt(0)
     var centroids: Seq[(Int, Seq[Double])] =
-      corpus.orderBy(col(idCol)).limit(nlist)
+      if (scalableInit) kmeansParInit(corpus, idCol, vecCol, nlist)
+      else corpus.orderBy(col(idCol)).limit(nlist)
         // float AND double embedding columns are accepted, like every other
         // Ann/VecFns entry point
         .select(col(vecCol).cast("array<double>")).collect()
