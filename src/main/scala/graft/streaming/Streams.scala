@@ -551,4 +551,106 @@ object Streams {
     events.groupByKey(_.event_type)
       .transformWithState(new TopKUsersByValue(k), TimeMode.None(), OutputMode.Update())
   }
+
+  // ---- streaming MinHash-LSH near-dup detection -----------------------
+
+  final case class DocFeed(doc_id: Long, ts: Timestamp, text: String)
+  final case class BandDoc(band: String, doc_id: Long, ts: Timestamp,
+                           shingles: Array[String])
+  final case class BandEntry(doc_id: Long, ts_ms: Long,
+                             shingles: Array[String])
+  final case class NearDupPair(id_a: Long, id_b: Long, jaccard: Double)
+
+  /** Per-band near-dup matcher: the banded co-residents live in a
+    * MapState keyed by doc id; a new arrival pairs against every stored
+    * doc in its band, verifies with the EXACT shingle Jaccard (the same
+    * |A∩B| / (|A|+|B|−|A∩B|) rational over distinct shingles as
+    * `SimFns.jaccard` — both sides integer counts, so the double is
+    * bit-identical to the batch verify), then joins the state itself.
+    * Entries older than the event-time watermark evict lazily on the
+    * band's next arrival — state is bounded by docs per band within the
+    * watermark horizon, the streaming contract: two docs can pair iff
+    * they are co-resident within that horizon.
+    */
+  class BandNearDups(threshold: Double)
+      extends StatefulProcessor[String, BandDoc, NearDupPair] {
+    @transient private var docs: org.apache.spark.sql.streaming.MapState[Long, BandEntry] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      docs = getHandle.getMapState[Long, BandEntry](
+        "band_docs", Encoders.scalaLong, Encoders.product[BandEntry], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BandDoc],
+                                 timerValues: TimerValues): Iterator[NearDupPair] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      if (wm > 0) {
+        val expired = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val it = docs.iterator()
+        while (it.hasNext) { val kv = it.next(); if (kv._2.ts_ms < wm) expired += kv._1 }
+        expired.foreach(docs.removeKey)
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[NearDupPair]
+      for (d <- rows) {
+        val sa = d.shingles.toSet
+        val it = docs.iterator()
+        while (it.hasNext) {
+          val (otherId, e) = it.next()
+          if (otherId != d.doc_id) {
+            val sb = e.shingles.toSet
+            val inter = (sa & sb).size
+            val union = sa.size + sb.size - inter
+            val j = if (union == 0) 0.0 else inter.toDouble / union.toDouble
+            if (j >= threshold)
+              out += NearDupPair(math.min(d.doc_id, otherId),
+                math.max(d.doc_id, otherId), j)
+          }
+        }
+        docs.updateValue(d.doc_id, BandEntry(d.doc_id, d.ts.getTime, d.shingles))
+      }
+      out.iterator
+    }
+  }
+
+  /** Streaming twin of `Dedup.minhashLsh` — same shingling, same k-min
+    * MinHash signature, same band keys, same exact-Jaccard verification,
+    * expressed over a document stream. The batch signature is an
+    * explode + groupBy k-min aggregate; here it is the equivalent
+    * PER-ROW `array_min(transform(shingles, s → md5(j":"s)))` (same md5
+    * strings, same min — string `<` ≡ the aggregate's min), which keeps
+    * the stage STATELESS so the single stateful operator is the band
+    * matcher. A pair colliding in several bands emits once per band
+    * (the batch `.distinct()` is the consumer's idempotent upsert /
+    * distinct — cross-band suppression would chain a second stateful
+    * operator for no semantic gain).
+    *
+    * `docsStream` must carry a watermark on `ts`; the horizon bounds
+    * both state size and how far apart two docs may arrive and still
+    * pair — the streaming rendering of the batch job's corpus window.
+    */
+  def nearDupPairs(docsStream: Dataset[DocFeed], shingleWords: Int = 3,
+                   numHashes: Int = 8, bands: Int = 4,
+                   threshold: Double = 0.5): Dataset[NearDupPair] = {
+    import docsStream.sparkSession.implicits._
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sh = docsStream.toDF()
+      .withColumn("shingles", graft.functions.SimFns.wordShingles(
+        graft.functions.TextAnalysisFns.tokens(col("text")), shingleWords))
+      .where(size(col("shingles")) > 0)
+    val hCols = (0 until numHashes).map { j =>
+      array_min(transform(col("shingles"),
+        s => md5(concat(lit(s"$j:"), s)))).as(s"h$j")
+    }
+    val sig = sh.select(Seq(col("doc_id"), col("ts"), col("shingles")) ++ hCols: _*)
+    val bandCols = (0 until bands).map { i =>
+      val slice = (i * rows until (i + 1) * rows).map(j => col(s"h$j"))
+      concat(lit(s"$i#"), md5(concat_ws(",", slice: _*)))
+    }
+    sig.select(explode(array(bandCols: _*)).as("band"),
+        col("doc_id"), col("ts"), col("shingles"))
+      .as[BandDoc]
+      .groupByKey(_.band)
+      .transformWithState(new BandNearDups(threshold),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -347,6 +347,49 @@ class StreamingV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming MinHash-LSH near-dups: candidate parity with batch dedup_minhash_lsh over the replayed sf0.001 corpus") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // the real corpus, replayed as a 3-micro-batch stream with one shared
+    // event time (the watermark horizon covers the whole feed, so every
+    // doc pair is co-resident — the batch job's corpus window)
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val t0 = ts("2024-01-01 10:00:00")
+    val feed = docs.map { case (id, text) => Streams.DocFeed(id, t0, text) }
+    val expected = graft.operators.Dedup.minhashLsh(
+        Tables.load(spark, "/root/testdata/sf0.001", "documents"),
+        "doc_id", "text", 3, 8, 4, 0.2)
+      .as[(Long, Long, Double)].collect().toSet
+    val mem = MemoryStream[Streams.DocFeed]
+    val out = Streams.nearDupPairs(
+      mem.toDS().withWatermark("ts", "1 hour").as[Streams.DocFeed],
+      shingleWords = 3, numHashes = 8, bands = 4, threshold = 0.2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("neardup_out").start()
+    try {
+      feed.grouped(math.max(1, feed.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      // a pair colliding in several bands emits once per band — distinct
+      // is the consumer's move, mirroring the batch .distinct()
+      val got = spark.table("neardup_out")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(expected.nonEmpty, "fixture must contain near-dups")
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("Trigger.AvailableNow: drains a file source then self-terminates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
     Seq(
