@@ -83,11 +83,16 @@ object SuffixDedup {
     */
   private val docW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
 
-  /** (doc_id, pos) of every position whose L-token window occurs ≥ 2
-    * times in the corpus. `toks` must be (doc_id: long, pos: long 1-based,
+  /** (doc_id, pos, __k) for every position with a full L-token window:
+    * `__k` identifies the window CONTENT exactly (the dense-label
+    * sparse-table key — equal keys ⟺ equal L-token windows, no hashing,
+    * zero false positives/negatives). The shared front of
+    * [[coveredPositions]] (which keeps keys occurring ≥ 2 times) and
+    * [[contaminationSpans]] (which keeps keys occurring in the eval
+    * group). `toks` must be (doc_id: long, pos: long 1-based,
     * tok: string) with contiguous per-doc positions.
     */
-  def coveredPositions(toks: DataFrame, L: Int): DataFrame = {
+  def windowKeys(toks: DataFrame, L: Int): DataFrame = {
     require(L >= 2, s"window length must be >= 2, got $L")
 
     // a = largest power of two < L; a >= L/2 so the two a-windows at p and
@@ -152,14 +157,22 @@ object SuffixDedup {
 
     // key_L(p) = (label_a(p), label_a(p + L - a)); the lead's null test
     // also enforces pos + L - 1 <= doc_len (short-tail positions drop
-    // out). Same packing as the densify rounds: the duplicate-count agg
-    // and the semi-join back run on one long key when the universe fits.
-    val keyed = cur
+    // out). Same packing as the densify rounds: the downstream agg and
+    // semi-joins run on one long key when the universe fits.
+    cur
       .withColumn("__l2", lead(col("lbl"), L - a).over(docW))
       .where(col("__l2").isNotNull)
       .select(col("doc_id"), col("pos"),
         (if (n <= PackableLabels) packPair(col("lbl"), col("__l2"))
          else struct(col("lbl"), col("__l2"))).as("__k"))
+  }
+
+  /** (doc_id, pos) of every position whose L-token window occurs ≥ 2
+    * times in the corpus (within-doc AND cross-doc both count). Input
+    * contract as [[windowKeys]].
+    */
+  def coveredPositions(toks: DataFrame, L: Int): DataFrame = {
+    val keyed = windowKeys(toks, L)
     val dupKeys = keyed.groupBy(col("__k"))
       .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
       .select(col("__k"))
@@ -252,19 +265,23 @@ object SuffixDedup {
     cur
   }
 
-  /** Maximal duplicate spans ≥ L tokens: merged runs of covered L-windows
-    * per doc — output (doc_id, span_start, span_end, span_len), 1-based
-    * inclusive token positions. Two windows merge while they overlap or
-    * touch (next start ≤ prev start + L).
+  /** Tokenize docs into the (doc_id, pos, tok) contract (1-based,
+    * contiguous per doc).
     */
-  def maximalDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                            L: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc_id"),
+  private def tokenize(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
         posexplode(graft.functions.TextAnalysisFns.tokens(col(textCol)))
           .as(Seq("pos0", "tok")))
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
         col("tok"))
-    val covered = coveredPositions(toks, L)
+
+  /** Merge covered (doc_id, pos) window-start positions into maximal
+    * spans: per-doc gaps-and-islands, two windows merge while they
+    * overlap or touch (next start ≤ prev start + L). Output (doc_id,
+    * span_start, span_end, span_len), 1-based inclusive token positions.
+    */
+  private def spansFromCovered(covered: DataFrame, L: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     covered
       .withColumn("__prev", lag(col("pos"), 1).over(w))
@@ -279,5 +296,37 @@ object SuffixDedup {
       .select(col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
       .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  /** Maximal duplicate spans ≥ L tokens: merged runs of covered L-windows
+    * per doc — output (doc_id, span_start, span_end, span_len), 1-based
+    * inclusive token positions.
+    */
+  def maximalDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                            L: Int): DataFrame =
+    spansFromCovered(coveredPositions(tokenize(docs, idCol, textCol), L), L)
+
+  /** Suffix-window benchmark DECONTAMINATION: maximal spans (≥ L tokens)
+    * of non-eval documents whose token windows also occur in an
+    * eval-group document. The fixed-8-gram `decontamination` and MinHash
+    * `decontamination_fuzzy` queries approximate long-overlap leakage;
+    * this is the exact form at an arbitrary threshold L — the same
+    * prefix-doubling labels as [[coveredPositions]], with the duplicate
+    * test replaced by a semi-join against the eval group's key set, so a
+    * verbatim leaked passage is reported with its exact extent. Shape:
+    * one distinct over eval keys + one equi-join — never corpora ×
+    * corpora; eval benchmarks are the small side and broadcast at scale.
+    *
+    * `isEval` is a predicate over `docs` rows naming the held-out group.
+    */
+  def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
+                         isEval: Column, L: Int): DataFrame = {
+    val groups = docs.select(col(idCol).as("doc_id"), isEval.as("__eval"))
+    val keyed = windowKeys(tokenize(docs, idCol, textCol), L)
+      .join(groups, Seq("doc_id"))
+    val evalKeys = keyed.where(col("__eval")).select(col("__k")).distinct()
+    val covered = keyed.where(!col("__eval"))
+      .join(evalKeys, Seq("__k")).select(col("doc_id"), col("pos"))
+    spansFromCovered(covered, L)
   }
 }

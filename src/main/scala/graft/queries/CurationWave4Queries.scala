@@ -21,7 +21,55 @@ object CurationWave4Queries {
     */
   private val SpanL = 8
 
+  /** Decontamination overlap threshold: LONGER than the fixed-8-gram
+    * `decontamination` query's window — the policy knob the suffix form
+    * exists for (any L without re-materializing grams).
+    */
+  private val DecontamL = 12
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Suffix-window benchmark decontamination (round-12): maximal spans
+    // (≥ 12 tokens) of TRAINING docs (source ≠ src0) whose token windows
+    // also occur in the held-out eval source — the exact-extent form of
+    // the boolean 8-gram `decontamination` and the approximate
+    // `decontamination_fuzzy`. Engine: prefix-doubling window keys + a
+    // distinct over the eval side's keys + one semi-join (eval benchmarks
+    // broadcast at scale), then the gaps-and-islands span merge. Oracle:
+    // materialized 12-gram strings, the affordable sf0.01 form — label
+    // equality is exact, so both define the same covered set.
+    QueryDef("decontamination_suffix", (s, dir) =>
+      SuffixDedup.contaminationSpans(t("documents")(s, dir),
+        "doc_id", "text", col("source") === "src0", DecontamL)
+    , Some(s"""
+      WITH tk AS (SELECT doc_id, source, ${Sql.tokens("text")} AS ts
+                  FROM documents),
+      g AS (SELECT doc_id, source,
+                   unnest(generate_series(1, greatest(len(ts) - ${DecontamL - 1}, 0)))
+                     AS pos,
+                   unnest(list_transform(
+                     generate_series(1, greatest(len(ts) - ${DecontamL - 1}, 0)),
+                     i -> array_to_string(ts[i:i+${DecontamL - 1}], ' '))) AS gram
+            FROM tk),
+      ev AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+      cov AS (SELECT doc_id, pos FROM g
+              WHERE source <> 'src0' AND gram IN (SELECT gram FROM ev)),
+      isl AS (SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                            IS NULL
+                          OR pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) > $DecontamL
+                          THEN 1 ELSE 0 END AS brk
+              FROM cov),
+      is2 AS (SELECT doc_id, pos,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS island
+              FROM isl)
+      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+             CAST(max(pos) + ${DecontamL - 1} AS BIGINT) AS span_end,
+             CAST(max(pos) + $DecontamL - min(pos) AS BIGINT) AS span_len
+      FROM is2 GROUP BY doc_id, island
+      ORDER BY doc_id, span_start""")),
 
     // Maximal duplicate token spans (≥ 8 tokens, 1-based inclusive token
     // positions, within-doc AND cross-doc occurrences both count). The

@@ -19,6 +19,26 @@ class SuffixDedupSpec extends AnyFunSuite {
     SuffixDedup.maximalDuplicateSpans(docs, "doc_id", "text", L)
       .as[(Long, Long, Long, Long)].collect().toSeq
 
+  test("contaminationSpans: only train↔eval overlaps flag; train↔train duplicates stay silent") {
+    val leak = (1 to 6).map(i => s"leak$i").mkString(" ")  // 6 tokens ≥ L=4
+    val trainDup = (1 to 8).map(i => s"td$i").mkString(" ")
+    val docs = Seq(
+      (1L, "eval", s"e1 e2 $leak e3"),
+      (2L, "train", s"x1 $leak x2 x3"),       // leaks the eval passage
+      (3L, "train", s"$trainDup y1"),          // train↔train dup only
+      (4L, "train", s"z1 z2 $trainDup"),       // train↔train dup only
+      (5L, "train", "q1 q2 q3 q4 q5 q6 q7"))   // clean
+      .toDF("doc_id", "source", "text")
+    val got = SuffixDedup.contaminationSpans(docs, "doc_id", "text",
+        col("source") === "eval", 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 2: leak occupies tokens 2..7; covered window starts 2,3,4 →
+    // one maximal span [2,7] of length 6. Docs 3/4 share an 8-token run
+    // but NOT with eval — coveredPositions would flag them, the
+    // decontamination semi-join must not. Eval docs never appear.
+    assert(got == Seq((2L, 2L, 7L, 6L)), got.toString)
+  }
+
   test("a planted cross-doc duplicate span is found with exact 1-based boundaries") {
     // docs 1 and 2 share tokens 4..15 of doc 1 (12 tokens, >= L) and
     // nothing else; doc 3 is all-unique filler
