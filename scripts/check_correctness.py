@@ -62,13 +62,32 @@ def df_cells(df):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # optional sharding for big-SF runs: --shard i/N checks every Nth query
+    # (by sorted position), so N parallel processes split the gate; each
+    # process can cap its DuckDB threads with --threads T to share the box.
+    shard_i, shard_n, threads = 0, 1, None
+    rest = sys.argv[3:]
+    if "--shard" in rest:
+        i = rest.index("--shard")
+        shard_i, shard_n = (int(x) for x in rest[i + 1].split("/"))
+    if "--threads" in rest:
+        threads = int(rest[rest.index("--threads") + 1])
     con = duckdb.connect()
+    if threads:
+        con.execute(f"SET threads={threads}")
+    import os
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-generated scale
+        # dirs (GenScaleData) are directories of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
-    for name, sql in sorted(oracles.items()):
+    for qi, (name, sql) in enumerate(sorted(oracles.items())):
+        if qi % shard_n != shard_i:
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
@@ -129,8 +148,11 @@ def main():
             failures += 1
             continue
         note = f" ({tol} float cells matched only under tolerance)" if tol else ""
-        print(f"PASS {name}: {len(grows)} rows{note}")
-    print(f"\n{len(oracles) - failures}/{len(oracles)} queries pass")
+        print(f"PASS {name}: {len(grows)} rows{note}", flush=True)
+    checked = len([q for i, q in enumerate(sorted(oracles))
+                   if i % shard_n == shard_i])
+    print(f"\n{checked - failures}/{checked} queries pass"
+          + (f" (shard {shard_i}/{shard_n})" if shard_n > 1 else ""))
     sys.exit(1 if failures else 0)
 
 

@@ -19,7 +19,9 @@ if "--threshold" in sys.argv:
     thr = float(sys.argv[i + 1])
 
 with open(bench_path) as f:
-    bench = json.load(f)["queries"]
+    _doc = json.load(f)
+bench = _doc["queries"]
+fresh = _doc.get("fresh", {})
 
 # anchored to TABLE ROWS only (lines starting with '|') so prose mentions
 # never enter the map; later tables override earlier ones, so the newest
@@ -52,3 +54,28 @@ for q, b, ba, r in over:
     print(f"  {q}: {b:.2f} vs {ba:.2f} ({r:.2f}x)")
 new = sorted(set(bench) - set(baseline))
 print(f"beyond-baseline queries timed: {len(new)}")
+
+# dual protocol: the fresh-JVM isolated floor per headline query (written
+# by graft.Bench into bench_full.json's "fresh" map). Report BOTH ratios
+# vs baseline over the headline overlap, plus the per-query fresh-vs-
+# interleaved spread — a real plan regression moves both protocols; a
+# load/JIT artifact moves only one.
+if fresh:
+    fc = sorted(set(fresh) & set(baseline) & set(bench))
+    if fc:
+        f_tot = sum(fresh[q] for q in fc)
+        i_tot = sum(bench[q] for q in fc)
+        ba_tot = sum(baseline[q] for q in fc)
+        print(f"dual protocol over {len(fc)} headline queries: "
+              f"interleaved {i_tot:.2f} s ({i_tot / ba_tot:.3f}x baseline), "
+              f"fresh-JVM {f_tot:.2f} s ({f_tot / ba_tot:.3f}x baseline)")
+        spread = sorted(((fresh[q] / bench[q] if bench[q] > 0 else float("inf"),
+                          q) for q in fc), reverse=True)
+        worst = [f"{q} {r:.2f}x" for r, q in spread[:3]]
+        print(f"fresh/interleaved spread: median "
+              f"{spread[len(spread) // 2][0]:.2f}x; widest: {', '.join(worst)}")
+        for q in fc:
+            if baseline[q] > 0 and fresh[q] > thr * baseline[q]:
+                print(f"  FRESH over {thr}x: {q}: {fresh[q]:.2f} vs "
+                      f"baseline {baseline[q]:.2f} "
+                      f"(interleaved {bench[q]:.2f})")

@@ -107,20 +107,6 @@ object Bench {
       if (isolated.isEmpty) ""
       else s""","isolated":${jsonOf(isolated)}"""
 
-    def line(queries: Seq[(String, Double)], nShown: Int): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${timed.size},""" +
-      s""""n_ok":${results.size},"n_shown":$nShown,"errors":$errJson,""" +
-      s""""queries":${jsonOf(queries)}$isoJson,"sf":"$sfDir"}"""
-
-    // Full per-query timings go to a file: the bench driver only keeps the
-    // last 2000 chars of output, so the summary line below must stay short
-    // (~80 queries at full precision overflowed the window in r01/r02 and
-    // the driver recorded "parsed": null).
-    if (only.isEmpty) // a filtered dev run must not clobber the artifact
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get("bench_full.json"),
-        (line(results, results.size) + "\n").getBytes("UTF-8"))
-
     // Headline subset spanning the operator families (relational agg/join,
     // window, dedup, ANN, text, streaming, upsert, composed pipeline).
     val headline = Set(
@@ -132,6 +118,76 @@ object Bench {
       "stream_sessionize", "k4_merge_upsert", "pipeline_doc_filter",
       "session_window_native", "topk_per_segment", "scalar_subquery_select",
       "asof_prev_purchase", "text_tokens_bpe", "mixture_sample")
+
+    // --- dual protocol: the FRESH-JVM isolated floor per headline query.
+    // The interleaved min depends on what ran before it in this JVM (JIT
+    // state, code cache, heap shape) and the adjudicator's same-JVM
+    // isolated re-runs inherit that too — "isolated" drifted 1.45×→1.77×
+    // across rounds on bit-identical f30_xml_extract code. A freshly
+    // forked JVM per query (best of 2 INSIDE the child, so its reading
+    // excludes JVM/session startup but includes one warm re-run) is the
+    // reproducible-across-rounds second protocol. Headline subset only,
+    // armed with the baseline (sf0.1, BASELINE.md present), bounded by a
+    // per-child timeout; SPARK_GRAFT_BENCH_FRESH=0 disables.
+    val freshEnabled = only.isEmpty && baseline.nonEmpty &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") != "0"
+    val fresh: Seq[(String, Double)] =
+      if (!freshEnabled) Seq.empty
+      else {
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val opens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar",
+        ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        val cmd = Seq(javaBin) ++ opens ++ Seq(
+          s"-Xmx${Runtime.getRuntime.maxMemory()}",
+          "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+          "-cp", System.getProperty("java.class.path"), "graft.Bench")
+        results.collect { case (name, _) if headline(name) =>
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+          pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
+          pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "2")
+          pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+          pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+          val p = pb.start()
+          val outF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+            new String(p.getInputStream.readAllBytes(), "UTF-8"))
+          val done = p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
+          if (!done) { p.destroyForcibly(); name -> None }
+          else {
+            val out = outF.get()
+            val re = ("\"" + java.util.regex.Pattern.quote(name) +
+              "\":([0-9][0-9.eE+-]*)").r
+            name -> re.findFirstMatchIn(out).map(_.group(1).toDouble)
+          }
+        }.collect { case (n, Some(t)) => n -> t }
+      }
+    val freshJson =
+      if (fresh.isEmpty) ""
+      else s""","fresh":${jsonOf(fresh)}"""
+
+    def line(queries: Seq[(String, Double)], nShown: Int,
+             extra: String = ""): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${timed.size},""" +
+      s""""n_ok":${results.size},"n_shown":$nShown,"errors":$errJson,""" +
+      s""""queries":${jsonOf(queries)}$isoJson$extra,"sf":"$sfDir"}"""
+
+    // Full per-query timings go to a file: the bench driver only keeps the
+    // last 2000 chars of output, so the summary line below must stay short
+    // (~80 queries at full precision overflowed the window in r01/r02 and
+    // the driver recorded "parsed": null) — the fresh-JVM map lives ONLY
+    // in the file for the same reason.
+    if (only.isEmpty) // a filtered dev run must not clobber the artifact
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_full.json"),
+        (line(results, results.size, freshJson) + "\n").getBytes("UTF-8"))
+
     val shown = if (only.nonEmpty) results else results.filter(r => headline(r._1))
     val summary = line(shown, shown.size)
 

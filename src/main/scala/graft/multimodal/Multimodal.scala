@@ -97,7 +97,32 @@ object Multimodal {
     * path (4×4 = [[FeatureDim]]), the per-frame video path, and the 8×8
     * (64-cell) perceptual-hash path.
     */
-  private def luminanceGrid(img: java.awt.image.BufferedImage,
+  /** [[luminanceGrid]] over a raw 8-bit luma plane (row-major w×h) — the
+    * H.264 path's form: Y′ samples are already luminance, no color-model
+    * round trip.
+    */
+  private[multimodal] def lumaGrid(luma: Array[Byte], w: Int, h: Int,
+                                   grid: Int = 4): Array[Float] = {
+    val cells = grid * grid
+    val sums = new Array[Double](cells)
+    val counts = new Array[Long](cells)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val cell = math.min(grid - 1, y * grid / h) * grid +
+          math.min(grid - 1, x * grid / w)
+        sums(cell) += (luma(y * w + x) & 0xFF)
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(cells)(i =>
+      if (counts(i) == 0) 0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  private[multimodal] def luminanceGrid(img: java.awt.image.BufferedImage,
                             grid: Int = 4): Array[Float] = {
     val (w, h) = (img.getWidth, img.getHeight)
     val cells = grid * grid
@@ -458,7 +483,7 @@ object Multimodal {
     * payloadEnd). Handles 32-bit sizes, 64-bit largesize (size == 1), and
     * to-end-of-file (size == 0); stops at the first malformed header.
     */
-  private def boxChildren(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
+  private[multimodal] def boxChildren(b: Array[Byte], start: Int, end: Int): Seq[(String, Int, Int)] = {
     val out = Seq.newBuilder[(String, Int, Int)]
     var off = start
     var continue = true
@@ -716,11 +741,11 @@ object Multimodal {
     case _ => 0.0
   }
 
-  private def be32u(b: Array[Byte], i: Int): Long =
+  private[multimodal] def be32u(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
       ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
 
-  private def be64(b: Array[Byte], i: Int): Long = {
+  private[multimodal] def be64(b: Array[Byte], i: Int): Long = {
     var v = 0L
     var k = 0
     while (k < 8) { v = (v << 8) | (b(i + k) & 0xFFL); k += 1 }
@@ -741,13 +766,28 @@ object Multimodal {
 
   /** Real per-frame video decode: frame `idx`'s raster → geometry +
     * [[FeatureDim]] luminance-grid features (same grid as the image
-    * path). GIF frames are decoded as their own raster (no disposal
-    * compositing — features describe the frame's pixels, which is what a
-    * sampling pipeline wants). None when the payload isn't a GIF or the
-    * index is out of range.
+    * path). Two real-pixel families:
+    *
+    *  - GIF frames decode as their own raster (no disposal compositing —
+    *    features describe the frame's pixels, which is what a sampling
+    *    pipeline wants);
+    *  - MP4/H.264 frames decode through [[H264]]: full MP4 sample demux +
+    *    NAL/SPS/PPS/slice-header parsing, pixel reconstruction for
+    *    I_PCM-coded slices; entropy-coded residual slices return None and
+    *    keep the honest `decoded=false` degrade (see [[H264]]'s scope
+    *    note).
+    *
+    * None when the payload is neither, the index is out of range, or the
+    * pixels can't be reconstructed.
     */
   def decodeVideoFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Float])] = {
     if (payload == null || payload.isEmpty || idx < 0) return None
+    // grid means straight off the luma plane (Y' IS the luminance the
+    // grid wants; routing through a TYPE_BYTE_GRAY BufferedImage would
+    // apply a linear-gray → sRGB conversion in getRGB and distort values)
+    H264.decodeFrame(payload, idx).foreach { case (w, h, luma) =>
+      return Some((w, h, lumaGrid(luma, w, h)))
+    }
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))

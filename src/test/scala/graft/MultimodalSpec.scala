@@ -228,6 +228,48 @@ class MultimodalSpec extends AnyFunSuite {
     assert(!got(1).getAs[Boolean]("decoded") && !got(2).getAs[Boolean]("decoded"))
   }
 
+  test("real MP4/H.264 pixel decode: I_PCM frames emit true luminance grids; entropy-coded slices degrade") {
+    val mp4 = VideoFixture.twoFrame32x16()
+    // the container index still reads real timing off the boxes
+    val Some((dur, starts)) = Multimodal.videoFrameIndex(mp4)
+    assert(dur == 2000L && starts.toSeq == Seq(0L, 1000L))
+    // frame 0: left 16×16 MB = luma 40, right = 200. The 4×4 grid over
+    // 32×16 splits columns into 8-px cells → cells 0-1 of each row read
+    // 40, cells 2-3 read 200 — EXACT values, decoded from real H.264
+    // bitstream bits (NAL → RBSP → exp-Golomb slice header → I_PCM
+    // samples), not from metadata
+    val Some((w0, h0, f0)) = Multimodal.decodeVideoFrame(mp4, 0)
+    assert(w0 == 32 && h0 == 16)
+    assert(f0.toSeq == Seq.tabulate(16)(i => if (i % 4 < 2) 40f else 200f))
+    // frame 1 is the inverted pattern — per-frame decode really seeks
+    val Some((_, _, f1)) = Multimodal.decodeVideoFrame(mp4, 1)
+    assert(f1.toSeq == Seq.tabulate(16)(i => if (i % 4 < 2) 200f else 40f))
+    assert(Multimodal.decodeVideoFrame(mp4, 2).isEmpty) // out of range
+    // end-to-end: sampleVideoFrames emits decoded=true rows with the real
+    // features for the MP4 — the row the GIF path has always had
+    val rows = Seq(Row(7L, mp4, Row("mp4", 32, 16, 0L)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.MediaSchema)
+    val got = Multimodal.sampleVideoFrames(df, everyMs = 1000)
+      .orderBy("frame_ms").collect()
+    assert(got.length == 2)
+    assert(got.forall(_.getAs[Boolean]("decoded")))
+    assert(got.map(_.getInt(2)).toSeq == Seq(0, 1))
+    assert(got(0).getSeq[Float](3).toSeq ==
+      Seq.tabulate(16)(i => if (i % 4 < 2) 40f else 200f))
+    // honest degrade is UNCHANGED for entropy-coded residual slices: a
+    // real MP4 whose IDR slice is I_4x4-coded keeps decoded=false
+    val entropy = VideoFixture.mp4(32, 16, VideoFixture.sps(2, 1),
+      VideoFixture.pps(), Seq(VideoFixture.idrEntropySlice()))
+    assert(Multimodal.videoFrameIndex(entropy).isDefined) // container fine
+    assert(Multimodal.decodeVideoFrame(entropy, 0).isEmpty)
+    val rows2 = Seq(Row(8L, entropy, Row("mp4", 32, 16, 0L)))
+    val df2 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows2), Multimodal.MediaSchema)
+    val got2 = Multimodal.sampleVideoFrames(df2, everyMs = 1000).collect()
+    assert(got2.nonEmpty && got2.forall(!_.getAs[Boolean]("decoded")))
+  }
+
   test("real video frame sampling: covering frame per instant, honest degrade") {
     val gif = gifBytes(n = 4, delayCs = 50) // 2000 ms total
     val rows = Seq(
