@@ -218,12 +218,18 @@ object SemiStructuredQueries {
       WITH m AS (
         SELECT event_type,
                CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)
-                             AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS syy,
-               CAST(sum(CAST(CAST(user_id AS DOUBLE) * value AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+               -- moment sums go DECIMAL→VARCHAR→DOUBLE: DuckDB's direct
+               -- decimal→double cast can land 1 ulp off the correctly-
+               -- rounded value once the sum outgrows 2^53 (seen at sf1.0:
+               -- slope diverged in the 14th digit); the string route is
+               -- strtod, correctly rounded, matching Spark's
+               -- BigDecimal.doubleValue (ProfilingQueries' rule)
+               CAST(CAST(sum(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)
+                             AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(CAST(user_id AS DOUBLE) * value AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sxy
         FROM events GROUP BY event_type)
       SELECT event_type, n,
              (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
