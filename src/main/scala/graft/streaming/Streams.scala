@@ -432,6 +432,24 @@ object Streams {
         ()
     }
 
+  /** [[upsertSink]]'s partition-scoped form: each micro-batch MERGEs
+    * through `Warehouse.upsertPartitioned`, so the target join reads
+    * only the partitions the batch touches and every other partition
+    * carries over by hardlink — the steady-state streaming-upsert shape
+    * at 100 TB (a micro-batch is minutes of data; the whole-table
+    * [[upsertSink]] full-outer joins the table per trigger). Same
+    * stable-key-partition contract as `upsertPartitioned`.
+    */
+  def upsertSinkPartitioned(stream: DataFrame, wh: graft.operators.Warehouse,
+                            table: String, key: String,
+                            updateCols: Seq[String],
+                            partitionCols: Seq[String]) =
+    stream.writeStream.outputMode("update").foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        wh.upsertPartitioned(table, batch.toDF(), key, updateCols,
+          partitionCols)
+    }
+
   // ---- streaming mergeable sketch -----------------------------------
 
   final case class TypeEstimate(event_type: String, estimate: Double,

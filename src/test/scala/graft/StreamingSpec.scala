@@ -182,6 +182,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Seq(("a", 5), ("b", 2)))
   }
 
+  test("partition-scoped streaming upsert sink: micro-batch merges touch only their partitions") {
+    implicit val sq = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-upp-sink").toString
+    val wh = new graft.operators.Warehouse(spark, dir)
+    // pre-existing partitioned target: two date partitions
+    wh.overwritePartitioned("ev",
+      Seq(("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0))
+        .toDF("dt", "id", "v"), Seq("dt"))
+    val snapBefore = wh.snapshots("ev").last
+    val mem = MemoryStream[(String, Long, Double)]
+    val q = Streams.upsertSinkPartitioned(
+      mem.toDF().toDF("dt", "id", "v"), wh, "ev", "id", Seq("v"),
+      Seq("dt")).start()
+    try {
+      // the batch touches only 2024-01-02: update id=2, insert id=3
+      mem.addData(("2024-01-02", 2L, 22.0), ("2024-01-02", 3L, 33.0))
+      q.processAllAvailable()
+      val got = wh.read("ev").select("dt", "id", "v")
+        .as[(String, Long, Double)].collect().toSet
+      assert(got == Set(("2024-01-01", 1L, 10.0),
+        ("2024-01-02", 2L, 22.0), ("2024-01-02", 3L, 33.0)))
+      // the untouched partition carried over by hardlink (same inode)
+      val snapAfter = wh.snapshots("ev").last
+      val untouched = wh.dataFiles("ev").filter(_.startsWith("dt=2024-01-01"))
+      assert(untouched.nonEmpty)
+      untouched.foreach { rel =>
+        assert(java.nio.file.Files.isSameFile(
+          java.nio.file.Paths.get(dir, "ev", snapBefore, rel),
+          java.nio.file.Paths.get(dir, "ev", snapAfter, rel)),
+          s"$rel was rewritten by a batch that never touched it")
+      }
+    } finally q.stop()
+  }
+
   test("streaming messages leg: stream-static enrichment, broadcast join, append sink") {
     implicit val sq = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-enrich").toString
