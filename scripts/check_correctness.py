@@ -65,13 +65,15 @@ def main():
     # optional sharding for big-SF runs: --shard i/N checks every Nth query
     # (by sorted position), so N parallel processes split the gate; each
     # process can cap its DuckDB threads with --threads T to share the box.
-    shard_i, shard_n, threads = 0, 1, None
+    shard_i, shard_n, threads, only = 0, 1, None, None
     rest = sys.argv[3:]
     if "--shard" in rest:
         i = rest.index("--shard")
         shard_i, shard_n = (int(x) for x in rest[i + 1].split("/"))
     if "--threads" in rest:
         threads = int(rest[rest.index("--threads") + 1])
+    if "--only" in rest:
+        only = set(rest[rest.index("--only") + 1].split(","))
     con = duckdb.connect()
     if threads:
         con.execute(f"SET threads={threads}")
@@ -87,6 +89,8 @@ def main():
     failures = 0
     for qi, (name, sql) in enumerate(sorted(oracles.items())):
         if qi % shard_n != shard_i:
+            continue
+        if only is not None and name not in only:
             continue
         try:
             got = con.execute(
@@ -150,7 +154,8 @@ def main():
         note = f" ({tol} float cells matched only under tolerance)" if tol else ""
         print(f"PASS {name}: {len(grows)} rows{note}", flush=True)
     checked = len([q for i, q in enumerate(sorted(oracles))
-                   if i % shard_n == shard_i])
+                   if i % shard_n == shard_i
+                   and (only is None or q in only)])
     print(f"\n{checked - failures}/{checked} queries pass"
           + (f" (shard {shard_i}/{shard_n})" if shard_n > 1 else ""))
     sys.exit(1 if failures else 0)

@@ -333,12 +333,16 @@ object AnalyticsQueries {
       WITH m AS (
         SELECT event_type,
                CAST(count(*) AS DOUBLE) AS n,
-               CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
-               CAST(sum(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-               CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
-               CAST(sum(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)
-                             AS DECIMAL(28,8))) AS DOUBLE) AS syy,
-               CAST(sum(CAST(value * CAST(user_id AS DOUBLE) AS DECIMAL(28,8))) AS DOUBLE) AS sxy
+               -- moment sums DECIMAL→VARCHAR→DOUBLE: DuckDB's direct
+               -- decimal→double cast drifts 1 ulp past 2^53 unscaled
+               -- units (stats_regr_line at sf1.0); strtod is correctly
+               -- rounded like Spark's Decimal.toDouble
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sx,
+               CAST(CAST(sum(CAST(CAST(user_id AS DOUBLE) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sy,
+               CAST(CAST(sum(CAST(value * value AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sxx,
+               CAST(CAST(sum(CAST(CAST(user_id AS DOUBLE) * CAST(user_id AS DOUBLE)
+                             AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS syy,
+               CAST(CAST(sum(CAST(value * CAST(user_id AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS sxy
         FROM events GROUP BY event_type)
       SELECT event_type, n,
              (n * sxy - sx * sy) /

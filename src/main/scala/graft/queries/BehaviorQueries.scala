@@ -118,19 +118,23 @@ object BehaviorQueries {
             .as("return_revenue_rate"))
         .orderBy(col("p_brand"))
     }, Some("""
+      -- revenue sums go DECIMAL→VARCHAR→DOUBLE: past 2^53 of unscaled
+      -- units DuckDB's direct decimal→double cast can sit 1 ulp off the
+      -- correctly-rounded value (seen at sf1.0) — the ProfilingQueries
+      -- route; Spark's Decimal.toDouble is correctly rounded already
       SELECT p_brand,
              CAST(count(*) AS BIGINT) AS n_lines,
              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS returned_lines,
-             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE) AS revenue,
-             CAST(sum(CASE WHEN l_returnflag = 'R'
+             CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS revenue,
+             CAST(CAST(sum(CASE WHEN l_returnflag = 'R'
                            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
-                           ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE) AS returned_revenue,
+                           ELSE CAST(0 AS DECIMAL(28,8)) END) AS VARCHAR) AS DOUBLE) AS returned_revenue,
              CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS return_line_rate,
-             CAST(sum(CASE WHEN l_returnflag = 'R'
+             CAST(CAST(sum(CASE WHEN l_returnflag = 'R'
                            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))
-                           ELSE CAST(0 AS DECIMAL(28,8)) END) AS DOUBLE)
-               / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS DOUBLE)
+                           ELSE CAST(0 AS DECIMAL(28,8)) END) AS VARCHAR) AS DOUBLE)
+               / CAST(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)
                AS return_revenue_rate
       FROM lineitem JOIN part ON p_partkey = l_partkey
       GROUP BY p_brand ORDER BY p_brand""")),
