@@ -27,22 +27,12 @@ object CurationWave4Queries {
     */
   private val DecontamL = 12
 
-  val defs: Seq[QueryDef] = Seq(
-
-    // Suffix-window benchmark decontamination (round-12): maximal spans
-    // (≥ 12 tokens) of TRAINING docs (source ≠ src0) whose token windows
-    // also occur in the held-out eval source — the exact-extent form of
-    // the boolean 8-gram `decontamination` and the approximate
-    // `decontamination_fuzzy`. Engine: prefix-doubling window keys + a
-    // distinct over the eval side's keys + one semi-join (eval benchmarks
-    // broadcast at scale), then the gaps-and-islands span merge. Oracle:
-    // materialized 12-gram strings, the affordable sf0.01 form — label
-    // equality is exact, so both define the same covered set.
-    QueryDef("decontamination_suffix", (s, dir) =>
-      SuffixDedup.contaminationSpans(t("documents")(s, dir),
-        "doc_id", "text", col("source") === "src0", DecontamL)
-    , Some(s"""
-      WITH tk AS (SELECT doc_id, source, ${Sql.tokens("text")} AS ts
+  /** Shared oracle CTE chain for the decontamination family: materialized
+    * 12-gram cross-source overlap → covered positions → gaps-and-islands
+    * merged `spans(doc_id, span_start, span_end, span_len)`. One source
+    * of truth for `decontamination_suffix` and its removal/rate heads.
+    */
+  private def decontamSpanCtes: String = s"""tk AS (SELECT doc_id, source, ${Sql.tokens("text")} AS ts
                   FROM documents),
       g AS (SELECT doc_id, source,
                    unnest(generate_series(1, greatest(len(ts) - ${DecontamL - 1}, 0)))
@@ -64,12 +54,110 @@ object CurationWave4Queries {
       is2 AS (SELECT doc_id, pos,
                      sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
                                     ROWS UNBOUNDED PRECEDING) AS island
-              FROM isl)
-      SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
-             CAST(max(pos) + ${DecontamL - 1} AS BIGINT) AS span_end,
-             CAST(max(pos) + $DecontamL - min(pos) AS BIGINT) AS span_len
-      FROM is2 GROUP BY doc_id, island
-      ORDER BY doc_id, span_start""")),
+              FROM isl),
+      spans AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                       CAST(max(pos) + ${DecontamL - 1} AS BIGINT) AS span_end,
+                       CAST(max(pos) + $DecontamL - min(pos) AS BIGINT) AS span_len
+                FROM is2 GROUP BY doc_id, island)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Suffix-window benchmark decontamination (round-12): maximal spans
+    // (≥ 12 tokens) of TRAINING docs (source ≠ src0) whose token windows
+    // also occur in the held-out eval source — the exact-extent form of
+    // the boolean 8-gram `decontamination` and the approximate
+    // `decontamination_fuzzy`. Engine: prefix-doubling window keys + a
+    // distinct over the eval side's keys + one semi-join (eval benchmarks
+    // broadcast at scale), then the gaps-and-islands span merge. Oracle:
+    // materialized 12-gram strings, the affordable sf0.01 form — label
+    // equality is exact, so both define the same covered set.
+    QueryDef("decontamination_suffix", (s, dir) =>
+      SuffixDedup.contaminationSpans(t("documents")(s, dir),
+        "doc_id", "text", col("source") === "src0", DecontamL)
+    , Some(s"""
+      WITH $decontamSpanCtes
+      SELECT doc_id, span_start, span_end, span_len
+      FROM spans ORDER BY doc_id, span_start""")),
+
+    // Decontamination APPLY step (round-12): per TRAINING doc, tokens
+    // before/after cutting the contaminated spans — what a curation run
+    // actually ships downstream of decontamination_suffix. Maximal
+    // spans are disjoint by construction, so contaminated = Σ span_len
+    // exactly; one grouped agg + a left join onto per-doc token counts.
+    QueryDef("decontamination_suffix_removal", (s, dir) => {
+      val docs = t("documents")(s, dir)
+      val spans = SuffixDedup.contaminationSpans(docs, "doc_id", "text",
+        col("source") === "src0", DecontamL)
+      val per = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_len")).as("removed"))
+      docs.where(col("source") =!= "src0")
+        .select(col("doc_id"),
+          size(graft.functions.TextAnalysisFns.tokens(col("text")))
+            .cast("long").as("n_tokens"))
+        .join(per, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("removed"), lit(0L)).as("contaminated_tokens"),
+          (col("n_tokens") - coalesce(col("removed"), lit(0L)))
+            .as("retained_tokens"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $decontamSpanCtes,
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(span_len) AS BIGINT) AS removed
+              FROM spans GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+             coalesce(per.n_spans, 0) AS n_spans,
+             coalesce(per.removed, 0) AS contaminated_tokens,
+             CAST(len(t.ts) - coalesce(per.removed, 0) AS BIGINT)
+               AS retained_tokens
+      FROM tk t LEFT JOIN per USING (doc_id)
+      WHERE t.source <> 'src0' ORDER BY t.doc_id""")),
+
+    // Contamination monitoring head: per training source, the share of
+    // docs and of tokens overlapping the eval benchmark — the dashboard
+    // number a data-governance pass tracks per feed. Integer counts to
+    // two final double divisions (portable-exact).
+    QueryDef("contamination_rate_by_source", (s, dir) => {
+      val docs = t("documents")(s, dir)
+      val spans = SuffixDedup.contaminationSpans(docs, "doc_id", "text",
+        col("source") === "src0", DecontamL)
+      val per = spans.groupBy(col("doc_id"))
+        .agg(sum(col("span_len")).as("removed"))
+      docs.where(col("source") =!= "src0")
+        .select(col("doc_id"), col("source"),
+          size(graft.functions.TextAnalysisFns.tokens(col("text")))
+            .cast("long").as("n_toks"))
+        .join(per, Seq("doc_id"), "left_outer")
+        .select(col("source"), col("n_toks"),
+          coalesce(col("removed"), lit(0L)).as("rem"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rem") > 0, 1L).otherwise(0L)).as("contaminated_docs"),
+          sum(col("rem")).as("__rt"), sum(col("n_toks")).as("__tt"))
+        .select(col("source"), col("n_docs"), col("contaminated_docs"),
+          (col("contaminated_docs").cast("double") /
+            col("n_docs").cast("double")).as("doc_rate"),
+          (col("__rt").cast("double") / col("__tt").cast("double"))
+            .as("token_share"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH $decontamSpanCtes,
+      per AS (SELECT doc_id, CAST(sum(span_len) AS BIGINT) AS removed
+              FROM spans GROUP BY doc_id),
+      d AS (SELECT t.doc_id, t.source, CAST(len(t.ts) AS BIGINT) AS n_toks,
+                   coalesce(per.removed, 0) AS rem
+            FROM tk t LEFT JOIN per USING (doc_id)
+            WHERE t.source <> 'src0')
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS contaminated_docs,
+             CAST(sum(CASE WHEN rem > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS doc_rate,
+             CAST(sum(rem) AS DOUBLE) / CAST(sum(n_toks) AS DOUBLE)
+               AS token_share
+      FROM d GROUP BY source ORDER BY source""")),
 
     // Maximal duplicate token spans (≥ 8 tokens, 1-based inclusive token
     // positions, within-doc AND cross-doc occurrences both count). The
