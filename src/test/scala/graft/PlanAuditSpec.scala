@@ -683,6 +683,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "suffix dedup must only use per-doc (gaps-and-islands) and per-range-partition windows")
   }
 
+  test("decontamination_suffix: equi-joins only — no cartesian, no nested loop, no partition-less window") {
+    // the eval-key semi-join must stay an equi-join (the benchmark side
+    // is the small side and broadcasts); the lead()-pairing windows are
+    // all per-doc or per-range-partition
+    val plan = planOf("decontamination_suffix")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"decontamination degenerated to all-pairs:\n${plan.take(800)}")
+    val unpartitioned = windowsOf("decontamination_suffix").filter(_.partitionSpec.isEmpty)
+    assert(unpartitioned.isEmpty,
+      "decontamination must only use per-doc and per-range-partition windows")
+  }
+
   test("dedup_embedding_lsh: bucket equi-join, never all-pairs, 2-column scan") {
     // the hyperplane-LSH scale path must pair rows ONLY through the
     // bucket equi-join — a cartesian or nested loop means the blocking
