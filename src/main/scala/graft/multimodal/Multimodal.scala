@@ -358,9 +358,10 @@ object Multimodal {
     *    `delayTime` (units of 10 ms; 0 → [[ZeroDelayFrameMs]]);
     *  - ISO BMFF (MP4/MOV): real frame timing parsed from the container
     *    boxes (`moov/trak/mdia/{mdhd,hdlr,minf/stbl/{stts,stco}}`) — see
-    *    [[mp4FrameIndex]]. Pixels stay honest-degrade (no H.264 decoder
-    *    in the JDK): [[decodeVideoFrame]] still returns None for MP4, so
-    *    downstream rows carry real `frame_ms`/duration with
+    *    [[mp4FrameIndex]]. Pixels decode through [[H264]] for
+    *    I_PCM-coded slices (round 12); entropy-coded residual slices
+    *    keep the honest degrade — [[decodeVideoFrame]] returns None for
+    *    those, so downstream rows carry real `frame_ms`/duration with
     *    `decoded=false` features.
     *
     * None when the payload is neither.
