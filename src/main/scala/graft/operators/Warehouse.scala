@@ -213,14 +213,37 @@ class Warehouse(spark: SparkSession, root: String) {
     * instead of UPDATED, leaving the old row stale. That is the standard
     * pruned-MERGE precondition (BigQuery/Delta demand the same predicate
     * guarantee from the caller).
+    *
+    * `validateKeys = true` ENFORCES that precondition: a key-projected
+    * semi-join of the staging keys against the pruned-OUT remainder of
+    * the target (one extra key-column scan — the cost whole-table merge
+    * pays on every run anyway) fails loudly on any key whose current row
+    * lives outside the staged partitions, so a contract violation
+    * surfaces in tests/backfills instead of as silent duplicate keys.
+    * Default off: the steady-state 6-hourly batch relies on the schema
+    * contract (partition column derived from an immutable field), and
+    * the validation scan is exactly the O(table) read the partition
+    * scoping exists to avoid.
     */
   def upsertPartitioned(name: String, staging: DataFrame, key: String,
                         updateCols: Seq[String],
-                        partitionCols: Seq[String]): Unit = synchronized {
+                        partitionCols: Seq[String],
+                        validateKeys: Boolean = false): Unit = synchronized {
     if (!exists(name)) overwritePartitioned(name, staging, partitionCols)
     else {
-      val slice = read(name)
-        .where(stagedPartitionPredicate(staging, partitionCols))
+      val pred = stagedPartitionPredicate(staging, partitionCols)
+      if (validateKeys) {
+        import org.apache.spark.sql.functions.col
+        val strays = read(name).where(!pred).select(col(key))
+          .join(staging.select(col(key)).distinct(), Seq(key), "left_semi")
+        val sample = strays.limit(5).collect().map(_.get(0)).mkString(", ")
+        require(sample.isEmpty,
+          s"upsertPartitioned('$name'): staging keys whose current rows " +
+            s"live OUTSIDE the staged partitions (sample: $sample) — " +
+            "the stable-key-partition contract is violated; use the " +
+            "whole-table upsert for this batch")
+      }
+      val slice = read(name).where(pred)
       val merged = Upsert.merge(slice, staging, key, updateCols)
       replacePartitions(name, merged, partitionCols)
     }

@@ -18,7 +18,7 @@ import graft.sources.{FixtureApi, HttpLiveAgentApi, LiveAgentApi, RateLimiter, T
   * Run: `sbt "runMain graft.serving.Serve"` (or with a port argument:
   * `"runMain graft.serving.Serve 8080"`). Configuration is environment
   * variables, mirroring the reference's dotenv settings
-  * (`config/settings.py`):
+  * (`config/config.py:10-12`):
   *
   *  - `GRAFT_SERVE_PORT` — listen port (default 8000; arg wins)
   *  - `GRAFT_WAREHOUSE_DIR` — parquet warehouse root

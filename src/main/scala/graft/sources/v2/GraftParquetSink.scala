@@ -21,8 +21,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 /** K1/K2 as a DataSource V2 WRITE path with a staged-commit protocol —
   * the mechanism that makes a distributed sink exactly-once under task
   * retries and speculative execution (the reference gets the same
-  * guarantee from BigQuery load jobs; see `core/BigQuery.py` staging +
-  * MERGE):
+  * guarantee from BigQuery load jobs; see the staging + MERGE helper
+  * `core/extract/helpers/extractor_bq_helpers.py:40-125`):
   *
   *  1. every task attempt writes its rows to
   *     `<path>/_staging_<jobId>/part-<partition>-<task>.parquet`;

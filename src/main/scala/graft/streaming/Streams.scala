@@ -650,6 +650,15 @@ object Streams {
                    threshold: Double = 0.5): Dataset[NearDupPair] = {
     import docsStream.sparkSession.implicits._
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // The band matcher's eviction is watermark-driven (TTLConfig.NONE +
+    // lazy per-band sweep); without an event-time watermark the sweep
+    // never arms and per-band state (full shingle arrays per doc) grows
+    // without bound, SILENTLY. Fail at build time instead.
+    require(!docsStream.isStreaming || docsStream.queryExecution.analyzed
+        .exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark]),
+      "nearDupPairs requires an event-time watermark on ts " +
+        "(docsStream.withWatermark(\"ts\", ...)) — it bounds band state")
     val rows = numHashes / bands
     val sh = docsStream.toDF()
       .withColumn("shingles", graft.functions.SimFns.wordShingles(

@@ -238,6 +238,33 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("Warehouse upsertPartitioned validateKeys: stable-key contract violation fails loudly, valid batch passes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wh-vk").toString
+    val wh = new Warehouse(spark, dir)
+    wh.overwritePartitioned("ev",
+      Seq(("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0))
+        .toDF("dt", "id", "v"), Seq("dt"))
+    // id=1 currently lives in dt=2024-01-01; a staging row claiming it in
+    // dt=2024-01-02 would silently duplicate the key — validation trips
+    val bad = Seq(("2024-01-02", 1L, 11.0)).toDF("dt", "id", "v")
+    val e = intercept[IllegalArgumentException] {
+      wh.upsertPartitioned("ev", bad, "id", Seq("v"), Seq("dt"),
+        validateKeys = true)
+    }
+    assert(e.getMessage.contains("OUTSIDE the staged partitions"))
+    // and the failed call left the table untouched (no partial snapshot)
+    assert(wh.read("ev").count() == 2)
+    // a contract-respecting batch passes WITH validation on
+    val good = Seq(("2024-01-02", 2L, 22.0), ("2024-01-02", 9L, 99.0))
+      .toDF("dt", "id", "v")
+    wh.upsertPartitioned("ev", good, "id", Seq("v"), Seq("dt"),
+      validateKeys = true)
+    val got = wh.read("ev").select("dt", "id", "v")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 22.0),
+      ("2024-01-02", 9L, 99.0)))
+  }
+
   // ---- A6 convo -----------------------------------------------------
 
   test("A6 conversation assembly: ordered, rendered, joined") {

@@ -390,6 +390,16 @@ class StreamingV2Spec extends AnyFunSuite {
     }
   }
 
+  test("nearDupPairs refuses a watermark-less stream (unbounded band state)") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Streams.DocFeed]
+    val e = intercept[IllegalArgumentException] {
+      Streams.nearDupPairs(mem.toDS(), shingleWords = 3,
+        numHashes = 8, bands = 4, threshold = 0.2)
+    }
+    assert(e.getMessage.contains("watermark"))
+  }
+
   test("Trigger.AvailableNow: drains a file source then self-terminates") {
     val dir = java.nio.file.Files.createTempDirectory("graft-avnow").toString
     Seq(
