@@ -42,6 +42,20 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
   /** §3.1 — tickets + messages: fetch window → transform → upsert tickets
     * → fetch/flatten messages → enrich → append messages.
     * `tsCols` are tz-normalized (F2); `custom_fields` normalized (F4).
+    *
+    * The tickets MERGE is PARTITION-SCOPED ([[Warehouse.upsertPartitioned]]
+    * over [[Pipelines.TicketsPartitionCol]] = day of `date_created`): a
+    * ticket's creation time is assigned once by the source system and never
+    * rewritten by the update path, so the stable-key-partition contract
+    * holds by construction, and the 6-hourly batch — the reference's
+    * most-executed MERGE (`extractor_bq_helpers.py:40-185` every 6 hours)
+    * — joins a few day-partitions against the batch instead of
+    * full-outer-joining the whole table: O(batch), not O(table), at 100 TB.
+    * `users` and `convo_analysis` stay whole-table ([[refreshUsers]],
+    * [[processConvos]]): a user row has no immutable time column (every
+    * field can mutate, ids arrive unordered), and convo re-analysis may
+    * update ANY historical ticket_id — neither satisfies the stable-key
+    * precondition, so scoping them would strand stale rows.
     */
   def processTickets(windowField: String, start: String, end: String,
                      runTs: java.sql.Timestamp,
@@ -55,7 +69,28 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
       t = t.withColumn(c, TimeFns.parseToManila(col(c)).cast("timestamp_ntz"))
     if (t.columns.contains("custom_fields"))
       t = t.withColumn("custom_fields", TextFns.singleElementOrNull(col("custom_fields")))
-    wh.upsert("tickets", t, "id", updateCols)
+    val standingCols =
+      if (wh.exists("tickets")) wh.read("tickets").columns.toSeq else Nil
+    if (t.columns.contains("date_created") &&
+        (standingCols.isEmpty || standingCols.contains("date_created"))) {
+      if (standingCols.nonEmpty &&
+          !standingCols.contains(Pipelines.TicketsPartitionCol)) {
+        // one-time layout migration of a pre-partitioning table: derive
+        // the day column for the standing rows and rewrite partitioned —
+        // the O(table) cost paid ONCE; every later batch is scoped
+        wh.overwritePartitioned("tickets",
+          wh.read("tickets").withColumn(Pipelines.TicketsPartitionCol,
+            to_date(col("date_created"))),
+          Seq(Pipelines.TicketsPartitionCol))
+      }
+      val staged = t.withColumn(Pipelines.TicketsPartitionCol,
+        to_date(col("date_created")))
+      wh.upsertPartitioned("tickets", staged, "id", updateCols,
+        Seq(Pipelines.TicketsPartitionCol))
+    } else
+      // degenerate feed or standing table without a creation time: no
+      // stable partition column exists, fall back to the whole-table merge
+      wh.upsert("tickets", t, "id", updateCols)
     t.count()
   }
 
@@ -224,6 +259,13 @@ final class Pipelines(spark: SparkSession, wh: Warehouse, api: LiveAgentApi,
 }
 
 object Pipelines {
+  /** Derived partition column of the warehouse `tickets` table: the DAY of
+    * `date_created`. Creation time is written once by the source system
+    * and never mutated, so a ticket's partition is stable for its key —
+    * the [[graft.operators.Warehouse.upsertPartitioned]] precondition.
+    */
+  val TicketsPartitionCol = "date_created_day"
+
   /** X4 runtime metrics, single-pass form: the reference logs row counts
     * and durations per route (`api/logs/Tracker.py:33-54`) with separate
     * COUNT queries; at scale a second pass over the input is a second

@@ -123,6 +123,71 @@ class PipelineSpec extends AnyFunSuite {
     assert(newK == 1 && updK == 1)
   }
 
+  test("§3.1 tickets MERGE is partition-scoped: untouched day-partitions carry over inode-identical; scan prunes; pre-partitioning table migrates once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipe-part").toString
+    val wh = new Warehouse(spark, dir)
+    val pcol = Pipelines.TicketsPartitionCol
+
+    // seed a LEGACY standing table the old whole-table path would have
+    // written: unpartitioned, no partition column — the migration probe
+    val legacyApi = new FixtureApi(Map("tickets" -> Seq(Seq(
+      """{"id":"T1","subject":"s1","tags":["a"],"date_created":"2024-01-01 02:00:00"}""",
+      """{"id":"T2","subject":"s2","tags":[],"date_created":"2024-01-02 03:00:00"}"""))))
+    val legacy = LiveAgentSource.processTickets(
+      LiveAgentSource.paginate(spark, legacyApi, "tickets"))
+    wh.overwrite("tickets", legacy)
+    assert(!wh.read("tickets").columns.contains(pcol))
+
+    // first lifecycle batch: migrates the layout once, then scopes
+    val p = new Pipelines(spark, wh, legacyApi, new MockLlmGateway)
+    p.processTickets("date_created", "2024-01-01", "2024-02-01",
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), Seq("subject", "tags"))
+    assert(wh.read("tickets").columns.contains(pcol))
+    assert(wh.read("tickets").count() == 2)
+    val snapBefore = wh.snapshots("tickets").last
+    val dayOf = wh.read("tickets").select(col("id"), col(pcol).cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(dayOf("T1") != dayOf("T2"), "fixture days must differ")
+
+    // second batch touches ONLY T2's day (an update + an insert that day)
+    val day2Api = new FixtureApi(Map("tickets" -> Seq(Seq(
+      """{"id":"T2","subject":"s2-upd","tags":["x"],"date_created":"2024-01-02 03:00:00"}""",
+      """{"id":"T9","subject":"s9","tags":[],"date_created":"2024-01-02 09:00:00"}"""))))
+    new Pipelines(spark, wh, day2Api, new MockLlmGateway)
+      .processTickets("date_created", "2024-01-01", "2024-02-01",
+        java.sql.Timestamp.valueOf("2024-02-02 00:00:00"), Seq("subject", "tags"))
+
+    // merge semantics held: T1 untouched, T2 updated, T9 inserted
+    val got = wh.read("tickets").select("id", "subject")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("T1" -> "s1", "T2" -> "s2-upd", "T9" -> "s9"))
+
+    // T1's day-partition carried over by HARDLINK (same inode — the
+    // whole-table path would have rewritten every row)
+    val snapAfter = wh.snapshots("tickets").last
+    assert(snapAfter != snapBefore)
+    val untouched = wh.dataFiles("tickets")
+      .filter(_.startsWith(s"$pcol=${dayOf("T1")}"))
+    assert(untouched.nonEmpty, "T1's partition must exist")
+    untouched.foreach { rel =>
+      assert(java.nio.file.Files.isSameFile(
+        java.nio.file.Paths.get(dir, "tickets", snapBefore, rel),
+        java.nio.file.Paths.get(dir, "tickets", snapAfter, rel)),
+        s"$rel was rewritten — the lifecycle merge is not partition-scoped")
+    }
+
+    // and the layout prunes: a day predicate reaches the scan as a
+    // PARTITION filter (directory pruning — what the scoped MERGE's
+    // target read rides on every batch)
+    val q = wh.read("tickets").where(col(pcol) === dayOf("T2"))
+    q.collect()
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      "day predicate must prune partitions on the tickets table")
+  }
+
   /** Driver-side API wrapper recording every endpoint hit — lets the specs
     * assert WHICH fetches happened (cache-miss discipline), not just the
     * resulting frames.
