@@ -329,4 +329,67 @@ object SuffixDedup {
       .join(evalKeys, Seq("__k")).select(col("doc_id"), col("pos"))
     spansFromCovered(covered, L)
   }
+
+  /** One decontamination run's full output set, sharing ONE suffix front.
+    *
+    * @param spans   exact leakage spans — [[contaminationSpans]]' schema
+    * @param perDoc  (doc_id, <groupCol>, n_tokens, n_spans,
+    *                contaminated_tokens) for every TRAINING doc
+    * @param removal the apply head (`decontamination_suffix_removal`'s
+    *                exact schema)
+    * @param rates   the governance head (`contamination_rate_by_source`'s
+    *                exact schema)
+    */
+  final case class DecontamBundle(spans: DataFrame, perDoc: DataFrame,
+                                  removal: DataFrame, rates: DataFrame)
+
+  /** End-to-end decontamination: compute the prefix-doubling span front
+    * ONCE and derive every head from it — the shape a real curation run
+    * takes. The standalone `decontamination_suffix` / `_removal` /
+    * `contamination_rate_by_source` queries each pay the full suffix
+    * pipeline (the right contract for independent queries); a pipeline
+    * run wants the spans `localCheckpoint`ed (pinned + lineage-truncated,
+    * like PageRank's iterations) and the cheap per-doc/per-source heads
+    * derived from the pinned frame. Each head is row-identical to its
+    * standalone query by construction — the specs pin that.
+    *
+    * `groupCol` names the training-feed grouping for the rates head (the
+    * reference corpus' `source`).
+    */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, isEval: Column, L: Int): DecontamBundle = {
+    val spans = contaminationSpans(docs, idCol, textCol, isEval, L)
+      .localCheckpoint()
+    val per = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("removed"))
+    // one row per training doc: bounded by the corpus' doc count, the
+    // frame every downstream head re-aggregates — pin it too
+    val perDoc = docs.where(!isEval)
+      .select(col(idCol).as("doc_id"), col(groupCol),
+        size(graft.functions.TextAnalysisFns.tokens(col(textCol)))
+          .cast("long").as("n_tokens"))
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col(groupCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("removed"), lit(0L)).as("contaminated_tokens"))
+      .localCheckpoint()
+    val removal = perDoc
+      .select(col("doc_id"), col("n_tokens"), col("n_spans"),
+        col("contaminated_tokens"),
+        (col("n_tokens") - col("contaminated_tokens")).as("retained_tokens"))
+      .orderBy(col("doc_id"))
+    val rates = perDoc.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated_tokens") > 0, 1L).otherwise(0L))
+          .as("contaminated_docs"),
+        sum(col("contaminated_tokens")).as("__rt"),
+        sum(col("n_tokens")).as("__tt"))
+      .select(col(groupCol), col("n_docs"), col("contaminated_docs"),
+        (col("contaminated_docs").cast("double") /
+          col("n_docs").cast("double")).as("doc_rate"),
+        (col("__rt").cast("double") / col("__tt").cast("double"))
+          .as("token_share"))
+      .orderBy(col(groupCol))
+    DecontamBundle(spans, perDoc, removal, rates)
+  }
 }

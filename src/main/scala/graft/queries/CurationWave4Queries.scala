@@ -159,6 +159,53 @@ object CurationWave4Queries {
                AS token_share
       FROM d GROUP BY source ORDER BY source""")),
 
+    // Composed decontamination run (round-13, VERDICT r12 ask #5): ONE
+    // suffix front feeds every head. The three standalone queries each
+    // pay the full prefix-doubling pipeline (correct for independent
+    // queries — they ARE independent); a real curation run computes the
+    // spans once (localCheckpoint — pinned and lineage-truncated) and
+    // derives the apply + governance heads from the pinned frame
+    // (SuffixDedup.decontaminate). Output: the per-doc apply row joined
+    // with its source's governance rates — every head's numbers in one
+    // frame. SuffixDedupSpec pins each bundled head row-identical to its
+    // standalone query.
+    QueryDef("pipeline_decontam_e2e", (s, dir) => {
+      val b = SuffixDedup.decontaminate(t("documents")(s, dir),
+        "doc_id", "text", "source", col("source") === "src0", DecontamL)
+      b.perDoc
+        .join(b.rates.select(col("source"),
+          col("doc_rate").as("src_doc_rate"),
+          col("token_share").as("src_token_share")), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("n_spans"), col("contaminated_tokens"),
+          (col("n_tokens") - col("contaminated_tokens"))
+            .as("retained_tokens"),
+          col("src_doc_rate"), col("src_token_share"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $decontamSpanCtes,
+      per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+                     CAST(sum(span_len) AS BIGINT) AS removed
+              FROM spans GROUP BY doc_id),
+      d AS (SELECT t.doc_id, t.source, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+                   coalesce(per.n_spans, 0) AS n_spans,
+                   coalesce(per.removed, 0) AS contaminated_tokens
+            FROM tk t LEFT JOIN per USING (doc_id)
+            WHERE t.source <> 'src0'),
+      r AS (SELECT source,
+                   CAST(sum(CASE WHEN contaminated_tokens > 0
+                                 THEN 1 ELSE 0 END) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS src_doc_rate,
+                   CAST(sum(contaminated_tokens) AS DOUBLE)
+                     / CAST(sum(n_tokens) AS DOUBLE) AS src_token_share
+            FROM d GROUP BY source)
+      SELECT d.doc_id, d.source, d.n_tokens, d.n_spans,
+             d.contaminated_tokens,
+             CAST(d.n_tokens - d.contaminated_tokens AS BIGINT)
+               AS retained_tokens,
+             r.src_doc_rate, r.src_token_share
+      FROM d JOIN r USING (source) ORDER BY d.doc_id""")),
+
     // Maximal duplicate token spans (≥ 8 tokens, 1-based inclusive token
     // positions, within-doc AND cross-doc occurrences both count). The
     // engine never materializes an L-gram: labels double in width through

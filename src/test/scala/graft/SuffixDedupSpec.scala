@@ -39,6 +39,31 @@ class SuffixDedupSpec extends AnyFunSuite {
     assert(got == Seq((2L, 2L, 7L, 6L)), got.toString)
   }
 
+  test("decontaminate bundle: one checkpointed suffix front; every head row-identical to its standalone query on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    val defs = graft.queries.CurationWave4Queries.defs
+      .map(d => d.name -> d).toMap
+    def run(name: String) = defs(name).fn(spark, dir)
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val b = SuffixDedup.decontaminate(docs, "doc_id", "text", "source",
+      col("source") === "src0", 12)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(rows(b.spans) == rows(run("decontamination_suffix")),
+      "bundled spans diverge from the standalone query")
+    assert(rows(b.removal) == rows(run("decontamination_suffix_removal")),
+      "bundled removal head diverges from the standalone query")
+    assert(rows(b.rates) == rows(run("contamination_rate_by_source")),
+      "bundled rates head diverges from the standalone query")
+    // the bundle's spans frame is PINNED (checkpointed): its logical plan
+    // carries no scan of the corpus — reuse across heads cannot recompute
+    // the prefix-doubling front
+    val leaves = b.spans.queryExecution.analyzed.collectLeaves()
+    assert(leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      s"spans must be checkpoint-backed, got: $leaves")
+  }
+
   test("a planted cross-doc duplicate span is found with exact 1-based boundaries") {
     // docs 1 and 2 share tokens 4..15 of doc 1 (12 tokens, >= L) and
     // nothing else; doc 3 is all-unique filler
