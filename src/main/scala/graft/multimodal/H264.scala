@@ -2,25 +2,30 @@ package graft.multimodal
 
 /** Pure-JVM H.264 (ISO/IEC 14496-10) I-frame PIXEL decode for MP4
   * payloads — the real-decode upgrade of the container-metadata-only MP4
-  * path (reference behavior: `core/media/video_features.py` samples
-  * frames through a native decoder; SURVEY.md §2.7 multimodal row).
+  * path. The reference pipeline has NO video handling; this is a
+  * framework-native capability of the multimodal column family (opaque
+  * binary payloads + typed decode), not a reference-behavior port.
   *
   * Honest scope, stated in the schema rather than faked: the decoder
   * implements the bitstream layers in full — MP4 sample demux (stsd/avcC
   * + stsc/stsz/stco chunk-offset mapping), NAL length-prefix framing,
   * RBSP emulation-prevention unescape, exp-Golomb SPS/PPS/slice-header
-  * parsing — and PIXEL reconstruction for I_PCM macroblocks (raw-sample
-  * coding, a mandatory baseline-profile coding mode every conformant
-  * encoder/decoder supports). Entropy-coded residual macroblocks (CAVLC/
-  * CABAC intra prediction) are NOT reconstructed: a slice containing them
-  * returns None and the row degrades to `decoded=false` exactly as
-  * before. This boundary is a documented property of [[decodeFrame]],
-  * not a silent wrong answer — features are only ever emitted from real
-  * pixels.
+  * parsing — and PIXEL reconstruction for (a) I_PCM macroblocks
+  * (raw-sample coding) and (b) CAVLC-entropy Intra_16x16 macroblocks:
+  * all four §8.3.3 prediction modes, CAVLC residual decoding
+  * ([[Cavlc]]), luma-DC Hadamard + scaling (§8.5.10), AC scaling
+  * (§8.5.12.1), and the 4x4 core inverse transform (§8.5.12.2) — the
+  * coding real baseline-profile keyframes use. Still NOT reconstructed
+  * (a slice containing them returns None and the row degrades to
+  * `decoded=false`): CABAC entropy, I_NxN (4x4-predicted) macroblocks,
+  * field coding, multi-slice-group streams. This boundary is a
+  * documented property of [[decodeFrame]], not a silent wrong answer —
+  * features are only ever emitted from real pixels.
   *
   * Everything here is from the public spec: NAL syntax (§7.3.1), SPS
   * (§7.3.2.1), PPS (§7.3.2.2), slice header (§7.3.3), macroblock layer
-  * with `mb_type` 25 = I_PCM (§7.3.5, Table 7-11), and the ISO BMFF
+  * (§7.3.5, Table 7-11), CAVLC (§9.2, tables in [[Cavlc]]), transforms
+  * and scaling (§8.5), intra prediction (§8.3.3), and the ISO BMFF
   * sample-table boxes (ISO/IEC 14496-12 §8.5–8.7).
   */
 object H264 {
@@ -28,7 +33,7 @@ object H264 {
   // ---- RBSP bit reader -------------------------------------------------
 
   /** MSB-first bit reader over an RBSP (already emulation-unescaped). */
-  private final class BitReader(b: Array[Byte]) {
+  private[graft] final class BitReader(b: Array[Byte]) {
     private var pos = 0 // bit position
     def remaining: Int = b.length * 8 - pos
     def u1(): Int = {
@@ -96,13 +101,23 @@ object H264 {
       frameMbsOnly: Boolean,
       cropL: Int, cropR: Int, cropT: Int, cropB: Int,
       separateColourPlane: Boolean, chromaArrayType: Int) {
-    def width: Int = widthMbs * 16 - 2 * (cropL + cropR)
-    def height: Int = heightMbs * 16 - 2 * (cropT + cropB)
+    /** Frame-cropping units per §7.4.2.1.1: CropUnitX = SubWidthC for
+      * chroma formats 1/2 (both subsample horizontally ×2) and 1 for
+      * monochrome / 4:4:4; CropUnitY = SubHeightC · (2 − frame_mbs_only)
+      * with SubHeightC = 2 only for 4:2:0. Hardcoding the 4:2:0 ×2 for
+      * every format would shift-crop monochrome/4:2:2/4:4:4 streams.
+      */
+    def cropUnitX: Int = if (chromaArrayType == 1 || chromaArrayType == 2) 2 else 1
+    def cropUnitY: Int =
+      (if (chromaArrayType == 1) 2 else 1) * (if (frameMbsOnly) 1 else 2)
+    def width: Int = widthMbs * 16 - cropUnitX * (cropL + cropR)
+    def height: Int = heightMbs * 16 - cropUnitY * (cropT + cropB)
   }
 
   private[multimodal] final case class Pps(
       spsId: Int, cabac: Boolean, bottomFieldPocPresent: Boolean,
-      deblockingPresent: Boolean, redundantPresent: Boolean)
+      deblockingPresent: Boolean, redundantPresent: Boolean,
+      picInitQp: Int)
 
   private[multimodal] def parseSps(rbsp: Array[Byte]): Sps = {
     val r = new BitReader(rbsp)
@@ -175,22 +190,177 @@ object H264 {
     r.ue(); r.ue() // num_ref_idx_l0/l1_default_active_minus1
     r.u1() // weighted_pred
     r.u(2) // weighted_bipred_idc
-    r.se() // pic_init_qp_minus26
+    val picInitQp = 26 + r.se() // pic_init_qp_minus26
     r.se() // pic_init_qs_minus26
     r.se() // chroma_qp_index_offset
     val deblocking = r.u1() == 1
     r.u1() // constrained_intra_pred
     val redundant = r.u1() == 1
-    Pps(spsId, cabac, bottomPoc, deblocking, redundant)
+    Pps(spsId, cabac, bottomPoc, deblocking, redundant, picInitQp)
   }
 
-  // ---- slice decode (I_PCM macroblocks) ----------------------------------
+  // ---- Intra16x16 + CAVLC decode machinery -------------------------------
 
-  /** Decode an IDR/I slice whose macroblocks are all I_PCM into the luma
-    * plane (cropped). None for any entropy-coded macroblock, field
-    * coding, or multi-slice-group stream — the honest-degrade boundary.
+  /** 4x4 zigzag scan (§8.5.6): zigzag index k → raster position. */
+  private val ZigZag4x4 =
+    Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+
+  /** normAdjust4x4 (§8.5.9), rows qP % 6, columns by position class:
+    * 0 = both-even positions, 1 = both-odd, 2 = mixed.
     */
-  private[multimodal] def decodeIPcmSlice(sps: Sps, pps: Pps,
+  private val NormAdjust = Array(
+    Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+    Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+
+  /** LevelScale4x4(m, i, j) with the FLAT (default) weightScale of 16 —
+    * baseline profile has no scaling matrices.
+    */
+  private def levelScale(m: Int, i: Int, j: Int): Int = {
+    val cls = if (i % 2 == 0 && j % 2 == 0) 0
+              else if (i % 2 == 1 && j % 2 == 1) 1 else 2
+    16 * NormAdjust(m)(cls)
+  }
+
+  /** Luma-DC inverse Hadamard (§8.5.10): f = H · c · H with the ±1
+    * matrix; exact integer butterflies.
+    */
+  private def inverseHadamard4(c: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    val f = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val o = 4 * i
+      val a = c(o) + c(o + 2); val b = c(o) - c(o + 2)
+      val d = c(o + 1) - c(o + 3); val e = c(o + 1) + c(o + 3)
+      t(o) = a + e; t(o + 1) = b + d; t(o + 2) = b - d; t(o + 3) = a - e
+      i += 1
+    }
+    var j = 0
+    while (j < 4) {
+      val a = t(j) + t(8 + j); val b = t(j) - t(8 + j)
+      val d = t(4 + j) - t(12 + j); val e = t(4 + j) + t(12 + j)
+      f(j) = a + e; f(4 + j) = b + d; f(8 + j) = b - d; f(12 + j) = a - e
+      j += 1
+    }
+    f
+  }
+
+  /** Luma-DC scaling (§8.5.10, 8-bit): applied AFTER the Hadamard. */
+  private def scaleDc(f: Int, qp: Int): Int = {
+    val ls = levelScale(qp % 6, 0, 0)
+    if (qp >= 36) (f * ls) << (qp / 6 - 6)
+    else (f * ls + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+  }
+
+  /** AC coefficient scaling (§8.5.12.1, 8-bit, flat list). */
+  private def scaleAc(c: Int, qp: Int, i: Int, j: Int): Int = {
+    val ls = levelScale(qp % 6, i, j)
+    if (qp >= 24) (c * ls) << (qp / 6 - 4)
+    else (c * ls + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+  }
+
+  /** 4x4 core inverse transform (§8.5.12.2) including the final
+    * (x + 32) >> 6 rounding; input d in raster order.
+    */
+  private def inverseTransform4x4(d: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    val out = new Array[Int](16)
+    var i = 0
+    while (i < 4) {
+      val o = 4 * i
+      val e0 = d(o) + d(o + 2); val e1 = d(o) - d(o + 2)
+      val e2 = (d(o + 1) >> 1) - d(o + 3); val e3 = d(o + 1) + (d(o + 3) >> 1)
+      t(o) = e0 + e3; t(o + 1) = e1 + e2; t(o + 2) = e1 - e2; t(o + 3) = e0 - e3
+      i += 1
+    }
+    var j = 0
+    while (j < 4) {
+      val g0 = t(j) + t(8 + j); val g1 = t(j) - t(8 + j)
+      val g2 = (t(4 + j) >> 1) - t(12 + j); val g3 = t(4 + j) + (t(12 + j) >> 1)
+      out(j) = (g0 + g3 + 32) >> 6
+      out(4 + j) = (g1 + g2 + 32) >> 6
+      out(8 + j) = (g1 - g2 + 32) >> 6
+      out(12 + j) = (g0 - g3 + 32) >> 6
+      j += 1
+    }
+    out
+  }
+
+  @inline private def clip1(v: Int): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v
+
+  /** Intra_16x16 luma prediction (§8.3.3): 0 vertical, 1 horizontal,
+    * 2 DC (adaptive to availability), 3 plane. None when the mode
+    * references an unavailable neighbor (invalid bitstream).
+    */
+  private def predict16x16(mode: Int, luma: Array[Byte], wPix: Int,
+      mbX: Int, mbY: Int, leftAvail: Boolean,
+      topAvail: Boolean): Option[Array[Int]] = {
+    val pred = new Array[Int](256)
+    def top(x: Int) = luma((mbY - 1) * wPix + mbX + x) & 0xFF
+    def left(y: Int) = luma((mbY + y) * wPix + mbX - 1) & 0xFF
+    def corner = luma((mbY - 1) * wPix + mbX - 1) & 0xFF
+    mode match {
+      case 0 =>
+        if (!topAvail) return None
+        var y = 0
+        while (y < 16) { var x = 0
+          while (x < 16) { pred(y * 16 + x) = top(x); x += 1 }; y += 1 }
+      case 1 =>
+        if (!leftAvail) return None
+        var y = 0
+        while (y < 16) { val v = left(y); var x = 0
+          while (x < 16) { pred(y * 16 + x) = v; x += 1 }; y += 1 }
+      case 2 =>
+        val v =
+          if (topAvail && leftAvail)
+            ((0 until 16).map(top).sum + (0 until 16).map(left).sum + 16) >> 5
+          else if (topAvail) ((0 until 16).map(top).sum + 8) >> 4
+          else if (leftAvail) ((0 until 16).map(left).sum + 8) >> 4
+          else 128
+        java.util.Arrays.fill(pred, v)
+      case 3 =>
+        if (!topAvail || !leftAvail) return None
+        val h = (0 until 8).map(x =>
+          (x + 1) * (top(8 + x) - (if (x == 7) corner else top(6 - x)))).sum
+        val v = (0 until 8).map(y =>
+          (y + 1) * (left(8 + y) - (if (y == 7) corner else left(6 - y)))).sum
+        val a = 16 * (left(15) + top(15))
+        val b = (5 * h + 32) >> 6
+        val c = (5 * v + 32) >> 6
+        var y = 0
+        while (y < 16) { var x = 0
+          while (x < 16) {
+            pred(y * 16 + x) = clip1((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
+            x += 1 }
+          y += 1 }
+      case _ => return None
+    }
+    Some(pred)
+  }
+
+  /** nC for CAVLC coeff_token selection (§9.2.1): mean of the available
+    * left/top neighbor blocks' TotalCoeff (grid value < 0 ⇒ unavailable).
+    */
+  private def ncOf(grid: Array[Int], stride: Int, gx: Int, gy: Int): Int = {
+    val nA = if (gx > 0) grid(gy * stride + gx - 1) else -1
+    val nB = if (gy > 0) grid((gy - 1) * stride + gx) else -1
+    if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+    else if (nA >= 0) nA
+    else if (nB >= 0) nB
+    else 0
+  }
+
+  // ---- slice decode (I_PCM + CAVLC Intra_16x16 macroblocks) --------------
+
+  /** Decode an IDR/I slice into the luma plane (cropped). Real pixels for
+    * I_PCM macroblocks AND CAVLC-entropy Intra_16x16 macroblocks (all
+    * four prediction modes, full residual reconstruction) — the coding
+    * real baseline-profile keyframes use. None for CABAC, I_NxN
+    * macroblocks, field coding, or multi-slice-group streams — the
+    * honest-degrade boundary.
+    */
+  private[multimodal] def decodeISlice(sps: Sps, pps: Pps,
       nal: Array[Byte], nalType: Int): Option[(Int, Int, Array[Byte])] = {
     if (pps.cabac || !sps.frameMbsOnly || sps.separateColourPlane) return None
     try {
@@ -207,53 +377,164 @@ object H264 {
         if (pps.bottomFieldPocPresent) r.se()
       } else if (sps.pocType == 1) return None // unsupported in this path
       if (pps.redundantPresent) r.ue()
-      // I slice: no ref-pic-list syntax. dec_ref_pic_marking:
+      // I slice: no ref-pic-list syntax. dec_ref_pic_marking is present
+      // ONLY for reference pictures (nal_ref_idc != 0, §7.3.3) — parsing
+      // it unconditionally phase-shifts a non-reference I slice.
+      val refIdc = (nal(0) >> 5) & 3
       if (nalType == 5) { r.u1(); r.u1() }
-      else if (r.u1() == 1) return None // adaptive marking unsupported
-      r.se() // slice_qp_delta
+      else if (refIdc != 0 && r.u1() == 1)
+        return None // adaptive marking unsupported
+      var qpY = pps.picInitQp + r.se() // slice_qp_delta
+      if (qpY < 0 || qpY > 51) return None
       if (pps.deblockingPresent) {
         val idc = r.ue()
         if (idc != 1) { r.se(); r.se() }
       }
       // slice data: raster-scan macroblocks, CAVLC entropy (cabac==false)
-      val wPix = sps.widthMbs * 16
-      val luma = new Array[Byte](wPix * sps.heightMbs * 16)
-      val nMbs = sps.widthMbs * sps.heightMbs
+      val wMbs = sps.widthMbs
+      val hMbs = sps.heightMbs
+      val wPix = wMbs * 16
+      val luma = new Array[Byte](wPix * hMbs * 16)
+      // per-4x4-block TotalCoeff for nC prediction (-1 = unavailable)
+      val lumaNc = Array.fill(hMbs * 4 * wMbs * 4)(-1)
+      val chromaNc = Array.fill(2)(Array.fill(hMbs * 2 * wMbs * 2)(-1))
+      val nMbs = wMbs * hMbs
       var mb = 0
       while (mb < nMbs) {
+        val mbCol = mb % wMbs
+        val mbRow = mb / wMbs
+        val mbX = mbCol * 16
+        val mbY = mbRow * 16
         val mbType = r.ue()
-        if (mbType != 25) return None // only I_PCM carries raw pixels
-        r.byteAlign() // pcm_alignment_zero_bit(s)
-        val mbX = (mb % sps.widthMbs) * 16
-        val mbY = (mb / sps.widthMbs) * 16
-        var y = 0
-        while (y < 16) {
-          var x = 0
-          while (x < 16) {
-            luma((mbY + y) * wPix + mbX + x) = r.alignedByte().toByte
-            x += 1
+        if (mbType == 25) {
+          // ---- I_PCM: raw samples (§7.3.5, Table 7-11 mb_type 25)
+          r.byteAlign() // pcm_alignment_zero_bit(s)
+          var y = 0
+          while (y < 16) {
+            var x = 0
+            while (x < 16) {
+              luma((mbY + y) * wPix + mbX + x) = r.alignedByte().toByte
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        // chroma samples (4:2:0 ⇒ 2 × 8×8; 4:2:2 ⇒ 2 × 8×16; none for
-        // monochrome) — read and discard, features are luminance-only
-        val chromaSamples = sps.chromaArrayType match {
-          case 0 => 0
-          case 1 => 2 * 64
-          case 2 => 2 * 128
-          case _ => 2 * 256
-        }
-        var c = 0
-        while (c < chromaSamples) { r.alignedByte(); c += 1 }
+          // chroma samples (4:2:0 ⇒ 2 × 8×8; 4:2:2 ⇒ 2 × 8×16; none for
+          // monochrome) — read and discard, features are luminance-only
+          val chromaSamples = sps.chromaArrayType match {
+            case 0 => 0
+            case 1 => 2 * 64
+            case 2 => 2 * 128
+            case _ => 2 * 256
+          }
+          var c = 0
+          while (c < chromaSamples) { r.alignedByte(); c += 1 }
+          // nC bookkeeping: I_PCM neighbors count 16 (§9.2.1)
+          var by = 0
+          while (by < 4) { var bx = 0
+            while (bx < 4) {
+              lumaNc((mbRow * 4 + by) * wMbs * 4 + mbCol * 4 + bx) = 16
+              bx += 1 }
+            by += 1 }
+          var cc = 0
+          while (cc < 2) { var cb = 0
+            while (cb < 4) {
+              chromaNc(cc)((mbRow * 2 + (cb >> 1)) * wMbs * 2 +
+                mbCol * 2 + (cb & 1)) = 16
+              cb += 1 }
+            cc += 1 }
+        } else if (mbType >= 1 && mbType <= 24) {
+          // ---- Intra_16x16 (Table 7-11): mb_type−1 packs the prediction
+          // mode, CodedBlockPatternChroma, and CodedBlockPatternLuma
+          if (sps.chromaArrayType != 1)
+            return None // CAVLC chroma-residual parse is 4:2:0-only here
+          val m = mbType - 1
+          val predMode = m % 4
+          val cbpChroma = (m / 4) % 3
+          val acCoded = m >= 12 // CodedBlockPatternLuma 15 vs 0
+          if (r.ue() > 3) return None // intra_chroma_pred_mode
+          qpY = (qpY + r.se() + 52) % 52 // mb_qp_delta (always present)
+          // luma DC block: nC as for luma4x4BlkIdx 0 (§9.2.1); its
+          // TotalCoeff does NOT enter the nC grid (AC totals do)
+          val dcNc = ncOf(lumaNc, wMbs * 4, mbCol * 4, mbRow * 4)
+          val dcBlk = Cavlc.readBlock(r, dcNc, 16)
+          val dcC = new Array[Int](16)
+          var k = 0
+          while (k < 16) { dcC(ZigZag4x4(k)) = dcBlk.levels(k); k += 1 }
+          val dc = inverseHadamard4(dcC).map(scaleDc(_, qpY))
+          val pred = predict16x16(predMode, luma, wPix, mbX, mbY,
+            mbCol > 0, mbRow > 0).getOrElse(return None)
+          var blk = 0
+          while (blk < 16) {
+            // luma4x4BlkIdx Z-order → spatial 4x4-block coords (§6.4.3)
+            val bx = ((blk >> 2) & 1) * 2 + (blk & 1)
+            val by = ((blk >> 2) >> 1) * 2 + ((blk >> 1) & 1)
+            val gx = mbCol * 4 + bx
+            val gy = mbRow * 4 + by
+            val d = new Array[Int](16)
+            if (acCoded) {
+              val nc = ncOf(lumaNc, wMbs * 4, gx, gy)
+              val acBlk = Cavlc.readBlock(r, nc, 15)
+              lumaNc(gy * wMbs * 4 + gx) = acBlk.totalCoeff
+              var kk = 1
+              while (kk < 16) {
+                val lev = acBlk.levels(kk - 1)
+                if (lev != 0) {
+                  val pos = ZigZag4x4(kk)
+                  d(pos) = scaleAc(lev, qpY, pos / 4, pos % 4)
+                }
+                kk += 1
+              }
+            } else lumaNc(gy * wMbs * 4 + gx) = 0
+            d(0) = dc(by * 4 + bx)
+            val res = inverseTransform4x4(d)
+            var yy = 0
+            while (yy < 4) {
+              var xx = 0
+              while (xx < 4) {
+                val px = bx * 4 + xx
+                val py = by * 4 + yy
+                luma((mbY + py) * wPix + mbX + px) =
+                  clip1(pred(py * 16 + px) + res(yy * 4 + xx)).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            blk += 1
+          }
+          // chroma residual (§7.3.5.3.3): parsed to stay bit-synced —
+          // features are luminance-only, so values are discarded but the
+          // nC grid must track TotalCoeff for later macroblocks
+          if (cbpChroma > 0) {
+            var c = 0
+            while (c < 2) { Cavlc.readBlock(r, -1, 4); c += 1 } // chroma DC
+          }
+          var c = 0
+          while (c < 2) {
+            var cb = 0
+            while (cb < 4) {
+              val cgx = mbCol * 2 + (cb & 1)
+              val cgy = mbRow * 2 + (cb >> 1)
+              chromaNc(c)(cgy * wMbs * 2 + cgx) =
+                if (cbpChroma == 2) {
+                  val nc = ncOf(chromaNc(c), wMbs * 2, cgx, cgy)
+                  Cavlc.readBlock(r, nc, 15).totalCoeff
+                } else 0
+              cb += 1
+            }
+            c += 1
+          }
+        } else
+          return None // I_NxN (CAVLC 4x4 intra) not reconstructed yet
         mb += 1
       }
-      // apply frame cropping (4:2:0 crop units: 2 px per unit)
+      // apply frame cropping in the SPS's own crop units (§7.4.2.1.1)
       val (w, h) = (sps.width, sps.height)
       if (w <= 0 || h <= 0) return None
       val out = new Array[Byte](w * h)
       var y = 0
       while (y < h) {
-        System.arraycopy(luma, (y + 2 * sps.cropT) * wPix + 2 * sps.cropL,
+        System.arraycopy(luma,
+          (y + sps.cropUnitY * sps.cropT) * wPix + sps.cropUnitX * sps.cropL,
           out, y * w, w)
         y += 1
       }
@@ -404,7 +685,7 @@ object H264 {
           case 7 => sps = parseSps(rbspOf(nal, 1, nal.length))
           case 8 => pps = parsePps(rbspOf(nal, 1, nal.length))
           case 5 | 1 =>
-            return decodeIPcmSlice(sps, pps, nal, nalType)
+            return decodeISlice(sps, pps, nal, nalType)
           case _ => ()
         }
         off = ne

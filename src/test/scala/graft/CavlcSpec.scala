@@ -1,0 +1,299 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.multimodal.{Cavlc, H264}
+
+/** CAVLC + Intra_16x16 decode laws. The container ships no independent
+  * H.264 encoder, so the suite pins everything pinnable without one:
+  * structural table laws (prefix-free, complete, ≤16 bit), per-codeword
+  * round-trips, the PUBLISHED textbook worked example of a CAVLC block
+  * decode (an external golden vector: TotalCoeff 5, T1s 3, total_zeros 3,
+  * 24-bit stream), and full-frame reconstruction pinned against an
+  * INDEPENDENT second transcription of the spec math (2-D matrix loops
+  * here vs the engine's flat-array butterflies).
+  */
+class CavlcSpec extends AnyFunSuite {
+
+  private def reader(bits: String): H264.BitReader = {
+    val padded = bits + "1" + "0" * ((8 - (bits.length + 1) % 8) % 8)
+    new H264.BitReader(
+      padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray)
+  }
+
+  private def lumaVlcs = Seq(
+    "coeff_token nC<2" -> Cavlc.CoeffToken0,
+    "coeff_token 2<=nC<4" -> Cavlc.CoeffToken1,
+    "coeff_token 4<=nC<8" -> Cavlc.CoeffToken2)
+
+  private def allVlcs: Seq[(String, Cavlc.Vlc)] =
+    lumaVlcs ++ Seq("coeff_token chromaDC" -> Cavlc.CoeffTokenChromaDc) ++
+      (1 to 15).map(i => s"total_zeros[$i]" -> Cavlc.TotalZeros4x4(i)) ++
+      (1 to 3).map(i => s"total_zeros_cdc[$i]" -> Cavlc.TotalZerosChromaDc(i)) ++
+      (1 to 7).map(i => s"run_before[$i]" -> Cavlc.RunBefore(i))
+
+  test("every VLC table is prefix-free, complete, and <= 16 bits") {
+    for ((name, vlc) <- allVlcs) {
+      val codes = vlc.byCode.keys.toSeq
+      assert(codes.forall(_.length <= 16), s"$name has an over-long code")
+      for (a <- codes; b <- codes if a != b)
+        assert(!b.startsWith(a), s"$name: '$a' is a prefix of '$b'")
+    }
+    // completeness: coeff_token tables carry every legal (T1, TC) pair
+    for ((name, vlc) <- lumaVlcs) {
+      val want = (for (tc <- 0 to 16; t1 <- 0 to math.min(3, tc))
+        yield Cavlc.token(t1, tc)).toSet
+      assert(vlc.bySymbol.keySet == want, s"$name incomplete")
+    }
+    assert(Cavlc.CoeffTokenChromaDc.bySymbol.keySet ==
+      (for (tc <- 0 to 4; t1 <- 0 to math.min(3, tc))
+        yield Cavlc.token(t1, tc)).toSet)
+    // total_zeros[tc] codes totalZeros 0..16-tc; run_before[zl<=6] codes
+    // runs 0..zl; the >6 table extends to run 14
+    for (tc <- 1 to 15)
+      assert(Cavlc.TotalZeros4x4(tc).bySymbol.keySet == (0 to 16 - tc).toSet,
+        s"total_zeros[$tc]")
+    for (tc <- 1 to 3)
+      assert(Cavlc.TotalZerosChromaDc(tc).bySymbol.keySet == (0 to 4 - tc).toSet)
+    for (zl <- 1 to 6)
+      assert(Cavlc.RunBefore(zl).bySymbol.keySet == (0 to zl).toSet)
+    assert(Cavlc.RunBefore(7).bySymbol.keySet == (0 to 14).toSet)
+  }
+
+  test("every codeword round-trips through the bit reader") {
+    for ((name, vlc) <- allVlcs; (sym, code) <- vlc.bySymbol)
+      assert(vlc.read(reader(code)) == sym, s"$name symbol $sym")
+    // the nC >= 8 fixed-length form round-trips every legal pair
+    for (tc <- 0 to 16; t1 <- 0 to math.min(3, tc)
+         if tc > 0 || t1 == 0) {
+      val r = reader(Cavlc.writeCoeffTokenFlc(t1, tc))
+      assert(Cavlc.readCoeffTokenFlc(r) == Cavlc.token(t1, tc))
+    }
+  }
+
+  test("published CAVLC worked example decodes bit-exactly") {
+    // The standard textbook vector (Richardson, 'H.264 and MPEG-4 Video
+    // Compression', CAVLC example): 4x4 block with zigzag coefficients
+    // 0,3,0,1,-1,-1,0,1,0... -> TotalCoeff 5, TrailingOnes 3,
+    // total_zeros 3, encoded (nC = 0) as the 24-bit stream below.
+    val blk = Cavlc.readBlock(reader("000010001110010111101101"), 0, 16)
+    assert(blk.totalCoeff == 5)
+    assert(blk.levels.toSeq ==
+      Seq(0, 3, 0, 1, -1, -1, 0, 1, 0, 0, 0, 0, 0, 0, 0, 0))
+  }
+
+  // ---- independent reconstruction (second transcription of §8.3.3/§8.5) --
+
+  private object Ref {
+    val zig = Array(0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
+    private val na = Array(
+      Array(10, 16, 13), Array(11, 18, 14), Array(13, 20, 16),
+      Array(14, 23, 18), Array(16, 25, 20), Array(18, 29, 23))
+    def ls(m: Int, i: Int, j: Int): Int = {
+      val c = if (i % 2 == 0 && j % 2 == 0) 0
+              else if (i % 2 == 1 && j % 2 == 1) 1 else 2
+      16 * na(m)(c)
+    }
+    def clip(v: Int): Int = math.max(0, math.min(255, v))
+
+    def hadamard(c: Array[Array[Int]]): Array[Array[Int]] = {
+      val h = Array(Array(1, 1, 1, 1), Array(1, 1, -1, -1),
+        Array(1, -1, -1, 1), Array(1, -1, 1, -1))
+      val t = Array.ofDim[Int](4, 4)
+      for (i <- 0 until 4; j <- 0 until 4)
+        t(i)(j) = (0 until 4).map(k => h(i)(k) * c(k)(j)).sum
+      val f = Array.ofDim[Int](4, 4)
+      for (i <- 0 until 4; j <- 0 until 4)
+        f(i)(j) = (0 until 4).map(k => t(i)(k) * h(k)(j)).sum
+      f
+    }
+
+    def dcOut(f: Int, qp: Int): Int =
+      if (qp >= 36) (f * ls(qp % 6, 0, 0)) << (qp / 6 - 6)
+      else (f * ls(qp % 6, 0, 0) + (1 << (5 - qp / 6))) >> (6 - qp / 6)
+
+    def acOut(c: Int, qp: Int, i: Int, j: Int): Int =
+      if (qp >= 24) (c * ls(qp % 6, i, j)) << (qp / 6 - 4)
+      else (c * ls(qp % 6, i, j) + (1 << (3 - qp / 6))) >> (4 - qp / 6)
+
+    def idct(d: Array[Array[Int]]): Array[Array[Int]] = {
+      val e = Array.ofDim[Int](4, 4)
+      for (i <- 0 until 4) {
+        e(i)(0) = d(i)(0) + d(i)(2)
+        e(i)(1) = d(i)(0) - d(i)(2)
+        e(i)(2) = (d(i)(1) >> 1) - d(i)(3)
+        e(i)(3) = d(i)(1) + (d(i)(3) >> 1)
+      }
+      val f = Array.ofDim[Int](4, 4)
+      for (i <- 0 until 4) {
+        f(i)(0) = e(i)(0) + e(i)(3); f(i)(1) = e(i)(1) + e(i)(2)
+        f(i)(2) = e(i)(1) - e(i)(2); f(i)(3) = e(i)(0) - e(i)(3)
+      }
+      val g = Array.ofDim[Int](4, 4)
+      for (j <- 0 until 4) {
+        g(0)(j) = f(0)(j) + f(2)(j)
+        g(1)(j) = f(0)(j) - f(2)(j)
+        g(2)(j) = (f(1)(j) >> 1) - f(3)(j)
+        g(3)(j) = f(1)(j) + (f(3)(j) >> 1)
+      }
+      val r = Array.ofDim[Int](4, 4)
+      for (j <- 0 until 4) {
+        r(0)(j) = (g(0)(j) + g(3)(j) + 32) >> 6
+        r(1)(j) = (g(1)(j) + g(2)(j) + 32) >> 6
+        r(2)(j) = (g(1)(j) - g(2)(j) + 32) >> 6
+        r(3)(j) = (g(0)(j) - g(3)(j) + 32) >> 6
+      }
+      r
+    }
+
+    def predict(mode: Int, plane: Array[Int], w: Int, mbX: Int, mbY: Int,
+                left: Boolean, top: Boolean): Array[Array[Int]] = {
+      val p = Array.ofDim[Int](16, 16)
+      def t(x: Int) = plane((mbY - 1) * w + mbX + x)
+      def l(y: Int) = plane((mbY + y) * w + mbX - 1)
+      mode match {
+        case 0 => for (y <- 0 until 16; x <- 0 until 16) p(y)(x) = t(x)
+        case 1 => for (y <- 0 until 16; x <- 0 until 16) p(y)(x) = l(y)
+        case 2 =>
+          val v = if (top && left)
+              ((0 until 16).map(t).sum + (0 until 16).map(l).sum + 16) >> 5
+            else if (top) ((0 until 16).map(t).sum + 8) >> 4
+            else if (left) ((0 until 16).map(l).sum + 8) >> 4
+            else 128
+          for (y <- 0 until 16; x <- 0 until 16) p(y)(x) = v
+        case 3 =>
+          def tl = plane((mbY - 1) * w + mbX - 1)
+          val hh = (0 until 8).map(x =>
+            (x + 1) * (t(8 + x) - (if (x == 7) tl else t(6 - x)))).sum
+          val vv = (0 until 8).map(y =>
+            (y + 1) * (l(8 + y) - (if (y == 7) tl else l(6 - y)))).sum
+          val a = 16 * (l(15) + t(15))
+          val b = (5 * hh + 32) >> 6
+          val c = (5 * vv + 32) >> 6
+          for (y <- 0 until 16; x <- 0 until 16)
+            p(y)(x) = clip((a + b * (x - 7) + c * (y - 7) + 16) >> 5)
+      }
+      p
+    }
+
+    /** Reconstruct the whole frame from the fixture's own MB list. */
+    def frame(wMbs: Int, hMbs: Int,
+              mbs: Seq[Either[Int, VideoFixture.I16Mb]],
+              sliceQp: Int): Array[Int] = {
+      val w = wMbs * 16
+      val plane = new Array[Int](w * hMbs * 16)
+      var qp = sliceQp
+      for ((entry, mb) <- mbs.zipWithIndex) {
+        val mbX = (mb % wMbs) * 16
+        val mbY = (mb / wMbs) * 16
+        entry match {
+          case Left(lum) =>
+            for (y <- 0 until 16; x <- 0 until 16)
+              plane((mbY + y) * w + mbX + x) = lum
+          case Right(m) =>
+            qp = (qp + m.qpDelta + 52) % 52
+            val pred = predict(m.predMode, plane, w, mbX, mbY,
+              mbX > 0, mbY > 0)
+            val dcArr = Array.ofDim[Int](4, 4)
+            for (k <- 0 until 16) {
+              val p = zig(k); dcArr(p / 4)(p % 4) = m.dcLevels(k)
+            }
+            val dc = hadamard(dcArr).map(_.map(dcOut(_, qp)))
+            for (blk <- 0 until 16) {
+              val bx = ((blk >> 2) & 1) * 2 + (blk & 1)
+              val by = ((blk >> 2) >> 1) * 2 + ((blk >> 1) & 1)
+              val d = Array.ofDim[Int](4, 4)
+              for (lv <- m.acLevels; k <- 1 until 16 if lv(blk)(k - 1) != 0) {
+                val p = zig(k)
+                d(p / 4)(p % 4) = acOut(lv(blk)(k - 1), qp, p / 4, p % 4)
+              }
+              d(0)(0) = dc(by)(bx)
+              val r = idct(d)
+              for (yy <- 0 until 4; xx <- 0 until 4)
+                plane((mbY + by * 4 + yy) * w + mbX + bx * 4 + xx) =
+                  clip(pred(by * 4 + yy)(bx * 4 + xx) + r(yy)(xx))
+            }
+        }
+      }
+      plane
+    }
+  }
+
+  private def decodeVs(wMbs: Int, hMbs: Int,
+                       mbs: Seq[Either[Int, VideoFixture.I16Mb]],
+                       sliceQpDelta: Int): Unit = {
+    val mp4 = VideoFixture.mp4(wMbs * 16, hMbs * 16,
+      VideoFixture.sps(wMbs, hMbs), VideoFixture.pps(),
+      Seq(VideoFixture.idrI16Slice(wMbs, hMbs, mbs, sliceQpDelta)))
+    val Some((w, h, got)) = H264.decodeFrame(mp4, 0)
+    assert(w == wMbs * 16 && h == hMbs * 16)
+    val want = Ref.frame(wMbs, hMbs, mbs, 26 + sliceQpDelta)
+    val diffs = (0 until w * h).filter(i => (got(i) & 0xFF) != want(i))
+    assert(diffs.isEmpty,
+      s"${diffs.size} pixel diffs, first at ${diffs.headOption}: " +
+        diffs.take(5).map(i => s"[$i] got=${got(i) & 0xFF} want=${want(i)}")
+          .mkString(", "))
+  }
+
+  private def ac(spec: (Int, Int)*): Array[Array[Int]] =
+    Array.fill(16)(new Array[Int](15)).zipWithIndex.map { case (a, blk) =>
+      for ((k, v) <- spec) a((k + blk) % 15) = v + (blk % 3)
+      a
+    }
+
+  test("I_16x16 frame: all four prediction modes + residuals reconstruct bit-exactly (QP 26)") {
+    val dc0 = Array(6, -3, 2, 0, 1) ++ Array.fill(11)(0)
+    val dc1 = Array(-5, 2, 1) ++ Array.fill(13)(0)
+    val dc3 = Array(1, 1, -1, 0, 0, 2) ++ Array.fill(10)(0)
+    decodeVs(2, 2, Seq(
+      Right(VideoFixture.I16Mb(2, dc0)),                       // DC, no nbrs
+      Right(VideoFixture.I16Mb(1, dc1,
+        Some(ac(0 -> 3, 5 -> -1)), chromaCbp = 1)),            // horizontal
+      Right(VideoFixture.I16Mb(0, new Array[Int](16),
+        Some(ac(0 -> 2, 2 -> -2, 7 -> 1, 11 -> 1)), chromaCbp = 2)), // vertical
+      Right(VideoFixture.I16Mb(3, dc3, Some(ac(1 -> -4, 9 -> 2))))), // plane
+      sliceQpDelta = 0)
+  }
+
+  test("QP paths: high QP (>=36 DC shift), low QP rounding, mb_qp_delta wrap") {
+    val dc = Array(3, -2, 1) ++ Array.fill(13)(0)
+    decodeVs(2, 2, Seq(
+      Right(VideoFixture.I16Mb(2, dc)),                       // QP 40 branch
+      Right(VideoFixture.I16Mb(2, dc,
+        Some(ac(0 -> 5, 3 -> -3)), qpDelta = -30)),           // QP 10 branch
+      Right(VideoFixture.I16Mb(0, dc,
+        Some(ac(2 -> 2)), qpDelta = 20)),                     // QP 30
+      Right(VideoFixture.I16Mb(3, dc))),                      // QP 30 plane
+      sliceQpDelta = 14)
+  }
+
+  test("mixed I_PCM + I_16x16 slice: PCM neighbors drive nC >= 8 (FLC coeff_token) and escape-coded levels") {
+    // dense AC blocks (14 coefficients, one level 40 -> the 12-bit escape)
+    val dense = Array.fill(16)(new Array[Int](15)).map { a =>
+      for (k <- 0 until 14) a(k) = if (k == 0) 40 else if (k % 2 == 0) 2 else -1
+      a
+    }
+    val dc = Array(2, -1) ++ Array.fill(14)(0)
+    decodeVs(2, 2, Seq(
+      Left(80), Left(200),
+      Right(VideoFixture.I16Mb(0, dc, Some(dense))),  // vertical from PCM
+      Right(VideoFixture.I16Mb(2, dc, Some(ac(0 -> 2, 4 -> -2))))),
+      sliceQpDelta = 0)
+  }
+
+  test("end-to-end: sampleVideoFrames emits decoded=true with real features for a CAVLC MP4") {
+    val spark = SparkTestBase.spark
+    val mp4 = VideoFixture.mp4(32, 32, VideoFixture.sps(2, 2),
+      VideoFixture.pps(), Seq(VideoFixture.idrI16Slice(2, 2, Seq(
+        Right(VideoFixture.I16Mb(2, Array(6, -3, 2) ++ Array.fill(13)(0))),
+        Right(VideoFixture.I16Mb(1, new Array[Int](16))),
+        Right(VideoFixture.I16Mb(0, new Array[Int](16))),
+        Right(VideoFixture.I16Mb(2, new Array[Int](16)))))))
+    val rows = Seq(org.apache.spark.sql.Row(1L, mp4,
+      org.apache.spark.sql.Row("mp4", 32, 32, 0L)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),
+      graft.multimodal.Multimodal.MediaSchema)
+    val got = graft.multimodal.Multimodal.sampleVideoFrames(df, everyMs = 1000)
+      .collect()
+    assert(got.nonEmpty && got.forall(_.getAs[Boolean]("decoded")))
+  }
+}

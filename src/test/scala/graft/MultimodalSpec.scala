@@ -270,6 +270,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got2.nonEmpty && got2.forall(!_.getAs[Boolean]("decoded")))
   }
 
+  test("H.264 crop units follow chroma_format_idc (§7.4.2.1.1), not a hardcoded 4:2:0 ×2") {
+    import graft.multimodal.H264
+    // monochrome: CropUnitX = CropUnitY = 1 — crop_left=2 + crop_right=1
+    // trims 3 PIXELS (the 4:2:0 hardcode would trim 6 and shift the rows)
+    val spsM = VideoFixture.spsHigh(1, 1, 0, 2, 1, 0, 0)
+    val sliceM = VideoFixture.iPcmSliceXY(1, 1, (x, _) => x,
+      chromaSamplesPerMb = 0)
+    val mp4M = VideoFixture.mp4(13, 16, spsM, VideoFixture.pps(), Seq(sliceM))
+    val Some((wM, hM, pM)) = H264.decodeFrame(mp4M, 0)
+    assert(wM == 13 && hM == 16)
+    assert((0 until 13).forall(i => (pM(i) & 0xFF) == i + 2),
+      "row 0 must be source columns 2..14")
+    // 4:2:2: CropUnitX = 2 but CropUnitY = 1 (SubHeightC = 1) —
+    // crop_top=1 + crop_bottom=2 trims 3 ROWS, not 6
+    val sps422 = VideoFixture.spsHigh(1, 1, 2, 1, 0, 1, 2)
+    val slice422 = VideoFixture.iPcmSliceXY(1, 1, (_, y) => y,
+      chromaSamplesPerMb = 256)
+    val mp4422 = VideoFixture.mp4(14, 13, sps422, VideoFixture.pps(),
+      Seq(slice422))
+    val Some((w2, h2, p2)) = H264.decodeFrame(mp4422, 0)
+    assert(w2 == 14 && h2 == 13)
+    assert((0 until 13).forall(r => (p2(r * 14) & 0xFF) == r + 1),
+      "rows must be source rows 1..13")
+  }
+
+  test("H.264 non-reference I slice (nal_ref_idc = 0): no dec_ref_pic_marking in the header, still decodes") {
+    import graft.multimodal.H264
+    val slice = VideoFixture.iPcmSliceXY(2, 1,
+      (x, _) => if (x < 16) 40 else 200, idr = false, refIdc = 0)
+    val mp4 = VideoFixture.mp4(32, 16, VideoFixture.sps(2, 1),
+      VideoFixture.pps(), Seq(slice))
+    val Some((w, h, p)) = H264.decodeFrame(mp4, 0)
+    assert(w == 32 && h == 16)
+    assert((p(0) & 0xFF) == 40 && (p(16) & 0xFF) == 200)
+  }
+
   test("real video frame sampling: covering frame per instant, honest degrade") {
     val gif = gifBytes(n = 4, delayCs = 50) // 2000 ms total
     val rows = Seq(

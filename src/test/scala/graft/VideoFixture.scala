@@ -116,6 +116,233 @@ object VideoFixture {
     nal(0x65, w.bytes)
   }
 
+  /** High-profile SPS carrying an explicit `chroma_format_idc` (0 =
+    * monochrome, 1 = 4:2:0, 2 = 4:2:2, 3 = 4:4:4) and frame cropping —
+    * the §7.4.2.1.1 crop-unit probe: CropUnitX/Y depend on the chroma
+    * format, not always the 4:2:0 ×2.
+    */
+  def spsHigh(widthMbs: Int, heightMbs: Int, chromaFormat: Int,
+              cl: Int, cr: Int, ct: Int, cb: Int): Array[Byte] = {
+    val w = new BitWriter
+    w.u(100, 8) // profile_idc: High — SPS carries chroma_format_idc
+    w.u(0, 8)
+    w.u(10, 8)
+    w.ue(0)             // seq_parameter_set_id
+    w.ue(chromaFormat)  // chroma_format_idc
+    if (chromaFormat == 3) w.u1(0) // separate_colour_plane_flag
+    w.ue(0); w.ue(0)    // bit_depth_luma/chroma_minus8
+    w.u1(0)             // qpprime_y_zero_transform_bypass
+    w.u1(0)             // seq_scaling_matrix_present
+    w.ue(0)             // log2_max_frame_num_minus4
+    w.ue(2)             // pic_order_cnt_type: 2
+    w.ue(1)             // max_num_ref_frames
+    w.u1(0)             // gaps_in_frame_num_value_allowed
+    w.ue(widthMbs - 1)
+    w.ue(heightMbs - 1)
+    w.u1(1)             // frame_mbs_only_flag
+    w.u1(1)             // direct_8x8_inference
+    if ((cl | cr | ct | cb) != 0) {
+      w.u1(1); w.ue(cl); w.ue(cr); w.ue(ct); w.ue(cb)
+    } else w.u1(0)
+    w.u1(0)             // vui_parameters_present
+    w.stopBit()
+    nal(0x67, w.bytes)
+  }
+
+  /** I_PCM slice with per-PIXEL luma from `luma(x, y)` (frame
+    * coordinates), a configurable PCM chroma sample count per MB (0 for
+    * monochrome, 128 for 4:2:0, 256 for 4:2:2, 512 for 4:4:4), and a
+    * configurable NAL header — `idr = false, refIdc = 0` builds the
+    * non-reference I slice whose header carries NO dec_ref_pic_marking
+    * (§7.3.3: present only when nal_ref_idc != 0).
+    */
+  def iPcmSliceXY(widthMbs: Int, heightMbs: Int, luma: (Int, Int) => Int,
+                  chromaSamplesPerMb: Int = 128, idr: Boolean = true,
+                  refIdc: Int = 3): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0)    // first_mb_in_slice
+    w.ue(7)    // slice_type: I (all slices in pic)
+    w.ue(0)    // pic_parameter_set_id
+    w.u(0, 4)  // frame_num
+    if (idr) w.ue(0) // idr_pic_id
+    // poc type 2: no POC syntax; redundant_pic_cnt absent
+    if (idr) { w.u1(0); w.u1(0) }          // dec_ref_pic_marking (IDR form)
+    else if (refIdc != 0) w.u1(0)          // adaptive_ref_pic_marking_mode
+    w.se(0)    // slice_qp_delta
+    for (mb <- 0 until widthMbs * heightMbs) {
+      val mbX = (mb % widthMbs) * 16
+      val mbY = (mb / widthMbs) * 16
+      w.ue(25) // mb_type: I_PCM
+      w.align0()
+      for (y <- 0 until 16; x <- 0 until 16)
+        w.rawByte(luma(mbX + x, mbY + y) & 0xFF)
+      for (_ <- 0 until chromaSamplesPerMb) w.rawByte(128)
+    }
+    w.stopBit()
+    nal(((refIdc & 3) << 5) | (if (idr) 5 else 1), w.bytes)
+  }
+
+  // ---- CAVLC I_16x16 encoder (test-side inverse of the engine decoder) ---
+
+  /** One Intra_16x16 macroblock of the CAVLC fixture.
+    *
+    * @param predMode  §8.3.3 mode (0 V, 1 H, 2 DC, 3 plane)
+    * @param dcLevels  16 luma-DC levels in ZIGZAG order
+    * @param acLevels  per 4x4 block (Z-order, 16 blocks) 15 AC levels in
+    *                  zigzag order, or None for CodedBlockPatternLuma 0
+    * @param qpDelta   mb_qp_delta
+    * @param chromaCbp 0 none, 1 DC only, 2 DC+AC (fixed simple levels —
+    *                  the decoder discards chroma values but must PARSE
+    *                  them to stay bit-synced)
+    */
+  final case class I16Mb(predMode: Int, dcLevels: Array[Int],
+                         acLevels: Option[Array[Array[Int]]] = None,
+                         qpDelta: Int = 0, chromaCbp: Int = 0)
+
+  /** Inverse of `Cavlc.readBlock` (§9.2): writes one residual block's
+    * coeff_token, trailing-one signs, levels, total_zeros and run_before
+    * codes. `levels` in scan order; returns TotalCoeff for the caller's
+    * nC bookkeeping.
+    */
+  def writeCavlcBlock(w: BitWriter, levels: Array[Int], nC: Int): Int = {
+    import graft.multimodal.Cavlc
+    def emit(code: String): Unit = code.foreach(c => w.u1(if (c == '1') 1 else 0))
+    val nz = levels.zipWithIndex.filter(_._1 != 0)
+    val tc = nz.length
+    var t1 = 0
+    while (t1 < 3 && t1 < tc && math.abs(nz(tc - 1 - t1)._1) == 1) t1 += 1
+    val tokenCode =
+      if (nC >= 8) Cavlc.writeCoeffTokenFlc(t1, tc)
+      else {
+        val table = if (nC == -1) Cavlc.CoeffTokenChromaDc
+                    else if (nC < 2) Cavlc.CoeffToken0
+                    else if (nC < 4) Cavlc.CoeffToken1
+                    else Cavlc.CoeffToken2
+        table.bySymbol(Cavlc.token(t1, tc))
+      }
+    emit(tokenCode)
+    if (tc == 0) return 0
+    // levels, highest frequency first
+    var suffixLength = if (tc > 10 && t1 < 3) 1 else 0
+    var i = 0
+    while (i < tc) {
+      val level = nz(tc - 1 - i)._1
+      if (i < t1) w.u1(if (level < 0) 1 else 0)
+      else {
+        var levelCode = if (level > 0) 2 * level - 2 else -2 * level - 1
+        if (i == t1 && t1 < 3) levelCode -= 2
+        require(levelCode >= 0, s"level $level invalid after trailing ones")
+        if (suffixLength == 0) {
+          if (levelCode < 14) { w.u(0, levelCode); w.u1(1) }
+          else if (levelCode < 30) { w.u(0, 14); w.u1(1); w.u(levelCode - 14, 4) }
+          else {
+            require(levelCode < 30 + 4096, "fixture level out of range")
+            w.u(0, 15); w.u1(1); w.u(levelCode - 30, 12)
+          }
+        } else {
+          val cap = 15 << suffixLength
+          if (levelCode < cap) {
+            w.u(0, levelCode >> suffixLength); w.u1(1)
+            w.u(levelCode & ((1 << suffixLength) - 1), suffixLength)
+          } else {
+            require(levelCode < cap + 4096, "fixture level out of range")
+            w.u(0, 15); w.u1(1); w.u(levelCode - cap, 12)
+          }
+        }
+        if (suffixLength == 0) suffixLength = 1
+        if (math.abs(level) > (3 << (suffixLength - 1)) && suffixLength < 6)
+          suffixLength += 1
+      }
+      i += 1
+    }
+    // total_zeros + run_before
+    val maxNumCoeff = levels.length
+    val totalZeros = nz.last._2 + 1 - tc
+    if (tc < maxNumCoeff)
+      emit((if (nC == -1) Cavlc.TotalZerosChromaDc(tc)
+            else Cavlc.TotalZeros4x4(tc)).bySymbol(totalZeros))
+    var zerosLeft = totalZeros
+    i = tc - 1
+    while (i >= 1 && zerosLeft > 0) {
+      val run = nz(i)._2 - nz(i - 1)._2 - 1
+      emit(Cavlc.RunBefore(math.min(zerosLeft, 7)).bySymbol(run))
+      zerosLeft -= run
+      i -= 1
+    }
+    tc
+  }
+
+  /** IDR slice of CAVLC Intra_16x16 macroblocks (optionally interleaved
+    * with I_PCM via `pcmLuma`): mirrors the decoder's nC neighbor grids
+    * so coeff_token table selection round-trips. Assumes the 4:2:0
+    * baseline SPS of [[sps]].
+    */
+  def idrI16Slice(widthMbs: Int, heightMbs: Int,
+                  mbs: Seq[Either[Int, I16Mb]],
+                  sliceQpDelta: Int = 0): Array[Byte] = {
+    require(mbs.length == widthMbs * heightMbs)
+    val w = new BitWriter
+    w.ue(0); w.ue(7); w.ue(0) // first_mb, slice_type I, pps id
+    w.u(0, 4); w.ue(0)        // frame_num, idr_pic_id
+    w.u1(0); w.u1(0)          // dec_ref_pic_marking
+    w.se(sliceQpDelta)
+    val lumaNc = Array.fill(heightMbs * 4 * widthMbs * 4)(-1)
+    val chromaNc = Array.fill(2)(Array.fill(heightMbs * 2 * widthMbs * 2)(-1))
+    def ncOf(grid: Array[Int], stride: Int, gx: Int, gy: Int): Int = {
+      val nA = if (gx > 0) grid(gy * stride + gx - 1) else -1
+      val nB = if (gy > 0) grid((gy - 1) * stride + gx) else -1
+      if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
+      else if (nA >= 0) nA else if (nB >= 0) nB else 0
+    }
+    for ((entry, mb) <- mbs.zipWithIndex) {
+      val mbCol = mb % widthMbs
+      val mbRow = mb / widthMbs
+      entry match {
+        case Left(lum) => // I_PCM filler MB (constant luma, neutral chroma)
+          w.ue(25); w.align0()
+          for (_ <- 0 until 256) w.rawByte(lum)
+          for (_ <- 0 until 128) w.rawByte(128)
+          for (by <- 0 until 4; bx <- 0 until 4)
+            lumaNc((mbRow * 4 + by) * widthMbs * 4 + mbCol * 4 + bx) = 16
+          for (c <- 0 until 2; cb <- 0 until 4)
+            chromaNc(c)((mbRow * 2 + (cb >> 1)) * widthMbs * 2 +
+              mbCol * 2 + (cb & 1)) = 16
+        case Right(m) =>
+          val acCoded = m.acLevels.nonEmpty
+          w.ue(1 + m.predMode + 4 * m.chromaCbp + (if (acCoded) 12 else 0))
+          w.ue(0) // intra_chroma_pred_mode
+          w.se(m.qpDelta)
+          writeCavlcBlock(w, m.dcLevels,
+            ncOf(lumaNc, widthMbs * 4, mbCol * 4, mbRow * 4))
+          for (blk <- 0 until 16) {
+            val bx = ((blk >> 2) & 1) * 2 + (blk & 1)
+            val by = ((blk >> 2) >> 1) * 2 + ((blk >> 1) & 1)
+            val gx = mbCol * 4 + bx
+            val gy = mbRow * 4 + by
+            lumaNc(gy * widthMbs * 4 + gx) =
+              if (acCoded)
+                writeCavlcBlock(w, m.acLevels.get(blk),
+                  ncOf(lumaNc, widthMbs * 4, gx, gy))
+              else 0
+          }
+          if (m.chromaCbp > 0)
+            for (c <- 0 until 2)
+              writeCavlcBlock(w, Array(if (c == 0) 1 else -1, 0, 0, 0), -1)
+          for (c <- 0 until 2; cb <- 0 until 4) {
+            val cgx = mbCol * 2 + (cb & 1)
+            val cgy = mbRow * 2 + (cb >> 1)
+            chromaNc(c)(cgy * widthMbs * 2 + cgx) =
+              if (m.chromaCbp == 2) {
+                val lv = new Array[Int](15); lv(0) = 2; lv(3) = -1
+                writeCavlcBlock(w, lv, ncOf(chromaNc(c), widthMbs * 2, cgx, cgy))
+              } else 0
+          }
+      }
+    }
+    w.stopBit()
+    nal(0x65, w.bytes)
+  }
+
   /** An IDR slice that is NOT I_PCM (mb_type 0 = I_4x4 with entropy-coded
     * residual bits the engine does not reconstruct) — the honest-degrade
     * probe.
