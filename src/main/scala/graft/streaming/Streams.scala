@@ -570,6 +570,71 @@ object Streams {
       .transformWithState(new TopKUsersByValue(k), TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- streaming decontamination (static eval benchmark) ----------------
+
+  final case class ContamSpan(doc_id: Long, span_start: Long, span_end: Long,
+                              span_len: Long)
+
+  /** Distinct L-token windows of the EVAL benchmark, collected to a set —
+    * the static side of [[contaminationSpansStream]]. Eval benchmarks are
+    * the small side by construction (the same argument that lets the
+    * batch operator broadcast them — SuffixDedup.contaminationSpans); the
+    * guard makes a mis-sized call fail loudly instead of OOMing the
+    * driver.
+    */
+  def evalGramSet(evalDocs: DataFrame, textCol: String, L: Int,
+                  maxGrams: Long = 5000000L): Set[String] = {
+    import evalDocs.sparkSession.implicits._
+    val grams = evalDocs.select(explode(graft.functions.SimFns.wordShingles(
+        graft.functions.TextAnalysisFns.tokens(col(textCol)), L)).as("g"))
+      .distinct()
+    val n = grams.count()
+    require(n <= maxGrams,
+      s"eval gram set has $n grams (> $maxGrams) — not broadcastable")
+    grams.as[String].collect().toSet
+  }
+
+  /** Streaming twin of `SuffixDedup.contaminationSpans`: the eval key set
+    * is STATIC (benchmarks change on release cadence, not per
+    * micro-batch), so decontaminating a document stream is a fully
+    * STATELESS map — each arriving doc's L-token windows test membership
+    * in the broadcast eval set and merge to maximal spans entirely within
+    * the row (positions never cross documents). No watermark, no state
+    * store, no shuffle: the streaming plan is a per-partition flatMap
+    * over the feed, the cheapest possible shape. Exactness matches the
+    * batch operator by construction — dense-label equality there ⟺
+    * window-string equality here (same `\s+` tokenizer), and the same
+    * gaps-and-islands merge rule (gap ≤ L) runs per doc. StreamingV2Spec
+    * pins span-set parity with the batch operator over a replayed corpus.
+    */
+  def contaminationSpansStream(docsStream: Dataset[DocFeed],
+                               evalGrams: Set[String],
+                               L: Int): Dataset[ContamSpan] = {
+    import docsStream.sparkSession.implicits._
+    require(L >= 2, s"window length must be >= 2, got $L")
+    val bc = docsStream.sparkSession.sparkContext.broadcast(evalGrams)
+    docsStream.flatMap { d =>
+      // same token rule as TextAnalysisFns.tokens: \s+ split, drop empties
+      val toks = Option(d.text).getOrElse("").split("\\s+").filter(_.nonEmpty)
+      val starts = (0 to toks.length - L).filter(i =>
+        bc.value.contains(toks.slice(i, i + L).mkString(" ")))
+      if (starts.isEmpty) Iterator.empty
+      else {
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+        var s = starts.head
+        var last = starts.head
+        for (p <- starts.tail) {
+          if (p - last > L) { spans += ((s, last)); s = p }
+          last = p
+        }
+        spans += ((s, last))
+        // 1-based inclusive token positions, matching the batch schema
+        spans.iterator.map { case (a, b) =>
+          ContamSpan(d.doc_id, a + 1L, b + L.toLong, (b + L - a).toLong) }
+      }
+    }
+  }
+
   // ---- streaming MinHash-LSH near-dup detection -----------------------
 
   final case class DocFeed(doc_id: Long, ts: Timestamp, text: String)

@@ -390,6 +390,41 @@ class StreamingV2Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming decontamination: span parity with batch contaminationSpans over the replayed sf0.001 corpus; plan is stateless") {
+    implicit val sq = spark.sqlContext
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val L = 12
+    // batch ground truth: the suffix-front operator
+    val expected = graft.operators.SuffixDedup.contaminationSpans(
+        docs, "doc_id", "text", col("source") === "src0", L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(expected.nonEmpty, "fixture must contain contamination")
+    // streaming twin: static eval gram set + stateless per-doc spans
+    val evalGrams = Streams.evalGramSet(
+      docs.where(col("source") === "src0"), "text", L)
+    val feed = docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) =>
+        Streams.DocFeed(id, ts("2024-01-01 10:00:00"), text) }
+    val mem = MemoryStream[Streams.DocFeed]
+    val out = Streams.contaminationSpansStream(mem.toDS(), evalGrams, L)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("contam_out").start()
+    try {
+      feed.grouped(math.max(1, feed.length / 3 + 1)).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val got = spark.table("contam_out")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected,
+        s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+      // stateless contract: no state store operator in the streaming plan
+      assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+        "decontamination stream must not carry state")
+    } finally q.stop()
+  }
+
   test("nearDupPairs refuses a watermark-less stream (unbounded band state)") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[Streams.DocFeed]
