@@ -45,6 +45,38 @@ if common and base_tot > 0:
           f"ratio {b_tot / base_tot:.3f}x")
 else:
     print("no overlap with the baseline table - nothing to compare")
+
+# box-state fingerprint (written by graft.Bench): loadavg + time for a
+# fixed single-thread CPU work unit, sampled at run start and end. The
+# r12 driver run read ~1.9x the recorded fresh floors across the board
+# purely from box load; this makes that adjudication mechanical — a
+# flagged run's ratios are upper bounds, not plan regressions.
+load = _doc.get("load")
+if load:
+    la = (load.get("loadavg_start") or [0.0])[0]
+    le = (load.get("loadavg_end") or [0.0])[0]
+    ss = load.get("spin_start_sec", 0.0)
+    se = load.get("spin_end_sec", 0.0)
+    cpus = float(load.get("cpus", 1))
+    ref = None
+    try:
+        with open("BASELINE.md") as f:
+            m = re.search(r"bench spin reference: ([0-9.]+) s", f.read())
+            if m:
+                ref = float(m.group(1))
+    except FileNotFoundError:
+        pass
+    print(f"box fingerprint: loadavg {la:.2f}->{le:.2f} of {cpus:.0f} cpus; "
+          f"spin {ss:.2f}s->{se:.2f}s"
+          + (f" (idle reference {ref:.2f}s)" if ref else ""))
+    flags = []
+    if ref and max(ss, se) > 1.3 * ref:
+        flags.append(f"spin {max(ss, se):.2f}s > 1.3x idle {ref:.2f}s")
+    if max(la, le) > 0.25 * cpus:
+        flags.append(f"loadavg {max(la, le):.2f} > 25% of {cpus:.0f} cpus")
+    if flags:
+        print("  HIGH-LOAD RUN - treat every ratio above as an upper "
+              "bound, not a plan regression: " + "; ".join(flags))
 over = [(q, bench[q], baseline[q],
          bench[q] / baseline[q] if baseline[q] > 0 else float("inf"))
         for q in common if bench[q] > thr * baseline[q]]

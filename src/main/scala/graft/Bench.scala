@@ -8,9 +8,43 @@ import org.apache.spark.sql.SparkSession
   * and measure only the scan). Prints ONE JSON line.
   */
 object Bench {
+
+  /** Box-state fingerprint: seconds for a FIXED single-thread CPU work
+    * unit (400M xorshift64 steps ≈ 0.9 s on this class of box when idle).
+    * Cross-run bench ratios drift with box load (the r12 driver run read
+    * ~1.9x the recorded fresh floors across the board — both protocols on
+    * a loaded box); recording time-to-fixed-work START and END of the run
+    * lets compare_bench.py adjudicate a ratio mechanically instead of by
+    * narrative. Deterministic, allocation-free, DCE-proofed by the sink.
+    */
+  private def spinSeconds(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < 400000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1
+    }
+    if (x == 42L) System.err.print("") // consume x: defeat dead-code elim
+    math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
+  }
+
+  /** 1/5/15-minute load averages (zeros off-Linux — fingerprint only). */
+  private def loadavg(): Seq[Double] =
+    try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+").take(3).toSeq.map(_.toDouble)
+    catch { case _: Throwable => Seq(0.0, 0.0, 0.0) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // fingerprint only on full runs: the fresh-JVM children (BENCH_ONLY
+    // set) would otherwise each pay ~2 s of spin for a file they never
+    // write — and their spin would itself perturb the box under test
+    val fullRun = !sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
+    val loadStart = if (fullRun) loadavg() else Nil
+    val spinStart = if (fullRun) spinSeconds() else 0.0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -181,12 +215,20 @@ object Bench {
     // Full per-query timings go to a file: the bench driver only keeps the
     // last 2000 chars of output, so the summary line below must stay short
     // (~80 queries at full precision overflowed the window in r01/r02 and
-    // the driver recorded "parsed": null) — the fresh-JVM map lives ONLY
-    // in the file for the same reason.
+    // the driver recorded "parsed": null) — the fresh-JVM map and the load
+    // fingerprint live ONLY in the file for the same reason.
+    val loadEnd = if (fullRun) loadavg() else Nil
+    val spinEnd = if (fullRun) spinSeconds() else 0.0
+    val loadJson =
+      s""","load":{"loadavg_start":[${loadStart.mkString(",")}],""" +
+      s""""loadavg_end":[${loadEnd.mkString(",")}],""" +
+      s""""spin_start_sec":$spinStart,"spin_end_sec":$spinEnd,""" +
+      s""""cpus":$cpus}"""
     if (only.isEmpty) // a filtered dev run must not clobber the artifact
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (line(results, results.size, freshJson) + "\n").getBytes("UTF-8"))
+        (line(results, results.size, freshJson + loadJson) + "\n")
+          .getBytes("UTF-8"))
 
     val shown = if (only.nonEmpty) results else results.filter(r => headline(r._1))
     val summary = line(shown, shown.size)
