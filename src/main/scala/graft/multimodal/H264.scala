@@ -10,23 +10,27 @@ package graft.multimodal
   * implements the bitstream layers in full — MP4 sample demux (stsd/avcC
   * + stsc/stsz/stco chunk-offset mapping), NAL length-prefix framing,
   * RBSP emulation-prevention unescape, exp-Golomb SPS/PPS/slice-header
-  * parsing — and PIXEL reconstruction for (a) I_PCM macroblocks
-  * (raw-sample coding) and (b) CAVLC-entropy Intra_16x16 macroblocks:
-  * all four §8.3.3 prediction modes, CAVLC residual decoding
-  * ([[Cavlc]]), luma-DC Hadamard + scaling (§8.5.10), AC scaling
-  * (§8.5.12.1), and the 4x4 core inverse transform (§8.5.12.2) — the
-  * coding real baseline-profile keyframes use. Still NOT reconstructed
-  * (a slice containing them returns None and the row degrades to
-  * `decoded=false`): CABAC entropy, I_NxN (4x4-predicted) macroblocks,
-  * field coding, multi-slice-group streams. This boundary is a
+  * parsing — and PIXEL reconstruction for the full CAVLC intra layer:
+  * (a) I_PCM macroblocks (raw-sample coding); (b) Intra_16x16
+  * macroblocks — all four §8.3.3 prediction modes, CAVLC residual
+  * decoding ([[Cavlc]]), luma-DC Hadamard + scaling (§8.5.10), AC
+  * scaling (§8.5.12.1), the 4x4 core inverse transform (§8.5.12.2);
+  * (c) I_NxN (Intra_4x4) macroblocks — per-block §8.3.1.1
+  * most-probable-mode prediction, all nine §8.3.1.2 prediction modes
+  * with decode-order top-right availability and sample substitution,
+  * and Table 9-4 mapped-Exp-Golomb CBP. Together that is the coding
+  * real baseline-profile keyframes use. Still NOT reconstructed (a
+  * slice containing them returns None and the row degrades to
+  * `decoded=false`): CABAC entropy, field coding, multi-slice-group
+  * streams, and non-4:2:0 chroma on the CAVLC path. This boundary is a
   * documented property of [[decodeFrame]], not a silent wrong answer —
   * features are only ever emitted from real pixels.
   *
   * Everything here is from the public spec: NAL syntax (§7.3.1), SPS
   * (§7.3.2.1), PPS (§7.3.2.2), slice header (§7.3.3), macroblock layer
   * (§7.3.5, Table 7-11), CAVLC (§9.2, tables in [[Cavlc]]), transforms
-  * and scaling (§8.5), intra prediction (§8.3.3), and the ISO BMFF
-  * sample-table boxes (ISO/IEC 14496-12 §8.5–8.7).
+  * and scaling (§8.5), intra prediction (§8.3.1/§8.3.3), and the ISO
+  * BMFF sample-table boxes (ISO/IEC 14496-12 §8.5–8.7).
   */
 object H264 {
 
@@ -339,6 +343,121 @@ object H264 {
     Some(pred)
   }
 
+  /** Table 9-4 mapped-Exp-Golomb: codeNum → coded_block_pattern for
+    * Intra_4x4 macroblocks (ChromaArrayType 1/2 column). A permutation
+    * of 0..47 — CavlcSpec pins that structurally.
+    */
+  private[graft] val CbpIntra = Array(
+    47, 31, 15, 0, 23, 27, 29, 30, 7, 11, 13, 14, 39, 43, 45, 46,
+    16, 3, 5, 10, 12, 19, 21, 26, 28, 35, 37, 42, 44, 1, 2, 4,
+    8, 17, 18, 20, 24, 6, 9, 22, 25, 32, 33, 34, 36, 40, 38, 41)
+
+  /** Intra_4x4 luma prediction (§8.3.1.2, all nine modes) for the 4x4
+    * block with top-left pixel (x0, y0). `topRightAvail` is the §8.3.1.2
+    * decode-order availability of p[4..7, -1]; when false but the top row
+    * is available, those samples substitute p[3, -1]. None when `mode`
+    * references an unavailable edge (invalid bitstream).
+    */
+  private def predict4x4(mode: Int, luma: Array[Byte], wPix: Int,
+      x0: Int, y0: Int, leftAvail: Boolean, topAvail: Boolean,
+      topRightAvail: Boolean): Option[Array[Int]] = {
+    val p = new Array[Int](16)
+    // edge samples: t(-1) = corner, t(0..7) top + top-right, l(0..3) left
+    def pix(x: Int, y: Int) = luma(y * wPix + x) & 0xFF
+    val t = new Array[Int](9) // t(i) holds p[i-1, -1]
+    if (topAvail) {
+      var i = 0
+      while (i < 4) { t(i + 1) = pix(x0 + i, y0 - 1); i += 1 }
+      while (i < 8) {
+        t(i + 1) = if (topRightAvail) pix(x0 + i, y0 - 1) else t(4)
+        i += 1
+      }
+    }
+    if (leftAvail && topAvail) t(0) = pix(x0 - 1, y0 - 1)
+    val l = new Array[Int](4)
+    if (leftAvail) { var i = 0
+      while (i < 4) { l(i) = pix(x0 - 1, y0 + i); i += 1 } }
+    @inline def T(i: Int) = t(i + 1) // T(-1) = the corner sample
+    @inline def L(i: Int) = if (i < 0) t(0) else l(i) // L(-1) = corner too
+    @inline def set(x: Int, y: Int, v: Int): Unit = p(y * 4 + x) = v
+    mode match {
+      case 0 => // Vertical
+        if (!topAvail) return None
+        for (y <- 0 until 4; x <- 0 until 4) set(x, y, T(x))
+      case 1 => // Horizontal
+        if (!leftAvail) return None
+        for (y <- 0 until 4; x <- 0 until 4) set(x, y, l(y))
+      case 2 => // DC (availability-adaptive)
+        val v =
+          if (topAvail && leftAvail)
+            ((0 until 4).map(T).sum + l.sum + 4) >> 3
+          else if (topAvail) ((0 until 4).map(T).sum + 2) >> 2
+          else if (leftAvail) (l.sum + 2) >> 2
+          else 128
+        java.util.Arrays.fill(p, v)
+      case 3 => // Diagonal-Down-Left
+        if (!topAvail) return None
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (x == 3 && y == 3) (T(6) + 3 * T(7) + 2) >> 2
+            else (T(x + y) + 2 * T(x + y + 1) + T(x + y + 2) + 2) >> 2)
+      case 4 => // Diagonal-Down-Right
+        if (!topAvail || !leftAvail) return None
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (x > y) (T(x - y - 2) + 2 * T(x - y - 1) + T(x - y) + 2) >> 2
+            else if (x < y)
+              (L(y - x - 2) + 2 * L(y - x - 1) + L(y - x) + 2) >> 2
+            else (T(0) + 2 * t(0) + l(0) + 2) >> 2)
+      case 5 => // Vertical-Right
+        if (!topAvail || !leftAvail) return None
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val z = 2 * x - y
+          set(x, y,
+            if (z >= 0 && z % 2 == 0)
+              (T(x - (y >> 1) - 1) + T(x - (y >> 1)) + 1) >> 1
+            else if (z >= 0)
+              (T(x - (y >> 1) - 2) + 2 * T(x - (y >> 1) - 1) +
+                T(x - (y >> 1)) + 2) >> 2
+            else if (z == -1) (l(0) + 2 * t(0) + T(0) + 2) >> 2
+            else (L(y - 1) + 2 * L(y - 2) + L(y - 3) + 2) >> 2)
+        }
+      case 6 => // Horizontal-Down
+        if (!topAvail || !leftAvail) return None
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val z = 2 * y - x
+          set(x, y,
+            if (z >= 0 && z % 2 == 0)
+              (L(y - (x >> 1) - 1) + L(y - (x >> 1)) + 1) >> 1
+            else if (z >= 0)
+              (L(y - (x >> 1) - 2) + 2 * L(y - (x >> 1) - 1) +
+                L(y - (x >> 1)) + 2) >> 2
+            else if (z == -1) (l(0) + 2 * t(0) + T(0) + 2) >> 2
+            else (T(x - 1) + 2 * T(x - 2) + T(x - 3) + 2) >> 2)
+        }
+      case 7 => // Vertical-Left
+        if (!topAvail) return None
+        for (y <- 0 until 4; x <- 0 until 4)
+          set(x, y,
+            if (y % 2 == 0) (T(x + (y >> 1)) + T(x + (y >> 1) + 1) + 1) >> 1
+            else (T(x + (y >> 1)) + 2 * T(x + (y >> 1) + 1) +
+              T(x + (y >> 1) + 2) + 2) >> 2)
+      case 8 => // Horizontal-Up
+        if (!leftAvail) return None
+        for (y <- 0 until 4; x <- 0 until 4) {
+          val z = x + 2 * y
+          set(x, y,
+            if (z < 5 && z % 2 == 0) (l(y + (x >> 1)) + l(y + (x >> 1) + 1) + 1) >> 1
+            else if (z < 5) (l(y + (x >> 1)) + 2 * l(y + (x >> 1) + 1) +
+              l(y + (x >> 1) + 2) + 2) >> 2
+            else if (z == 5) (l(2) + 3 * l(3) + 2) >> 2
+            else l(3))
+        }
+      case _ => return None
+    }
+    Some(p)
+  }
+
   /** nC for CAVLC coeff_token selection (§9.2.1): mean of the available
     * left/top neighbor blocks' TotalCoeff (grid value < 0 ⇒ unavailable).
     */
@@ -398,6 +517,17 @@ object H264 {
       // per-4x4-block TotalCoeff for nC prediction (-1 = unavailable)
       val lumaNc = Array.fill(hMbs * 4 * wMbs * 4)(-1)
       val chromaNc = Array.fill(2)(Array.fill(hMbs * 2 * wMbs * 2)(-1))
+      // per-4x4-block Intra4x4PredMode for most-probable-mode prediction
+      // (§8.3.1.1): MinValue = not decoded (unavailable), -1 = decoded
+      // but not Intra_4x4 (contributes DC = 2), >= 0 = the actual mode
+      val predModes = Array.fill(hMbs * 4 * wMbs * 4)(Int.MinValue)
+      val bStride = wMbs * 4
+      // §8.3.1.2 decode-order index of a 4x4 block (MB raster, Z within)
+      def blkOrd(gx: Int, gy: Int): Int = {
+        val blk = ((gy & 3) >> 1) * 8 + ((gx & 3) >> 1) * 4 +
+          ((gy & 3) & 1) * 2 + ((gx & 3) & 1)
+        ((gy >> 2) * wMbs + (gx >> 2)) * 16 + blk
+      }
       val nMbs = wMbs * hMbs
       var mb = 0
       while (mb < nMbs) {
@@ -428,11 +558,13 @@ object H264 {
           }
           var c = 0
           while (c < chromaSamples) { r.alignedByte(); c += 1 }
-          // nC bookkeeping: I_PCM neighbors count 16 (§9.2.1)
+          // nC bookkeeping: I_PCM neighbors count 16 (§9.2.1); mode
+          // prediction sees a decoded non-I4x4 block (contributes DC)
           var by = 0
           while (by < 4) { var bx = 0
             while (bx < 4) {
               lumaNc((mbRow * 4 + by) * wMbs * 4 + mbCol * 4 + bx) = 16
+              predModes((mbRow * 4 + by) * bStride + mbCol * 4 + bx) = -1
               bx += 1 }
             by += 1 }
           var cc = 0
@@ -470,6 +602,7 @@ object H264 {
             val by = ((blk >> 2) >> 1) * 2 + ((blk >> 1) & 1)
             val gx = mbCol * 4 + bx
             val gy = mbRow * 4 + by
+            predModes(gy * bStride + gx) = -1 // decoded, not Intra_4x4
             val d = new Array[Int](16)
             if (acCoded) {
               val nc = ncOf(lumaNc, wMbs * 4, gx, gy)
@@ -523,8 +656,112 @@ object H264 {
             }
             c += 1
           }
+        } else if (mbType == 0) {
+          // ---- I_NxN = Intra_4x4 (Table 7-11 mb_type 0, CAVLC):
+          // per-block §8.3.1 mode prediction, §8.3.1.2 nine-mode
+          // prediction with decode-order top-right availability, Table
+          // 9-4 mapped-Exp-Golomb CBP, per-8x8-gated 16-coeff residuals
+          if (sps.chromaArrayType != 1)
+            return None // CAVLC chroma-residual parse is 4:2:0-only here
+          // 1. the 16 prediction modes (parsed BEFORE everything else)
+          val modes = new Array[Int](16)
+          var blk = 0
+          while (blk < 16) {
+            val bx = ((blk >> 2) & 1) * 2 + (blk & 1)
+            val by = ((blk >> 2) >> 1) * 2 + ((blk >> 1) & 1)
+            val gx = mbCol * 4 + bx
+            val gy = mbRow * 4 + by
+            // most probable mode (§8.3.1.1): DC if either neighbor is
+            // unavailable; else min, with non-I4x4 neighbors reading DC
+            def contrib(v: Int): Int = if (v < 0) 2 else v
+            val a = if (gx > 0) predModes(gy * bStride + gx - 1)
+                    else Int.MinValue
+            val b = if (gy > 0) predModes((gy - 1) * bStride + gx)
+                    else Int.MinValue
+            val predicted =
+              if (a == Int.MinValue || b == Int.MinValue) 2
+              else math.min(contrib(a), contrib(b))
+            modes(blk) =
+              if (r.u1() == 1) predicted // prev_intra4x4_pred_mode_flag
+              else {
+                val rem = r.u(3)
+                if (rem < predicted) rem else rem + 1
+              }
+            predModes(gy * bStride + gx) = modes(blk)
+            blk += 1
+          }
+          if (r.ue() > 3) return None // intra_chroma_pred_mode
+          // 2. CBP (mapped-Exp-Golomb, Table 9-4 intra column)
+          val cbpCode = r.ue()
+          if (cbpCode >= CbpIntra.length) return None
+          val cbp = CbpIntra(cbpCode)
+          val cbpLuma = cbp & 15
+          val cbpChroma = cbp >> 4
+          if (cbp != 0) qpY = (qpY + r.se() + 52) % 52 // mb_qp_delta
+          // 3. per-block residual parse + immediate reconstruction —
+          // within-MB prediction reads the just-reconstructed neighbors
+          blk = 0
+          while (blk < 16) {
+            val bx = ((blk >> 2) & 1) * 2 + (blk & 1)
+            val by = ((blk >> 2) >> 1) * 2 + ((blk >> 1) & 1)
+            val gx = mbCol * 4 + bx
+            val gy = mbRow * 4 + by
+            val d = new Array[Int](16)
+            if ((cbpLuma & (1 << (blk >> 2))) != 0) {
+              val nc = ncOf(lumaNc, wMbs * 4, gx, gy)
+              val rb = Cavlc.readBlock(r, nc, 16)
+              lumaNc(gy * wMbs * 4 + gx) = rb.totalCoeff
+              var kk = 0
+              while (kk < 16) {
+                val lev = rb.levels(kk)
+                if (lev != 0) {
+                  val pos = ZigZag4x4(kk)
+                  d(pos) = scaleAc(lev, qpY, pos / 4, pos % 4)
+                }
+                kk += 1
+              }
+            } else lumaNc(gy * wMbs * 4 + gx) = 0
+            val x0 = mbX + bx * 4
+            val y0 = mbY + by * 4
+            val trAvail = gx + 1 < wMbs * 4 && gy > 0 &&
+              blkOrd(gx + 1, gy - 1) < blkOrd(gx, gy)
+            val pred = predict4x4(modes(blk), luma, wPix, x0, y0,
+              gx > 0, gy > 0, trAvail).getOrElse(return None)
+            val res = inverseTransform4x4(d)
+            var yy = 0
+            while (yy < 4) {
+              var xx = 0
+              while (xx < 4) {
+                luma((y0 + yy) * wPix + x0 + xx) =
+                  clip1(pred(yy * 4 + xx) + res(yy * 4 + xx)).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            blk += 1
+          }
+          // 4. chroma residual parse (same §7.3.5.3.3 order as I_16x16)
+          if (cbpChroma > 0) {
+            var c = 0
+            while (c < 2) { Cavlc.readBlock(r, -1, 4); c += 1 }
+          }
+          var c = 0
+          while (c < 2) {
+            var cb = 0
+            while (cb < 4) {
+              val cgx = mbCol * 2 + (cb & 1)
+              val cgy = mbRow * 2 + (cb >> 1)
+              chromaNc(c)(cgy * wMbs * 2 + cgx) =
+                if (cbpChroma == 2) {
+                  val nc = ncOf(chromaNc(c), wMbs * 2, cgx, cgy)
+                  Cavlc.readBlock(r, nc, 15).totalCoeff
+                } else 0
+              cb += 1
+            }
+            c += 1
+          }
         } else
-          return None // I_NxN (CAVLC 4x4 intra) not reconstructed yet
+          return None // out-of-range mb_type for an I slice
         mb += 1
       }
       // apply frame cropping in the SPS's own crop units (§7.4.2.1.1)

@@ -773,8 +773,9 @@ object Multimodal {
     *    features describe the frame's pixels, which is what a sampling
     *    pipeline wants);
     *  - MP4/H.264 frames decode through [[H264]]: full MP4 sample demux +
-    *    NAL/SPS/PPS/slice-header parsing, pixel reconstruction for
-    *    I_PCM-coded slices; entropy-coded residual slices return None and
+    *    NAL/SPS/PPS/slice-header parsing, pixel reconstruction for the
+    *    CAVLC intra layer (I_PCM, Intra_16x16, Intra_4x4 — real baseline
+    *    keyframe coding); CABAC/field/multi-slice streams return None and
     *    keep the honest `decoded=false` degrade (see [[H264]]'s scope
     *    note).
     *

@@ -175,9 +175,79 @@ class CavlcSpec extends AnyFunSuite {
       p
     }
 
+    /** Independent 4x4 intra prediction (§8.3.1.2) via a p(x, y) sample
+      * accessor over the partially reconstructed plane, x ∈ -1..7,
+      * y ∈ -1..3 in block-local coordinates. Top-right samples
+      * substitute p(3, -1) when that block is later in decode order.
+      */
+    def predict4(mode: Int, plane: Array[Int], w: Int, x0: Int, y0: Int,
+                 trOk: Boolean): Array[Array[Int]] = {
+      val left = x0 > 0
+      val top = y0 > 0
+      def p(x: Int, y: Int): Int =
+        if (y == -1 && x >= 4 && !trOk) plane((y0 - 1) * w + x0 + 3)
+        else plane((y0 + y) * w + x0 + x)
+      val out = Array.ofDim[Int](4, 4)
+      for (y <- 0 until 4; x <- 0 until 4) out(y)(x) = mode match {
+        case 0 => p(x, -1)
+        case 1 => p(-1, y)
+        case 2 =>
+          if (top && left)
+            ((0 to 3).map(p(_, -1)).sum + (0 to 3).map(p(-1, _)).sum + 4) >> 3
+          else if (top) ((0 to 3).map(p(_, -1)).sum + 2) >> 2
+          else if (left) ((0 to 3).map(p(-1, _)).sum + 2) >> 2
+          else 128
+        case 3 =>
+          if (x == 3 && y == 3) (p(6, -1) + 3 * p(7, -1) + 2) >> 2
+          else (p(x + y, -1) + 2 * p(x + y + 1, -1) + p(x + y + 2, -1) + 2) >> 2
+        case 4 =>
+          if (x > y) (p(x - y - 2, -1) + 2 * p(x - y - 1, -1) + p(x - y, -1) + 2) >> 2
+          else if (x < y)
+            (p(-1, y - x - 2) + 2 * p(-1, y - x - 1) + p(-1, y - x) + 2) >> 2
+          else (p(0, -1) + 2 * p(-1, -1) + p(-1, 0) + 2) >> 2
+        case 5 =>
+          val z = 2 * x - y
+          if (z >= 0 && z % 2 == 0)
+            (p(x - (y >> 1) - 1, -1) + p(x - (y >> 1), -1) + 1) >> 1
+          else if (z > 0)
+            (p(x - (y >> 1) - 2, -1) + 2 * p(x - (y >> 1) - 1, -1) +
+              p(x - (y >> 1), -1) + 2) >> 2
+          else if (z == -1) (p(-1, 0) + 2 * p(-1, -1) + p(0, -1) + 2) >> 2
+          else (p(-1, y - 1) + 2 * p(-1, y - 2) + p(-1, y - 3) + 2) >> 2
+        case 6 =>
+          val z = 2 * y - x
+          if (z >= 0 && z % 2 == 0)
+            (p(-1, y - (x >> 1) - 1) + p(-1, y - (x >> 1)) + 1) >> 1
+          else if (z > 0)
+            (p(-1, y - (x >> 1) - 2) + 2 * p(-1, y - (x >> 1) - 1) +
+              p(-1, y - (x >> 1)) + 2) >> 2
+          else if (z == -1) (p(-1, 0) + 2 * p(-1, -1) + p(0, -1) + 2) >> 2
+          else (p(x - 1, -1) + 2 * p(x - 2, -1) + p(x - 3, -1) + 2) >> 2
+        case 7 =>
+          if (y % 2 == 0) (p(x + (y >> 1), -1) + p(x + (y >> 1) + 1, -1) + 1) >> 1
+          else (p(x + (y >> 1), -1) + 2 * p(x + (y >> 1) + 1, -1) +
+            p(x + (y >> 1) + 2, -1) + 2) >> 2
+        case 8 =>
+          val z = x + 2 * y
+          if (z < 5 && z % 2 == 0)
+            (p(-1, y + (x >> 1)) + p(-1, y + (x >> 1) + 1) + 1) >> 1
+          else if (z < 5)
+            (p(-1, y + (x >> 1)) + 2 * p(-1, y + (x >> 1) + 1) +
+              p(-1, y + (x >> 1) + 2) + 2) >> 2
+          else if (z == 5) (p(-1, 2) + 3 * p(-1, 3) + 2) >> 2
+          else p(-1, 3)
+      }
+      out
+    }
+
+    // raster (by*4+bx) → decode-order blkIdx within a macroblock:
+    // literal Z-scan table (independent of the engine's bit formula)
+    private val zScan =
+      Array(0, 1, 4, 5, 2, 3, 6, 7, 8, 9, 12, 13, 10, 11, 14, 15)
+
     /** Reconstruct the whole frame from the fixture's own MB list. */
     def frame(wMbs: Int, hMbs: Int,
-              mbs: Seq[Either[Int, VideoFixture.I16Mb]],
+              mbs: Seq[VideoFixture.FixMb],
               sliceQp: Int): Array[Int] = {
       val w = wMbs * 16
       val plane = new Array[Int](w * hMbs * 16)
@@ -186,10 +256,10 @@ class CavlcSpec extends AnyFunSuite {
         val mbX = (mb % wMbs) * 16
         val mbY = (mb / wMbs) * 16
         entry match {
-          case Left(lum) =>
+          case VideoFixture.PcmMb(lum) =>
             for (y <- 0 until 16; x <- 0 until 16)
               plane((mbY + y) * w + mbX + x) = lum
-          case Right(m) =>
+          case m: VideoFixture.I16Mb =>
             qp = (qp + m.qpDelta + 52) % 52
             val pred = predict(m.predMode, plane, w, mbX, mbY,
               mbX > 0, mbY > 0)
@@ -212,14 +282,45 @@ class CavlcSpec extends AnyFunSuite {
                 plane((mbY + by * 4 + yy) * w + mbX + bx * 4 + xx) =
                   clip(pred(by * 4 + yy)(bx * 4 + xx) + r(yy)(xx))
             }
+          case m: VideoFixture.I4Mb =>
+            if ((m.cbpLuma | m.chromaCbp) != 0) qp = (qp + m.qpDelta + 52) % 52
+            for (blk <- 0 until 16) {
+              val bx = ((blk >> 2) & 1) * 2 + (blk & 1)
+              val by = ((blk >> 2) >> 1) * 2 + ((blk >> 1) & 1)
+              val x0 = mbX + bx * 4
+              val y0 = mbY + by * 4
+              // top-right decode-order availability: the block holding
+              // (x0+4, y0-1) must precede this one (MB raster + Z-scan)
+              val trOk = y0 > 0 && x0 + 4 < w && {
+                def ord(px: Int, py: Int): Long = {
+                  val (bc, br) = (px / 16, py / 16)
+                  val (lx, ly) = ((px % 16) / 4, (py % 16) / 4)
+                  (br.toLong * wMbs + bc) * 16 + zScan(ly * 4 + lx)
+                }
+                ord(x0 + 4, y0 - 1) < ord(x0, y0)
+              }
+              val pred = predict4(m.modes(blk), plane, w, x0, y0, trOk)
+              val d = Array.ofDim[Int](4, 4)
+              if ((m.cbpLuma & (1 << (blk >> 2))) != 0)
+                for (k <- 0 until 16 if m.levels(blk)(k) != 0) {
+                  val p = zig(k)
+                  d(p / 4)(p % 4) = acOut(m.levels(blk)(k), qp, p / 4, p % 4)
+                }
+              val r = idct(d)
+              for (yy <- 0 until 4; xx <- 0 until 4)
+                plane((y0 + yy) * w + x0 + xx) =
+                  clip(pred(yy)(xx) + r(yy)(xx))
+            }
         }
       }
       plane
     }
   }
 
+  private def wrapI16(m: VideoFixture.I16Mb): VideoFixture.FixMb = m
+
   private def decodeVs(wMbs: Int, hMbs: Int,
-                       mbs: Seq[Either[Int, VideoFixture.I16Mb]],
+                       mbs: Seq[VideoFixture.FixMb],
                        sliceQpDelta: Int): Unit = {
     val mp4 = VideoFixture.mp4(wMbs * 16, hMbs * 16,
       VideoFixture.sps(wMbs, hMbs), VideoFixture.pps(),
@@ -245,24 +346,24 @@ class CavlcSpec extends AnyFunSuite {
     val dc1 = Array(-5, 2, 1) ++ Array.fill(13)(0)
     val dc3 = Array(1, 1, -1, 0, 0, 2) ++ Array.fill(10)(0)
     decodeVs(2, 2, Seq(
-      Right(VideoFixture.I16Mb(2, dc0)),                       // DC, no nbrs
-      Right(VideoFixture.I16Mb(1, dc1,
+      wrapI16(VideoFixture.I16Mb(2, dc0)),                       // DC, no nbrs
+      wrapI16(VideoFixture.I16Mb(1, dc1,
         Some(ac(0 -> 3, 5 -> -1)), chromaCbp = 1)),            // horizontal
-      Right(VideoFixture.I16Mb(0, new Array[Int](16),
+      wrapI16(VideoFixture.I16Mb(0, new Array[Int](16),
         Some(ac(0 -> 2, 2 -> -2, 7 -> 1, 11 -> 1)), chromaCbp = 2)), // vertical
-      Right(VideoFixture.I16Mb(3, dc3, Some(ac(1 -> -4, 9 -> 2))))), // plane
+      wrapI16(VideoFixture.I16Mb(3, dc3, Some(ac(1 -> -4, 9 -> 2))))), // plane
       sliceQpDelta = 0)
   }
 
   test("QP paths: high QP (>=36 DC shift), low QP rounding, mb_qp_delta wrap") {
     val dc = Array(3, -2, 1) ++ Array.fill(13)(0)
     decodeVs(2, 2, Seq(
-      Right(VideoFixture.I16Mb(2, dc)),                       // QP 40 branch
-      Right(VideoFixture.I16Mb(2, dc,
+      wrapI16(VideoFixture.I16Mb(2, dc)),                       // QP 40 branch
+      wrapI16(VideoFixture.I16Mb(2, dc,
         Some(ac(0 -> 5, 3 -> -3)), qpDelta = -30)),           // QP 10 branch
-      Right(VideoFixture.I16Mb(0, dc,
+      wrapI16(VideoFixture.I16Mb(0, dc,
         Some(ac(2 -> 2)), qpDelta = 20)),                     // QP 30
-      Right(VideoFixture.I16Mb(3, dc))),                      // QP 30 plane
+      wrapI16(VideoFixture.I16Mb(3, dc))),                      // QP 30 plane
       sliceQpDelta = 14)
   }
 
@@ -274,20 +375,76 @@ class CavlcSpec extends AnyFunSuite {
     }
     val dc = Array(2, -1) ++ Array.fill(14)(0)
     decodeVs(2, 2, Seq(
-      Left(80), Left(200),
-      Right(VideoFixture.I16Mb(0, dc, Some(dense))),  // vertical from PCM
-      Right(VideoFixture.I16Mb(2, dc, Some(ac(0 -> 2, 4 -> -2))))),
+      VideoFixture.PcmMb(80), VideoFixture.PcmMb(200),
+      wrapI16(VideoFixture.I16Mb(0, dc, Some(dense))),  // vertical from PCM
+      wrapI16(VideoFixture.I16Mb(2, dc, Some(ac(0 -> 2, 4 -> -2))))),
       sliceQpDelta = 0)
+  }
+
+  private def lv16(spec: (Int, Int)*): Array[Int] = {
+    val a = new Array[Int](16)
+    for ((k, v) <- spec) a(k) = v
+    a
+  }
+
+  test("I_4x4 frame: all nine 4x4 prediction modes + residuals reconstruct bit-exactly") {
+    val none = Array.fill(16)(new Array[Int](16))
+    def lv(f: Int => Seq[(Int, Int)]): Array[Array[Int]] =
+      Array.tabulate(16)(blk => lv16(f(blk): _*))
+    // MB0 covers all nine modes across its 16 blocks (edge-legal at the
+    // frame corner: DC where neighbors are missing)
+    val mb0 = VideoFixture.I4Mb(
+      Array(2, 1, 0, 4, 8, 2, 3, 7, 0, 5, 2, 6, 4, 3, 7, 8),
+      cbpLuma = 6, // 8x8 quads 1 and 2 coded (blocks 4..11)
+      levels = lv(blk => Seq(0 -> (blk % 5 - 2), 3 -> 1, 9 -> -1)
+        .filter(_._2 != 0)))
+    val mb1 = VideoFixture.I4Mb(
+      Array(1, 8, 0, 4, 1, 2, 3, 7, 5, 6, 0, 4, 3, 7, 8, 2),
+      cbpLuma = 15, // dense: every block coded, drives nC upward
+      levels = lv(blk => (0 until 10).map(k => k -> (if (k % 2 == 0) 2 else -1))),
+      qpDelta = -8, chromaCbp = 2)
+    val mb2 = VideoFixture.I4Mb(
+      Array(3, 4, 7, 5, 0, 2, 6, 8, 2, 1, 0, 4, 7, 3, 5, 6),
+      cbpLuma = 0, levels = none, qpDelta = 6, chromaCbp = 1)
+    val mb3 = VideoFixture.I4Mb(
+      Array(4, 5, 6, 8, 3, 7, 0, 1, 2, 4, 5, 6, 7, 8, 3, 0),
+      cbpLuma = 9, // quads 0 and 3
+      levels = lv(blk => Seq(0 -> (if (blk == 0) 40 else 3), 5 -> -2)))
+    decodeVs(2, 2, Seq(mb0, mb1, mb2, mb3), sliceQpDelta = 0)
+  }
+
+  test("mixed I_4x4 + I_16x16 + I_PCM: non-I4x4 neighbors predict as DC; grids stay in sync") {
+    val dc = Array(4, -2, 1) ++ Array.fill(13)(0)
+    val mb2 = VideoFixture.I4Mb(
+      // top neighbor is the I_16x16 MB -> contributes DC to the most-
+      // probable-mode rule; left is the frame edge
+      Array(2, 4, 7, 5, 0, 2, 6, 8, 2, 1, 0, 4, 7, 3, 5, 6),
+      cbpLuma = 5, // quads 0 and 2
+      levels = Array.tabulate(16)(blk => lv16(1 -> (blk % 3 + 2), 7 -> -1)),
+      chromaCbp = 1)
+    val mb3 = VideoFixture.I4Mb(
+      // top neighbor is the I_PCM MB (DC contribution + nC 16 neighbors)
+      Array(1, 0, 4, 5, 2, 3, 6, 7, 8, 0, 1, 4, 5, 6, 7, 3),
+      cbpLuma = 15,
+      levels = Array.tabulate(16)(blk => lv16(0 -> 2, 2 -> -3, 11 -> 1)),
+      qpDelta = 4)
+    decodeVs(2, 2, Seq(
+      wrapI16(VideoFixture.I16Mb(2, dc, Some(ac(0 -> 3)))),
+      VideoFixture.PcmMb(200), mb2, mb3), sliceQpDelta = -2)
+  }
+
+  test("Table 9-4 intra CBP mapping is a permutation of 0..47") {
+    assert(H264.CbpIntra.sorted.toSeq == (0 to 47))
   }
 
   test("end-to-end: sampleVideoFrames emits decoded=true with real features for a CAVLC MP4") {
     val spark = SparkTestBase.spark
     val mp4 = VideoFixture.mp4(32, 32, VideoFixture.sps(2, 2),
       VideoFixture.pps(), Seq(VideoFixture.idrI16Slice(2, 2, Seq(
-        Right(VideoFixture.I16Mb(2, Array(6, -3, 2) ++ Array.fill(13)(0))),
-        Right(VideoFixture.I16Mb(1, new Array[Int](16))),
-        Right(VideoFixture.I16Mb(0, new Array[Int](16))),
-        Right(VideoFixture.I16Mb(2, new Array[Int](16)))))))
+        wrapI16(VideoFixture.I16Mb(2, Array(6, -3, 2) ++ Array.fill(13)(0))),
+        wrapI16(VideoFixture.I16Mb(1, new Array[Int](16))),
+        wrapI16(VideoFixture.I16Mb(0, new Array[Int](16))),
+        wrapI16(VideoFixture.I16Mb(2, new Array[Int](16)))))))
     val rows = Seq(org.apache.spark.sql.Row(1L, mp4,
       org.apache.spark.sql.Row("mp4", 32, 32, 0L)))
     val df = spark.createDataFrame(spark.sparkContext.parallelize(rows),

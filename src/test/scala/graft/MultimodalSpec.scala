@@ -257,12 +257,17 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got.map(_.getInt(2)).toSeq == Seq(0, 1))
     assert(got(0).getSeq[Float](3).toSeq ==
       Seq.tabulate(16)(i => if (i % 4 < 2) 40f else 200f))
-    // honest degrade is UNCHANGED for entropy-coded residual slices: a
-    // real MP4 whose IDR slice is I_4x4-coded keeps decoded=false
+    // honest degrade is UNCHANGED for streams the engine can't decode:
+    // a MALFORMED slice (edge-invalid mode + garbage) fails parse, and a
+    // CABAC-coded stream is rejected at the PPS — decoded=false, never
+    // wrong pixels
     val entropy = VideoFixture.mp4(32, 16, VideoFixture.sps(2, 1),
       VideoFixture.pps(), Seq(VideoFixture.idrEntropySlice()))
     assert(Multimodal.videoFrameIndex(entropy).isDefined) // container fine
     assert(Multimodal.decodeVideoFrame(entropy, 0).isEmpty)
+    val cabac = VideoFixture.mp4(32, 16, VideoFixture.sps(2, 1),
+      VideoFixture.ppsCabac(), Seq(VideoFixture.idrIPcmSlice(2, 1, Seq(40, 200))))
+    assert(Multimodal.decodeVideoFrame(cabac, 0).isEmpty)
     val rows2 = Seq(Row(8L, entropy, Row("mp4", 32, 16, 0L)))
     val df2 = spark.createDataFrame(
       spark.sparkContext.parallelize(rows2), Multimodal.MediaSchema)

@@ -182,7 +182,12 @@ object VideoFixture {
     nal(((refIdc & 3) << 5) | (if (idr) 5 else 1), w.bytes)
   }
 
-  // ---- CAVLC I_16x16 encoder (test-side inverse of the engine decoder) ---
+  // ---- CAVLC intra encoder (test-side inverse of the engine decoder) -----
+
+  sealed trait FixMb
+
+  /** I_PCM filler macroblock: constant luma, neutral chroma. */
+  final case class PcmMb(luma: Int) extends FixMb
 
   /** One Intra_16x16 macroblock of the CAVLC fixture.
     *
@@ -197,7 +202,31 @@ object VideoFixture {
     */
   final case class I16Mb(predMode: Int, dcLevels: Array[Int],
                          acLevels: Option[Array[Array[Int]]] = None,
-                         qpDelta: Int = 0, chromaCbp: Int = 0)
+                         qpDelta: Int = 0, chromaCbp: Int = 0) extends FixMb
+
+  /** One Intra_4x4 (I_NxN) macroblock of the CAVLC fixture.
+    *
+    * @param modes     16 §8.3.1.2 prediction modes (0..8), Z-order; must
+    *                  be legal for the block's edge availability
+    * @param cbpLuma   CodedBlockPatternLuma (bit per 8x8 quadrant)
+    * @param levels    per 4x4 block (Z-order) 16 levels in zigzag order;
+    *                  only blocks inside coded 8x8s are written
+    * @param qpDelta   mb_qp_delta (only coded when cbp != 0)
+    * @param chromaCbp as [[I16Mb]]
+    */
+  final case class I4Mb(modes: Array[Int], cbpLuma: Int,
+                        levels: Array[Array[Int]],
+                        qpDelta: Int = 0, chromaCbp: Int = 0) extends FixMb
+
+  /** Inverse permutation of the decoder's Table 9-4 intra column:
+    * coded_block_pattern → codeNum for the me(v) write.
+    */
+  private lazy val cbpIntraInv: Array[Int] = {
+    val fwd = graft.multimodal.H264.CbpIntra
+    val inv = new Array[Int](fwd.length)
+    for (i <- fwd.indices) inv(fwd(i)) = i
+    inv
+  }
 
   /** Inverse of `Cavlc.readBlock` (§9.2): writes one residual block's
     * coeff_token, trailing-one signs, levels, total_zeros and run_before
@@ -272,13 +301,13 @@ object VideoFixture {
     tc
   }
 
-  /** IDR slice of CAVLC Intra_16x16 macroblocks (optionally interleaved
-    * with I_PCM via `pcmLuma`): mirrors the decoder's nC neighbor grids
-    * so coeff_token table selection round-trips. Assumes the 4:2:0
-    * baseline SPS of [[sps]].
+  /** IDR slice of CAVLC intra macroblocks (I_16x16 / I_4x4 / I_PCM,
+    * freely mixed): mirrors the decoder's nC and mode-prediction grids
+    * so coeff_token table selection and prev_intra4x4_pred_mode
+    * round-trip. Assumes the 4:2:0 baseline SPS of [[sps]].
     */
   def idrI16Slice(widthMbs: Int, heightMbs: Int,
-                  mbs: Seq[Either[Int, I16Mb]],
+                  mbs: Seq[FixMb],
                   sliceQpDelta: Int = 0): Array[Byte] = {
     require(mbs.length == widthMbs * heightMbs)
     val w = new BitWriter
@@ -288,26 +317,48 @@ object VideoFixture {
     w.se(sliceQpDelta)
     val lumaNc = Array.fill(heightMbs * 4 * widthMbs * 4)(-1)
     val chromaNc = Array.fill(2)(Array.fill(heightMbs * 2 * widthMbs * 2)(-1))
+    // mirror of the decoder's Intra4x4PredMode grid (MinValue = not
+    // decoded, -1 = decoded non-I4x4, >= 0 = mode)
+    val predModes = Array.fill(heightMbs * 4 * widthMbs * 4)(Int.MinValue)
+    val bStride = widthMbs * 4
     def ncOf(grid: Array[Int], stride: Int, gx: Int, gy: Int): Int = {
       val nA = if (gx > 0) grid(gy * stride + gx - 1) else -1
       val nB = if (gy > 0) grid((gy - 1) * stride + gx) else -1
       if (nA >= 0 && nB >= 0) (nA + nB + 1) >> 1
       else if (nA >= 0) nA else if (nB >= 0) nB else 0
     }
+    def blkXY(blk: Int): (Int, Int) =
+      (((blk >> 2) & 1) * 2 + (blk & 1), ((blk >> 2) >> 1) * 2 + ((blk >> 1) & 1))
+    def writeChroma(mbCol: Int, mbRow: Int, chromaCbp: Int): Unit = {
+      if (chromaCbp > 0)
+        for (c <- 0 until 2)
+          writeCavlcBlock(w, Array(if (c == 0) 1 else -1, 0, 0, 0), -1)
+      for (c <- 0 until 2; cb <- 0 until 4) {
+        val cgx = mbCol * 2 + (cb & 1)
+        val cgy = mbRow * 2 + (cb >> 1)
+        chromaNc(c)(cgy * widthMbs * 2 + cgx) =
+          if (chromaCbp == 2) {
+            val lv = new Array[Int](15); lv(0) = 2; lv(3) = -1
+            writeCavlcBlock(w, lv, ncOf(chromaNc(c), widthMbs * 2, cgx, cgy))
+          } else 0
+      }
+    }
     for ((entry, mb) <- mbs.zipWithIndex) {
       val mbCol = mb % widthMbs
       val mbRow = mb / widthMbs
       entry match {
-        case Left(lum) => // I_PCM filler MB (constant luma, neutral chroma)
+        case PcmMb(lum) =>
           w.ue(25); w.align0()
           for (_ <- 0 until 256) w.rawByte(lum)
           for (_ <- 0 until 128) w.rawByte(128)
-          for (by <- 0 until 4; bx <- 0 until 4)
+          for (by <- 0 until 4; bx <- 0 until 4) {
             lumaNc((mbRow * 4 + by) * widthMbs * 4 + mbCol * 4 + bx) = 16
+            predModes((mbRow * 4 + by) * bStride + mbCol * 4 + bx) = -1
+          }
           for (c <- 0 until 2; cb <- 0 until 4)
             chromaNc(c)((mbRow * 2 + (cb >> 1)) * widthMbs * 2 +
               mbCol * 2 + (cb & 1)) = 16
-        case Right(m) =>
+        case m: I16Mb =>
           val acCoded = m.acLevels.nonEmpty
           w.ue(1 + m.predMode + 4 * m.chromaCbp + (if (acCoded) 12 else 0))
           w.ue(0) // intra_chroma_pred_mode
@@ -315,37 +366,66 @@ object VideoFixture {
           writeCavlcBlock(w, m.dcLevels,
             ncOf(lumaNc, widthMbs * 4, mbCol * 4, mbRow * 4))
           for (blk <- 0 until 16) {
-            val bx = ((blk >> 2) & 1) * 2 + (blk & 1)
-            val by = ((blk >> 2) >> 1) * 2 + ((blk >> 1) & 1)
+            val (bx, by) = blkXY(blk)
             val gx = mbCol * 4 + bx
             val gy = mbRow * 4 + by
+            predModes(gy * bStride + gx) = -1
             lumaNc(gy * widthMbs * 4 + gx) =
               if (acCoded)
                 writeCavlcBlock(w, m.acLevels.get(blk),
                   ncOf(lumaNc, widthMbs * 4, gx, gy))
               else 0
           }
-          if (m.chromaCbp > 0)
-            for (c <- 0 until 2)
-              writeCavlcBlock(w, Array(if (c == 0) 1 else -1, 0, 0, 0), -1)
-          for (c <- 0 until 2; cb <- 0 until 4) {
-            val cgx = mbCol * 2 + (cb & 1)
-            val cgy = mbRow * 2 + (cb >> 1)
-            chromaNc(c)(cgy * widthMbs * 2 + cgx) =
-              if (m.chromaCbp == 2) {
-                val lv = new Array[Int](15); lv(0) = 2; lv(3) = -1
-                writeCavlcBlock(w, lv, ncOf(chromaNc(c), widthMbs * 2, cgx, cgy))
-              } else 0
+          writeChroma(mbCol, mbRow, m.chromaCbp)
+        case m: I4Mb =>
+          w.ue(0) // mb_type I_NxN
+          // 16 prediction modes, mirroring the decoder's §8.3.1.1 rule
+          for (blk <- 0 until 16) {
+            val (bx, by) = blkXY(blk)
+            val gx = mbCol * 4 + bx
+            val gy = mbRow * 4 + by
+            def contrib(v: Int): Int = if (v < 0) 2 else v
+            val a = if (gx > 0) predModes(gy * bStride + gx - 1)
+                    else Int.MinValue
+            val b = if (gy > 0) predModes((gy - 1) * bStride + gx)
+                    else Int.MinValue
+            val predicted =
+              if (a == Int.MinValue || b == Int.MinValue) 2
+              else math.min(contrib(a), contrib(b))
+            val mode = m.modes(blk)
+            if (mode == predicted) w.u1(1)
+            else {
+              w.u1(0)
+              w.u(if (mode < predicted) mode else mode - 1, 3)
+            }
+            predModes(gy * bStride + gx) = mode
           }
+          w.ue(0) // intra_chroma_pred_mode
+          val cbp = m.cbpLuma | (m.chromaCbp << 4)
+          w.ue(cbpIntraInv(cbp))
+          if (cbp != 0) w.se(m.qpDelta)
+          for (blk <- 0 until 16) {
+            val (bx, by) = blkXY(blk)
+            val gx = mbCol * 4 + bx
+            val gy = mbRow * 4 + by
+            lumaNc(gy * widthMbs * 4 + gx) =
+              if ((m.cbpLuma & (1 << (blk >> 2))) != 0)
+                writeCavlcBlock(w, m.levels(blk),
+                  ncOf(lumaNc, widthMbs * 4, gx, gy))
+              else 0
+          }
+          writeChroma(mbCol, mbRow, m.chromaCbp)
       }
     }
     w.stopBit()
     nal(0x65, w.bytes)
   }
 
-  /** An IDR slice that is NOT I_PCM (mb_type 0 = I_4x4 with entropy-coded
-    * residual bits the engine does not reconstruct) — the honest-degrade
-    * probe.
+  /** A MALFORMED IDR slice: an I_4x4 mb_type whose mode bits select
+    * vertical prediction with no top row available, then filler — the
+    * corrupt-stream honest-degrade probe (parse fails, never wrong
+    * pixels). Since round 13 the I_4x4 layer itself decodes, so the
+    * unsupported-coding probe is [[ppsCabac]] instead.
     */
   def idrEntropySlice(): Array[Byte] = {
     val w = new BitWriter
@@ -353,10 +433,30 @@ object VideoFixture {
     w.u(0, 4); w.ue(0)
     w.u1(0); w.u1(0)
     w.se(0)
-    w.ue(0)      // mb_type: I_4x4 — entropy-coded path
-    w.u(0, 24)   // residual-ish filler bits
+    w.ue(0)      // mb_type: I_4x4
+    w.u(0, 24)   // mode bits decoding to an edge-invalid mode + filler
     w.stopBit()
     nal(0x65, w.bytes)
+  }
+
+  /** PPS with entropy_coding_mode = CABAC — the genuinely-unsupported
+    * coding probe (the engine decodes the CAVLC intra layer only).
+    */
+  def ppsCabac(): Array[Byte] = {
+    val w = new BitWriter
+    w.ue(0); w.ue(0) // pps id, sps id
+    w.u1(1)          // entropy_coding_mode: CABAC
+    w.u1(0)
+    w.ue(0)
+    w.ue(0); w.ue(0)
+    w.u1(0)
+    w.u(0, 2)
+    w.se(0); w.se(0); w.se(0)
+    w.u1(0)
+    w.u1(0)
+    w.u1(0)
+    w.stopBit()
+    nal(0x68, w.bytes)
   }
 
   // ---- ISO BMFF wrap ------------------------------------------------------
