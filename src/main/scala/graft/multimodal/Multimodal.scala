@@ -519,8 +519,9 @@ object Multimodal {
     *  - clusters: the Cluster count — the seek granularity a real frame
     *    extractor would use.
     *
-    * Metadata only — pixels stay honest-degrade (no VP8/VP9 decoder in
-    * the JDK). Malformed EBML → None, never a throw; frame count capped
+    * Metadata here; pixels decode through [[Vp8]] for VP8 keyframes
+    * within its documented scope (other codecs / inter frames keep the
+    * honest degrade). Malformed EBML → None, never a throw; frame count capped
     * against hostile headers. Accepts the `webm` and `matroska` DocTypes.
     * Streamed (MediaRecorder-style) files with unknown-size Segments /
     * Clusters are handled — an unknown-size Cluster ends at the next
@@ -614,6 +615,80 @@ object Multimodal {
       val durMs = durUnits.map(d => (d * scaleNs / 1e6).toLong)
         .getOrElse(maxTs * scaleNs / 1000000L)
       Some((durMs, arr, clusters))
+    } catch { case _: Exception => None }
+  }
+
+  /** Byte spans of the first video track's frames, for pixel decode
+    * ([[Vp8.decodeFrame]]): (CodecID, one (start, length) per frame).
+    * Frames are counted EXACTLY like [[webmFrameIndex]] — document
+    * order, laced blocks contribute one entry per lace frame — so an
+    * index into [[webmFrameIndex]]'s starts addresses the same frame
+    * here. Laced entries carry (-1, -1): the pixel path degrades on them
+    * (VP8 keyframes are not laced in practice) while keeping the index
+    * alignment. CodecID (0x86) defaults to "" when the TrackEntry omits
+    * it.
+    */
+  private[multimodal] def webmFrameBytes(
+      payload: Array[Byte]): Option[(String, Array[(Int, Int)])] = {
+    if (payload == null || payload.length < 8) return None
+    try {
+      val top = ebmlChildren(payload, 0, payload.length)
+      val hdr = top.find(_._1 == 0x1A45DFA3L).getOrElse(return None)
+      val doc = ebmlChildren(payload, hdr._2, hdr._3).find(_._1 == 0x4282L)
+        .map(e => new String(payload, e._2, e._3 - e._2,
+          java.nio.charset.StandardCharsets.ISO_8859_1))
+      if (!doc.forall(d => d == "webm" || d == "matroska")) return None
+      val seg = top.find(_._1 == 0x18538067L).getOrElse(return None)
+      val segKids = ebmlChildren(payload, seg._2, seg._3)
+      // first video TrackEntry: TrackNumber + CodecID (0x86)
+      val (videoTrack, codec) = segKids.find(_._1 == 0x1654AE6BL).flatMap { tracks =>
+        ebmlChildren(payload, tracks._2, tracks._3)
+          .filter(_._1 == 0xAEL)
+          .flatMap { te =>
+            val kids = ebmlChildren(payload, te._2, te._3)
+            val typ = kids.find(_._1 == 0x83L).map(k => ebmlUInt(payload, k._2, k._3))
+            val num = kids.find(_._1 == 0xD7L).map(k => ebmlUInt(payload, k._2, k._3))
+            val cid = kids.find(_._1 == 0x86L).map(k =>
+              new String(payload, k._2, k._3 - k._2,
+                java.nio.charset.StandardCharsets.ISO_8859_1)).getOrElse("")
+            if (typ.contains(1L)) num.map(n => (n, cid)) else None
+          }.headOption
+      }.getOrElse(return None)
+      val spans = Array.newBuilder[(Int, Int)]
+      val MaxFrames = 1 << 22
+      var nFrames = 0L
+      segKids.filter(_._1 == 0x1F43B675L).foreach { cl =>
+        ebmlChildren(payload, cl._2, cl._3).foreach {
+          case (id, s, e) if id == 0xA3L || id == 0xA0L =>
+            val (bs, bEnd) =
+              if (id == 0xA0L)
+                ebmlChildren(payload, s, e).find(_._1 == 0xA1L)
+                  .map(b => (b._2, b._3)).getOrElse((-1, -1))
+              else (s, e)
+            if (bs >= 0) {
+              val (trk, vlen) = ebmlVint(payload, bs)
+              if (vlen > 0 && trk == videoTrack && bs + vlen + 3 <= bEnd) {
+                val flags = payload(bs + vlen + 2) & 0xFF
+                val laceFrames =
+                  if ((flags & 0x06) != 0 && bs + vlen + 3 < bEnd)
+                    (payload(bs + vlen + 3) & 0xFF) + 1
+                  else 1
+                nFrames += laceFrames
+                if (nFrames > MaxFrames) return None
+                if (laceFrames == 1) {
+                  val fs = bs + vlen + 3
+                  spans += ((fs, bEnd - fs))
+                } else {
+                  var f = 0
+                  while (f < laceFrames) { spans += ((-1, -1)); f += 1 }
+                }
+              }
+            }
+          case _ => ()
+        }
+      }
+      val arr = spans.result()
+      if (arr.isEmpty) None else Some((codec, arr))
     } catch { case _: Exception => None }
   }
 
@@ -767,7 +842,7 @@ object Multimodal {
 
   /** Real per-frame video decode: frame `idx`'s raster → geometry +
     * [[FeatureDim]] luminance-grid features (same grid as the image
-    * path). Two real-pixel families:
+    * path). Three real-pixel families:
     *
     *  - GIF frames decode as their own raster (no disposal compositing —
     *    features describe the frame's pixels, which is what a sampling
@@ -777,7 +852,12 @@ object Multimodal {
     *    CAVLC intra layer (I_PCM, Intra_16x16, Intra_4x4 — real baseline
     *    keyframe coding); CABAC/field/multi-slice streams return None and
     *    keep the honest `decoded=false` degrade (see [[H264]]'s scope
-    *    note).
+    *    note);
+    *  - WebM/VP8 keyframes decode through [[Vp8]]: boolean decoder,
+    *    keyframe header + mode + token parse, dequant, inverse WHT/DCT,
+    *    and DC/V/H/TM intra prediction; inter frames, B_PRED
+    *    macroblocks, and loop-filtered frames return None (see [[Vp8]]'s
+    *    scope note).
     *
     * None when the payload is neither, the index is out of range, or the
     * pixels can't be reconstructed.
@@ -788,6 +868,9 @@ object Multimodal {
     // grid wants; routing through a TYPE_BYTE_GRAY BufferedImage would
     // apply a linear-gray → sRGB conversion in getRGB and distort values)
     H264.decodeFrame(payload, idx).foreach { case (w, h, luma) =>
+      return Some((w, h, lumaGrid(luma, w, h)))
+    }
+    Vp8.decodeFrame(payload, idx).foreach { case (w, h, luma) =>
       return Some((w, h, lumaGrid(luma, w, h)))
     }
     try {
