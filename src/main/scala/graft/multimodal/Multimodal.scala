@@ -855,9 +855,9 @@ object Multimodal {
     *    note);
     *  - WebM/VP8 keyframes decode through [[Vp8]]: boolean decoder,
     *    keyframe header + mode + token parse, dequant, inverse WHT/DCT,
-    *    and DC/V/H/TM intra prediction; inter frames, B_PRED
-    *    macroblocks, and loop-filtered frames return None (see [[Vp8]]'s
-    *    scope note).
+    *    DC/V/H/TM intra prediction, and the §15 loop filter; inter
+    *    frames and B_PRED macroblocks return None (see [[Vp8]]'s scope
+    *    note).
     *
     * None when the payload is neither, the index is out of range, or the
     * pixels can't be reconstructed.

@@ -27,14 +27,20 @@ import Vp8Tables._
   * pixels:
   *
   *  - inter (non-key) frames — no reference-frame motion compensation;
-  *  - B_PRED macroblocks — needs the keyframe 4x4 mode-context table and
-  *    the ten subblock predictors (next increment, mirroring how the
-  *    H.264 path grew I_16x16 → I_4x4);
-  *  - frames with a nonzero loop_filter_level — the §15 deblocking
-  *    filter alters the final pixels, and emitting the unfiltered
-  *    reconstruction would violate the features-only-from-real-pixels
-  *    contract;
+  *  - B_PRED macroblocks — the per-subblock modes are coded against the
+  *    900-entry keyframe mode-context probability table, which (unlike
+  *    the algorithmic §12.3 predictors) cannot be transcribed here with
+  *    enough confidence to stand behind the resulting pixels, and a
+  *    wrong probability decodes to a syntactically valid wrong mode
+  *    rather than a detectable error; deliberately deferred until the
+  *    table can be validated against conformance vectors;
   *  - laced WebM blocks (VP8 keyframes are not laced in practice).
+  *
+  * The §15 loop filter IS reconstructed (both the normal and the simple
+  * filter, with sharpness-adjusted limits, keyframe high-edge-variance
+  * thresholds, per-segment levels and the intra ref-frame delta), so
+  * deblocked frames emit their true conformant pixels rather than
+  * degrading.
   *
   * Table provenance and its limits are documented in [[Vp8Tables]].
   * Corrupt or truncated streams degrade to None via syntax checks and a
@@ -186,6 +192,180 @@ object Vp8 {
   private def addClamp(plane: Array[Byte], at: Int, r: Int): Unit = {
     val v = (plane(at) & 0xFF) + r
     plane(at) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+  }
+
+  // ---- loop filter (RFC 6386 §15) -----------------------------------------
+  // The deblocking arithmetic lives in the SIGNED domain (pixel − 128)
+  // with saturating signed-8-bit clamps at every step; shifts on the
+  // clamped values are arithmetic, exactly as specified.
+
+  private def scClamp(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
+
+  /** Sharpness-adjusted interior (difference) limit for a level (§15.2). */
+  private[graft] def interiorLimit(level: Int, sharpness: Int): Int = {
+    var il = level
+    if (sharpness > 0) {
+      il >>= (if (sharpness > 4) 2 else 1)
+      if (il > 9 - sharpness) il = 9 - sharpness
+    }
+    if (il < 1) 1 else il
+  }
+
+  /** Keyframe high-edge-variance threshold for a level (§15.2). */
+  private[graft] def hevThreshKey(level: Int): Int =
+    if (level >= 40) 2 else if (level >= 15) 1 else 0
+
+  /** One filterable edge position: `get(k)`/`set(k)` address qₖ for
+    * k ≥ 0 and p₍₋₁₋ₖ₎ for k < 0; `step` is 1 for vertical edges and the
+    * row stride for horizontal ones.
+    */
+  private final class Edge(plane: Array[Byte], base: Int, step: Int) {
+    def get(k: Int): Int = plane(base + k * step) & 0xFF
+    def set(k: Int, v: Int): Unit = plane(base + k * step) = v.toByte
+  }
+
+  /** Normal-filter mask over 8 samples (§15.2): six interior-difference
+    * checks plus the cross-edge budget 2·|p0−q0| + |p1−q1|/2.
+    */
+  private def filterMask(lim: Int, blim: Int, e: Edge): Boolean =
+    math.abs(e.get(-4) - e.get(-3)) <= lim &&
+      math.abs(e.get(-3) - e.get(-2)) <= lim &&
+      math.abs(e.get(-2) - e.get(-1)) <= lim &&
+      math.abs(e.get(1) - e.get(0)) <= lim &&
+      math.abs(e.get(2) - e.get(1)) <= lim &&
+      math.abs(e.get(3) - e.get(2)) <= lim &&
+      math.abs(e.get(-1) - e.get(0)) * 2 + math.abs(e.get(-2) - e.get(1)) / 2 <= blim
+
+  private def isHev(thr: Int, e: Edge): Boolean =
+    math.abs(e.get(-2) - e.get(-1)) > thr || math.abs(e.get(1) - e.get(0)) > thr
+
+  /** Subblock-edge filter (§15.3): adjusts p1 p0 q0 p1; the outer pair
+    * only without high edge variance, where the p1−q1 term also drops.
+    */
+  private def normalFilter(lim: Int, blim: Int, thr: Int, e: Edge): Unit = {
+    if (!filterMask(lim, blim, e)) return
+    val hev = isHev(thr, e)
+    val ps1 = e.get(-2) - 128; val ps0 = e.get(-1) - 128
+    val qs0 = e.get(0) - 128; val qs1 = e.get(1) - 128
+    val f = scClamp((if (hev) scClamp(ps1 - qs1) else 0) + 3 * (qs0 - ps0))
+    val f1 = scClamp(f + 4) >> 3
+    val f2 = scClamp(f + 3) >> 3
+    e.set(0, scClamp(qs0 - f1) + 128)
+    e.set(-1, scClamp(ps0 + f2) + 128)
+    if (!hev) {
+      val a = (f1 + 1) >> 1
+      e.set(1, scClamp(qs1 - a) + 128)
+      e.set(-2, scClamp(ps1 + a) + 128)
+    }
+  }
+
+  /** Macroblock-edge filter (§15.3): the hev-gated short adjustment of
+    * p0/q0 plus the 27/18/9-weighted three-tap taper applied only
+    * without high edge variance.
+    */
+  private def mbEdgeFilter(lim: Int, blim: Int, thr: Int, e: Edge): Unit = {
+    if (!filterMask(lim, blim, e)) return
+    val hev = isHev(thr, e)
+    val ps2 = e.get(-3) - 128; val ps1 = e.get(-2) - 128; val ps0 = e.get(-1) - 128
+    val qs0 = e.get(0) - 128; val qs1 = e.get(1) - 128; val qs2 = e.get(2) - 128
+    val f = scClamp(scClamp(ps1 - qs1) + 3 * (qs0 - ps0))
+    val fh = if (hev) f else 0
+    val f1 = scClamp(fh + 4) >> 3
+    val f2 = scClamp(fh + 3) >> 3
+    val q0s = scClamp(qs0 - f1)
+    val p0s = scClamp(ps0 + f2)
+    val fw = if (hev) 0 else f
+    var u = scClamp((63 + fw * 27) >> 7)
+    e.set(0, scClamp(q0s - u) + 128)
+    e.set(-1, scClamp(p0s + u) + 128)
+    u = scClamp((63 + fw * 18) >> 7)
+    e.set(1, scClamp(qs1 - u) + 128)
+    e.set(-2, scClamp(ps1 + u) + 128)
+    u = scClamp((63 + fw * 9) >> 7)
+    e.set(2, scClamp(qs2 - u) + 128)
+    e.set(-3, scClamp(ps2 + u) + 128)
+  }
+
+  /** Simple filter (§15.4, filter_type 1, luma only): cross-edge budget
+    * mask, adjusts only p0/q0.
+    */
+  private def simpleFilter(blim: Int, e: Edge): Unit = {
+    if (math.abs(e.get(-1) - e.get(0)) * 2 +
+      math.abs(e.get(-2) - e.get(1)) / 2 > blim) return
+    val ps1 = e.get(-2) - 128; val ps0 = e.get(-1) - 128
+    val qs0 = e.get(0) - 128; val qs1 = e.get(1) - 128
+    val f = scClamp(scClamp(ps1 - qs1) + 3 * (qs0 - ps0))
+    e.set(0, scClamp(qs0 - (scClamp(f + 4) >> 3)) + 128)
+    e.set(-1, scClamp(ps0 + (scClamp(f + 3) >> 3)) + 128)
+  }
+
+  /** In-place frame loop filter over the luma plane, §15.1 order: MBs in
+    * raster order — left MB edge, internal vertical edges at x+4/8/12,
+    * top MB edge, internal horizontal edges at y+4/8/12. Internal edges
+    * are skipped for macroblocks that decoded no coefficients; a level-0
+    * macroblock is not filtered at all.
+    */
+  private def loopFilterLuma(luma: Array[Byte], stride: Int, mbW: Int, mbH: Int,
+                             levels: Array[Int], hasCoeffs: Array[Boolean],
+                             sharpness: Int, simple: Boolean): Unit = {
+    var mby = 0
+    while (mby < mbH) {
+      var mbx = 0
+      while (mbx < mbW) {
+        val level = levels(mby * mbW + mbx)
+        if (level > 0) {
+          val il = interiorLimit(level, sharpness)
+          val mblim = (level + 2) * 2 + il
+          val sblim = level * 2 + il
+          val thr = hevThreshKey(level)
+          val x0 = mbx * 16
+          val y0 = mby * 16
+          val internal = hasCoeffs(mby * mbW + mbx)
+          if (mbx > 0) {
+            var r = 0
+            while (r < 16) {
+              val e = new Edge(luma, (y0 + r) * stride + x0, 1)
+              if (simple) simpleFilter(mblim, e) else mbEdgeFilter(il, mblim, thr, e)
+              r += 1
+            }
+          }
+          if (internal) {
+            var dx = 4
+            while (dx <= 12) {
+              var r = 0
+              while (r < 16) {
+                val e = new Edge(luma, (y0 + r) * stride + x0 + dx, 1)
+                if (simple) simpleFilter(sblim, e) else normalFilter(il, sblim, thr, e)
+                r += 1
+              }
+              dx += 4
+            }
+          }
+          if (mby > 0) {
+            var c = 0
+            while (c < 16) {
+              val e = new Edge(luma, y0 * stride + x0 + c, stride)
+              if (simple) simpleFilter(mblim, e) else mbEdgeFilter(il, mblim, thr, e)
+              c += 1
+            }
+          }
+          if (internal) {
+            var dy = 4
+            while (dy <= 12) {
+              var c = 0
+              while (c < 16) {
+                val e = new Edge(luma, (y0 + dy) * stride + x0 + c, stride)
+                if (simple) simpleFilter(sblim, e) else normalFilter(il, sblim, thr, e)
+                c += 1
+              }
+              dy += 4
+            }
+          }
+        }
+        mbx += 1
+      }
+      mby += 1
+    }
   }
 
   // ---- intra prediction (§12.2) ------------------------------------------
@@ -350,8 +530,10 @@ object Vp8 {
       // --- keyframe header (§9.2–§9.11) ---
       if (hd.bool(128) != 0) return None // color_space: 1 is reserved
       hd.bool(128) // clamping_type: we clamp unconditionally
-      // segmentation (§9.3)
+      // segmentation (§9.3); the abs/delta mode covers BOTH feature
+      // tables (quantizer and loop-filter level)
       val segQ = new Array[Int](4)
+      val segLf = new Array[Int](4)
       var segAbs = false
       var updateMap = false
       val segTreeProbs = Array(255, 255, 255)
@@ -364,24 +546,32 @@ object Vp8 {
           var i = 0
           while (i < 4) { if (hd.bool(128) == 1) segQ(i) = hd.signedLiteral(7); i += 1 }
           i = 0
-          // loop filter strength deltas: parsed for sync; the filter
-          // itself is out of scope (nonzero level degrades below)
-          while (i < 4) { if (hd.bool(128) == 1) hd.signedLiteral(6); i += 1 }
+          while (i < 4) { if (hd.bool(128) == 1) segLf(i) = hd.signedLiteral(6); i += 1 }
         }
         if (updateMap) {
           var i = 0
           while (i < 3) { if (hd.bool(128) == 1) segTreeProbs(i) = hd.literal(8); i += 1 }
         }
       }
-      // loop filter (§9.4) — parsed fully; nonzero level = degrade
-      hd.bool(128) // filter_type
+      // loop filter (§9.4)
+      val simpleFilterType = hd.bool(128) == 1
       val filterLevel = hd.literal(6)
-      hd.literal(3) // sharpness
+      val sharpness = hd.literal(3)
+      var lfAdjEnabled = false
+      var refLfDeltaIntra = 0 // ref-frame slot 0 = intra; keyframes are all-intra
       if (hd.bool(128) == 1) { // loop_filter_adj_enable
+        lfAdjEnabled = true
         if (hd.bool(128) == 1) { // mode_ref_lf_delta_update
           var i = 0
-          while (i < 4) { if (hd.bool(128) == 1) hd.signedLiteral(6); i += 1 }
+          while (i < 4) {
+            if (hd.bool(128) == 1) {
+              val d = hd.signedLiteral(6)
+              if (i == 0) refLfDeltaIntra = d
+            }
+            i += 1
+          }
           i = 0
+          // mode deltas: slot 0 applies only to B_PRED (degrades anyway)
           while (i < 4) { if (hd.bool(128) == 1) hd.signedLiteral(6); i += 1 }
         }
       }
@@ -437,8 +627,6 @@ object Vp8 {
       val mbNoCoeffSkip = hd.bool(128) == 1
       val probSkipFalse = if (mbNoCoeffSkip) hd.literal(8) else 0
 
-      if (filterLevel != 0) return None // §15 deblocking not reconstructed
-
       // --- per-MB keyframe mode records (§11.2), raster order ---
       val mbW = (w + 15) >> 4
       val mbH = (h + 15) >> 4
@@ -472,6 +660,17 @@ object Vp8 {
       val aboveY2 = new Array[Boolean](mbW)
       val coeffs = Array.ofDim[Int](25, 16) // 0-15 Y, 16-19 U, 20-23 V, 24 Y2
       val dcOut = new Array[Int](16)
+      // loop-filter inputs gathered during the token pass
+      val lfLevels = new Array[Int](nMbs)
+      val mbHasCoeffs = new Array[Boolean](nMbs)
+      def lfLevelOf(segId: Int): Int = {
+        var lvl =
+          if (segEnabled) { if (segAbs) segLf(segId) else filterLevel + segLf(segId) }
+          else filterLevel
+        lvl = math.max(0, math.min(63, lvl))
+        if (lfAdjEnabled) lvl = math.max(0, math.min(63, lvl + refLfDeltaIntra))
+        lvl
+      }
       var mby = 0
       while (mby < mbH) {
         val td = parts(mby & (nParts - 1))
@@ -482,6 +681,7 @@ object Vp8 {
         var mbx = 0
         while (mbx < mbW) {
           val mbi = mby * mbW + mbx
+          lfLevels(mbi) = lfLevelOf(segIds(mbi))
           var bi = 0
           while (bi < 25) { java.util.Arrays.fill(coeffs(bi), 0); bi += 1 }
           if (skipMb(mbi)) {
@@ -512,6 +712,7 @@ object Vp8 {
             val nz2 = decodeCoeffs(td, probs(1), ctx2, 0, coeffs(24), y2dc, y2ac)
             aboveY2(mbx) = nz2
             leftY2 = nz2
+            var anyCoeff = nz2
             // 16 Y blocks (type 0, first coeff 1)
             var sb = 0
             while (sb < 16) {
@@ -521,6 +722,7 @@ object Vp8 {
               val nz = decodeCoeffs(td, probs(0), ctx, 1, coeffs(sb), y1dc, y1ac)
               aboveY(mbx * 4 + bx) = nz
               leftY(by) = nz
+              anyCoeff ||= nz
               sb += 1
             }
             // 4 U then 4 V (type 2)
@@ -532,6 +734,7 @@ object Vp8 {
               val nz = decodeCoeffs(td, probs(2), ctx, 0, coeffs(16 + sb), uvdc, uvac)
               aboveU(mbx * 2 + bx) = nz
               leftU(by) = nz
+              anyCoeff ||= nz
               sb += 1
             }
             sb = 0
@@ -542,8 +745,12 @@ object Vp8 {
               val nz = decodeCoeffs(td, probs(2), ctx, 0, coeffs(20 + sb), uvdc, uvac)
               aboveV(mbx * 2 + bx) = nz
               leftV(by) = nz
+              anyCoeff ||= nz
               sb += 1
             }
+            // internal loop-filter edges apply only to MBs that decoded
+            // coefficients (§15.1; skipped and all-EOB MBs don't)
+            mbHasCoeffs(mbi) = anyCoeff
             // Y2 → per-subblock DC (§14.3)
             inverseWht(coeffs(24), dcOut)
             var kk = 0
@@ -569,7 +776,9 @@ object Vp8 {
         }
         mby += 1
       }
-      // crop the macroblock-aligned plane to the declared dimensions
+      // deblock (in place, full plane), then crop to declared dimensions
+      loopFilterLuma(luma, lumaW, mbW, mbH, lfLevels, mbHasCoeffs,
+        sharpness, simpleFilterType)
       val out = new Array[Byte](w * h)
       var row = 0
       while (row < h) {

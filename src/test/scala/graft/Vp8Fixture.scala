@@ -108,7 +108,11 @@ object Vp8Fixture {
       mbNoCoeffSkip: Boolean = true,
       probSkipFalse: Int = 200,
       filterLevel: Int = 0,
-      segment: Option[(Array[Int], Boolean)] = None) // (4 q values, abs?)
+      sharpness: Int = 0,
+      simpleFilter: Boolean = false,
+      refLfDeltaIntra: Option[Int] = None, // Some(d) enables lf adjustments
+      segment: Option[(Array[Int], Boolean)] = None, // (4 q values, abs?)
+      segmentLf: Array[Int] = new Array[Int](4)) // per-segment lf values/deltas
 
   // ---- token encoding (mirror of the decoder's §13.3 state machine) -----
 
@@ -192,13 +196,24 @@ object Vp8Fixture {
         hd.bool(128, 1) // update_segment_feature_data
         hd.bool(128, if (abs) 1 else 0)
         qs.foreach { qv => hd.bool(128, 1); hd.signedLiteral(qv, 7) }
-        (0 until 4).foreach(_ => hd.bool(128, 0)) // no LF deltas
+        cfg.segmentLf.foreach { lv =>
+          if (lv == 0) hd.bool(128, 0)
+          else { hd.bool(128, 1); hd.signedLiteral(lv, 6) }
+        }
         (0 until 3).foreach(_ => hd.bool(128, 0)) // default tree probs (255)
     }
-    hd.bool(128, 0) // filter_type
+    hd.bool(128, if (cfg.simpleFilter) 1 else 0) // filter_type
     hd.literal(cfg.filterLevel, 6)
-    hd.literal(0, 3) // sharpness
-    hd.bool(128, 0) // loop_filter_adj_enable
+    hd.literal(cfg.sharpness, 3)
+    cfg.refLfDeltaIntra match {
+      case None => hd.bool(128, 0) // loop_filter_adj_enable
+      case Some(d) =>
+        hd.bool(128, 1) // enable
+        hd.bool(128, 1) // mode_ref_lf_delta_update
+        hd.bool(128, 1); hd.signedLiteral(d, 6) // ref slot 0 (intra)
+        (0 until 3).foreach(_ => hd.bool(128, 0)) // other ref slots
+        (0 until 4).foreach(_ => hd.bool(128, 0)) // mode deltas
+    }
     hd.literal(cfg.nPartsLog2, 2)
     hd.literal(cfg.q, 7)
     def delta(v: Int): Unit =

@@ -19,9 +19,12 @@ import Vp8Fixture.{BoolEncoder, FrameCfg, Mb}
   *    transcription of the spec math (2-D matrix loops here vs the
   *    engine's flat-array butterflies), across modes, token categories,
   *    quantizer deltas, segmentation, multi-partition streams, skip
-  *    macroblocks, and non-MB-aligned crops;
-  *  - the honest-degrade contract (inter frames, B_PRED, nonzero loop
-  *    filter, lacing, foreign codec ids, truncation → None).
+  *    macroblocks, non-MB-aligned crops, and the §15 loop filter across
+  *    levels / sharpness / filter types / per-segment and delta-adjusted
+  *    levels (independent functional-window transcription vs the
+  *    engine's in-place Edge filters);
+  *  - the honest-degrade contract (inter frames, B_PRED, lacing,
+  *    foreign codec ids, truncation → None).
   */
 class Vp8Spec extends AnyFunSuite {
   lazy val spark = SparkTestBase.spark
@@ -176,6 +179,125 @@ class Vp8Spec extends AnyFunSuite {
 
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
 
+  // ---- independent §15 loop filter transcription ---------------------------
+  // Functional style over extracted 8-sample windows (the engine filters
+  // in place through an Edge accessor).
+
+  private def sc(v: Int): Int = math.max(-128, math.min(127, v))
+
+  /** (interior, mb-edge blimit, subblock blimit, keyframe hev thresh). */
+  private def indepLimits(level: Int, sharp: Int): (Int, Int, Int, Int) = {
+    var il = level
+    if (sharp > 0) {
+      il = il >> (if (sharp > 4) 2 else 1)
+      il = math.min(il, 9 - sharp)
+    }
+    il = math.max(il, 1)
+    (il, (level + 2) * 2 + il, level * 2 + il,
+      if (level >= 40) 2 else if (level >= 15) 1 else 0)
+  }
+
+  /** s = [p3 p2 p1 p0 q0 q1 q2 q3] → filtered copy (normal subblock). */
+  private def indepNormal(lim: Int, blim: Int, thr: Int, s: Array[Int]): Array[Int] = {
+    val Array(p3, p2, p1, p0, q0, q1, q2, q3) = s
+    val mask = math.abs(p3 - p2) <= lim && math.abs(p2 - p1) <= lim &&
+      math.abs(p1 - p0) <= lim && math.abs(q1 - q0) <= lim &&
+      math.abs(q2 - q1) <= lim && math.abs(q3 - q2) <= lim &&
+      math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= blim
+    if (!mask) return s
+    val hev = math.abs(p1 - p0) > thr || math.abs(q1 - q0) > thr
+    val (ps1, ps0, qs0, qs1) = (p1 - 128, p0 - 128, q0 - 128, q1 - 128)
+    val f = sc((if (hev) sc(ps1 - qs1) else 0) + 3 * (qs0 - ps0))
+    val f1 = sc(f + 4) >> 3
+    val f2 = sc(f + 3) >> 3
+    val out = s.clone()
+    out(4) = sc(qs0 - f1) + 128
+    out(3) = sc(ps0 + f2) + 128
+    if (!hev) {
+      val a = (f1 + 1) >> 1
+      out(5) = sc(qs1 - a) + 128
+      out(2) = sc(ps1 + a) + 128
+    }
+    out
+  }
+
+  /** s → filtered copy (macroblock edge, 27/18/9 taper). */
+  private def indepMbEdge(lim: Int, blim: Int, thr: Int, s: Array[Int]): Array[Int] = {
+    val Array(p3, p2, p1, p0, q0, q1, q2, q3) = s
+    val mask = math.abs(p3 - p2) <= lim && math.abs(p2 - p1) <= lim &&
+      math.abs(p1 - p0) <= lim && math.abs(q1 - q0) <= lim &&
+      math.abs(q2 - q1) <= lim && math.abs(q3 - q2) <= lim &&
+      math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= blim
+    if (!mask) return s
+    val hev = math.abs(p1 - p0) > thr || math.abs(q1 - q0) > thr
+    val (ps2, ps1, ps0, qs0, qs1, qs2) =
+      (p2 - 128, p1 - 128, p0 - 128, q0 - 128, q1 - 128, q2 - 128)
+    val f = sc(sc(ps1 - qs1) + 3 * (qs0 - ps0))
+    val fh = if (hev) f else 0
+    val q0h = sc(qs0 - (sc(fh + 4) >> 3))
+    val p0h = sc(ps0 + (sc(fh + 3) >> 3))
+    val fw = if (hev) 0 else f
+    val u27 = sc((63 + fw * 27) >> 7)
+    val u18 = sc((63 + fw * 18) >> 7)
+    val u9 = sc((63 + fw * 9) >> 7)
+    val out = s.clone()
+    out(4) = sc(q0h - u27) + 128
+    out(3) = sc(p0h + u27) + 128
+    out(5) = sc(qs1 - u18) + 128
+    out(2) = sc(ps1 + u18) + 128
+    out(6) = sc(qs2 - u9) + 128
+    out(1) = sc(ps2 + u9) + 128
+    out
+  }
+
+  /** s → filtered copy (simple filter: blimit-only mask, p0/q0 only). */
+  private def indepSimple(blim: Int, s: Array[Int]): Array[Int] = {
+    val Array(_, _, p1, p0, q0, q1, _, _) = s
+    if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 > blim) return s
+    val (ps1, ps0, qs0, qs1) = (p1 - 128, p0 - 128, q0 - 128, q1 - 128)
+    val f = sc(sc(ps1 - qs1) + 3 * (qs0 - ps0))
+    val out = s.clone()
+    out(4) = sc(qs0 - (sc(f + 4) >> 3)) + 128
+    out(3) = sc(ps0 + (sc(f + 3) >> 3)) + 128
+    out
+  }
+
+  /** Apply the frame filter to the 2-D plane in the normative per-MB
+    * raster order: left MB edge, internal vertical, top MB edge,
+    * internal horizontal; internal edges only for MBs with coefficients.
+    */
+  private def indepLoopFilter(P: Array[Array[Int]], mbW: Int, mbH: Int,
+                              levels: Seq[Int], hasCoeffs: Seq[Boolean],
+                              sharp: Int, simple: Boolean): Unit = {
+    def readV(y: Int, x: Int) = Array.tabulate(8)(k => P(y)(x - 4 + k))
+    def writeV(y: Int, x: Int, s: Array[Int]): Unit =
+      for (k <- 0 until 8) P(y)(x - 4 + k) = s(k)
+    def readH(y: Int, x: Int) = Array.tabulate(8)(k => P(y - 4 + k)(x))
+    def writeH(y: Int, x: Int, s: Array[Int]): Unit =
+      for (k <- 0 until 8) P(y - 4 + k)(x) = s(k)
+    for (mby <- 0 until mbH; mbx <- 0 until mbW) {
+      val level = levels(mby * mbW + mbx)
+      if (level > 0) {
+        val (il, mblim, sblim, thr) = indepLimits(level, sharp)
+        val x0 = mbx * 16; val y0 = mby * 16
+        def mbf(s: Array[Int], bl: Int) =
+          if (simple) indepSimple(bl, s) else indepMbEdge(il, bl, thr, s)
+        def sbf(s: Array[Int], bl: Int) =
+          if (simple) indepSimple(bl, s) else indepNormal(il, bl, thr, s)
+        if (mbx > 0)
+          for (r <- 0 until 16) writeV(y0 + r, x0, mbf(readV(y0 + r, x0), mblim))
+        if (hasCoeffs(mby * mbW + mbx))
+          for (dx <- Seq(4, 8, 12); r <- 0 until 16)
+            writeV(y0 + r, x0 + dx, sbf(readV(y0 + r, x0 + dx), sblim))
+        if (mby > 0)
+          for (c <- 0 until 16) writeH(y0, x0 + c, mbf(readH(y0, x0 + c), mblim))
+        if (hasCoeffs(mby * mbW + mbx))
+          for (dy <- Seq(4, 8, 12); c <- 0 until 16)
+            writeH(y0 + dy, x0 + c, sbf(readH(y0 + dy, x0 + c), sblim))
+      }
+    }
+  }
+
   /** Independent luma reconstruction of a fixture frame: dequant →
     * (IWHT for Y2) → prediction from the already-reconstructed plane →
     * IDCT residual add, all in plain 2-D Int arrays.
@@ -239,6 +361,26 @@ class Vp8Spec extends AnyFunSuite {
       for (i <- 0 until 16; j <- 0 until 16)
         P(y0 + i)(x0 + j) = clamp255(pred(i)(j) + res(i)(j))
     }
+    // deblock, then crop — levels and coefficient flags derived straight
+    // from the fixture description rather than the engine's decode state
+    val levels = mbs.map { m =>
+      val base = cfg.segment match {
+        case Some((_, abs)) =>
+          if (abs) cfg.segmentLf(m.segId) else cfg.filterLevel + cfg.segmentLf(m.segId)
+        case None => cfg.filterLevel
+      }
+      val clamped = math.max(0, math.min(63, base))
+      cfg.refLfDeltaIntra match {
+        case Some(d) => math.max(0, math.min(63, clamped + d))
+        case None => clamped
+      }
+    }
+    val hasCoeffs = mbs.map { m =>
+      !m.skip && (m.y2.exists(_ != 0) ||
+        m.y.exists(b => (1 until 16).exists(c => b(c) != 0)) ||
+        m.u.exists(_.exists(_ != 0)) || m.v.exists(_.exists(_ != 0)))
+    }
+    indepLoopFilter(P, mbW, mbH, levels, hasCoeffs, cfg.sharpness, cfg.simpleFilter)
     val out = new Array[Int](w * h)
     for (i <- 0 until h; j <- 0 until w) out(i * w + j) = P(i)(j)
     out
@@ -375,13 +517,71 @@ class Vp8Spec extends AnyFunSuite {
 
   // ---- degrade contract ---------------------------------------------------------
 
-  test("degrade: inter frame, B_PRED, nonzero loop filter, truncation → None") {
+  // ---- loop filter parity ----------------------------------------------------
+
+  /** 4x2 grid with per-MB DC steps and residual texture — enough edge
+    * activity that every filter branch (mask pass/fail, hev, taper) is
+    * exercised at the chosen level.
+    */
+  private def texturedMbs(seed: Int): Seq[Mb] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until 8).map { i =>
+      val y2 = new Array[Int](16)
+      y2(0) = Seq(0, 10, -8, 25, 3, -20, 14, 6)(i) // DC steps across MB edges
+      y2(2) = rnd.nextInt(5) - 2
+      val y = Array.fill(16) {
+        val a = new Array[Int](16)
+        a(1 + rnd.nextInt(15)) = rnd.nextInt(7) - 3
+        if (rnd.nextBoolean()) a(1 + rnd.nextInt(15)) = rnd.nextInt(5) - 2
+        a
+      }
+      Mb(yMode = i % 4, y2 = y2, y = y)
+    }
+  }
+
+  test("loop filter: parity across hev regimes (levels 5 / 20 / 45)") {
+    for ((level, seed) <- Seq((5, 41), (20, 42), (45, 43)))
+      assertParity(64, 32, texturedMbs(seed), FrameCfg(q = 25, filterLevel = level))
+  }
+
+  test("loop filter: sharpness shrinks the interior limit; simple filter type") {
+    assertParity(64, 32, texturedMbs(51), FrameCfg(q = 25, filterLevel = 30, sharpness = 3))
+    assertParity(64, 32, texturedMbs(52), FrameCfg(q = 25, filterLevel = 30, sharpness = 7))
+    assertParity(64, 32, texturedMbs(53),
+      FrameCfg(q = 25, filterLevel = 25, simpleFilter = true))
+  }
+
+  test("loop filter: intra ref delta and per-segment levels adjust per MB") {
+    assertParity(64, 32, texturedMbs(61),
+      FrameCfg(q = 25, filterLevel = 18, refLfDeltaIntra = Some(14)))
+    val mbs = texturedMbs(62).zipWithIndex.map { case (m, i) => m.copy(segId = i % 4) }
+    assertParity(64, 32, mbs, FrameCfg(q = 30, filterLevel = 20,
+      segment = Some((Array(30, 30, 30, 30), true)),
+      segmentLf = Array(0, 15, 40, 63)))
+  }
+
+  test("loop filter: skipped/empty MBs keep their internal edges unfiltered") {
+    val y = Array.fill(16)(new Array[Int](16)); y(5)(1) = 9
+    val mbs = Seq(
+      Mb(skip = true), Mb(y2 = { val a = new Array[Int](16); a(0) = 18; a }),
+      Mb(), // coded but empty: every block EOBs immediately
+      Mb(yMode = Vp8Tables.VPred, y = y))
+    assertParity(64, 16, mbs, FrameCfg(q = 25, filterLevel = 35))
+    // and the filter must actually do something on this fixture
+    val filtered = engineLuma(64, 16, mbs, FrameCfg(q = 25, filterLevel = 35))
+    val unfiltered = engineLuma(64, 16, mbs, FrameCfg(q = 25, filterLevel = 0))
+    assert(filtered.toSeq != unfiltered.toSeq, "level-35 filter was a no-op")
+  }
+
+  // ---- degrade contract ---------------------------------------------------------
+
+  test("degrade: inter frame, B_PRED, truncation → None; filtered frames decode") {
     val inter = Vp8Fixture.interFrame()
     assert(Vp8.decodeKeyframe(inter, 0, inter.length).isEmpty)
     val bpred = Vp8Fixture.keyframe(16, 16, Seq(Mb(yMode = Vp8Tables.BPred)))
     assert(Vp8.decodeKeyframe(bpred, 0, bpred.length).isEmpty)
     val filtered = Vp8Fixture.keyframe(16, 16, Seq(Mb()), FrameCfg(filterLevel = 12))
-    assert(Vp8.decodeKeyframe(filtered, 0, filtered.length).isEmpty)
+    assert(Vp8.decodeKeyframe(filtered, 0, filtered.length).isDefined)
     val ok = Vp8Fixture.keyframe(16, 16, Seq(Mb()))
     assert(Vp8.decodeKeyframe(ok, 0, ok.length).isDefined)
     assert(Vp8.decodeKeyframe(ok, 0, 8).isEmpty)
