@@ -890,24 +890,42 @@ object H264 {
     if (sps == null || pps == null) None else Some((sps, pps, lenSize))
   }
 
-  /** Decode frame `idx` of an MP4 payload to (width, height, luma plane).
-    * Real pixels for streams whose slices are I_PCM-coded; None (honest
-    * degrade) for entropy-coded residuals — see the object doc.
+  /** Parse the MP4 container ONCE and return a per-frame pixel decoder:
+    * (frame count, idx → (width, height, luma)). The per-frame closure
+    * re-derives nothing from the container — callers that decode many
+    * frames of one payload (feature extraction over a whole video) pay
+    * the box walk once instead of once per frame, which is the
+    * difference between O(frames) and O(frames²) demux work on long
+    * videos. Out-of-range or undecodable frames → None, as in
+    * [[decodeFrame]].
     */
-  def decodeFrame(payload: Array[Byte],
-                  idx: Int): Option[(Int, Int, Array[Byte])] = {
-    if (payload == null || payload.length < 16 || idx < 0) return None
+  def frameDecoder(payload: Array[Byte])
+      : Option[(Int, Int => Option[(Int, Int, Array[Byte])])] = {
+    if (payload == null || payload.length < 16) return None
     try {
       val tr = videoTrack(payload).getOrElse(return None)
-      if (idx >= tr.sampleOffsets.length) return None
       val (spsNal, ppsNal, lenSize) = tr.avcC
-      var sps = parseSps(rbspOf(spsNal, 1, spsNal.length))
-      var pps = parsePps(rbspOf(ppsNal, 1, ppsNal.length))
+      val avccSps = parseSps(rbspOf(spsNal, 1, spsNal.length))
+      val avccPps = parsePps(rbspOf(ppsNal, 1, ppsNal.length))
+      val dec = (idx: Int) =>
+        if (idx < 0 || idx >= tr.sampleOffsets.length) None
+        else decodeSample(payload, tr, avccSps, avccPps, lenSize, idx)
+      Some((tr.sampleOffsets.length, dec))
+    } catch { case _: Exception => None }
+  }
+
+  /** Decode one sample given the already-parsed track. In-band SPS/PPS
+    * NALs inside the sample override the avcC ones for this frame.
+    */
+  private def decodeSample(payload: Array[Byte], tr: Track,
+                           avccSps: Sps, avccPps: Pps,
+                           lenSize: Int, idx: Int): Option[(Int, Int, Array[Byte])] = {
+    try {
+      var sps = avccSps
+      var pps = avccPps
       val s = tr.sampleOffsets(idx)
       val e = s + tr.sampleSizes(idx)
       if (s < 0 || e > payload.length) return None
-      // walk length-prefixed NALs in the sample; in-band SPS/PPS override
-      // the avcC ones, the slice NAL decodes
       var off = s.toInt
       while (off + lenSize <= e) {
         var l = 0L
@@ -929,5 +947,16 @@ object H264 {
       }
       None
     } catch { case _: Exception => None }
+  }
+
+  /** Decode frame `idx` of an MP4 payload to (width, height, luma plane).
+    * Real pixels for streams whose slices are I_PCM-coded; None (honest
+    * degrade) for entropy-coded residuals — see the object doc. One-shot
+    * form of [[frameDecoder]] (re-parses the container per call).
+    */
+  def decodeFrame(payload: Array[Byte],
+                  idx: Int): Option[(Int, Int, Array[Byte])] = {
+    if (idx < 0) return None
+    frameDecoder(payload).flatMap(_._2(idx))
   }
 }

@@ -910,14 +910,33 @@ object Multimodal {
             case Some((dur, starts)) =>
               val acc = new Array[Double](FeatureDim)
               var decodedFrames = 0
-              var i = 0
-              while (i < starts.length) {
-                decodeVideoFrame(p, i).foreach { case (_, _, f) =>
-                  var d = 0
-                  while (d < FeatureDim) { acc(d) += f(d); d += 1 }
-                  decodedFrames += 1
+              def add(f: Array[Float]): Unit = {
+                var d = 0
+                while (d < FeatureDim) { acc(d) += f(d); d += 1 }
+                decodedFrames += 1
+              }
+              // demux ONCE per payload, then per-frame pixel decode off
+              // the parsed index — decodeVideoFrame(p, i) in a loop
+              // would re-walk the container per frame (O(frames²) demux
+              // on long videos). Same decode order as decodeVideoFrame:
+              // H.264, then VP8, then GIF.
+              H264.frameDecoder(p) match {
+                case Some((_, dec)) =>
+                  var i = 0
+                  while (i < starts.length) {
+                    dec(i).foreach { case (w, h, l) => add(lumaGrid(l, w, h)) }
+                    i += 1
+                  }
+                case None => Vp8.frameDecoder(p) match {
+                  case Some((_, dec)) =>
+                    var i = 0
+                    while (i < starts.length) {
+                      dec(i).foreach { case (w, h, l) => add(lumaGrid(l, w, h)) }
+                      i += 1
+                    }
+                  case None =>
+                    foreachGifFrame(p, starts.length)(img => add(luminanceGrid(img)))
                 }
-                i += 1
               }
               if (decodedFrames == 0) (id, 0L, 0, decodeStub(p), false, n)
               else (id, dur, starts.length,
@@ -928,6 +947,37 @@ object Multimodal {
         }
       }
       .toDF("media_id", "duration_ms", "n_frames", "features", "decoded", "n_bytes")
+  }
+
+  /** Decode up to `maxFrames` GIF frames through ONE ImageReader (the
+    * per-frame path would re-create the reader — and re-parse the GIF
+    * header chain — per frame). Invalid/short payloads invoke `f` for
+    * however many frames decode; exceptions degrade silently like the
+    * per-frame path.
+    */
+  private def foreachGifFrame(p: Array[Byte], maxFrames: Int)(
+      f: java.awt.image.BufferedImage => Unit): Unit = {
+    if (p == null || p.isEmpty) return
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return
+        val reader = readers.next()
+        try {
+          if (!reader.getFormatName.equalsIgnoreCase("gif")) return
+          reader.setInput(iis)
+          val cnt = math.min(reader.getNumImages(true), maxFrames)
+          var i = 0
+          while (i < cnt) {
+            val img = reader.read(i)
+            if (img != null && img.getWidth > 0 && img.getHeight > 0) f(img)
+            i += 1
+          }
+        } finally reader.dispose()
+      } finally iis.close()
+    } catch { case _: Exception => () }
   }
 
   /** Frame sampling with the REAL codec, in two passes so the expensive

@@ -489,21 +489,36 @@ object Vp8 {
 
   private def clampQ(q: Int): Int = if (q < 0) 0 else if (q > 127) 127 else q
 
-  /** Decode frame `idx` of a WebM payload to (width, height, luma
-    * plane). Real pixels for VP8 keyframes within the documented scope;
-    * None (honest degrade) otherwise — see the object doc.
+  /** Parse the WebM container ONCE and return a per-frame pixel decoder:
+    * (frame count, idx → (width, height, luma)) — the EBML walk is paid
+    * once, not once per frame, so whole-video feature extraction stays
+    * O(frames) in demux work (mirrors [[H264.frameDecoder]]).
     */
-  def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Byte])] = {
-    if (payload == null || payload.length < 8 || idx < 0) return None
+  def frameDecoder(payload: Array[Byte])
+      : Option[(Int, Int => Option[(Int, Int, Array[Byte])])] = {
+    if (payload == null || payload.length < 8) return None
     try {
       val (codec, spans) = Multimodal.webmFrameBytes(payload).getOrElse(return None)
       if (codec != "V_VP8") return None
-      if (idx >= spans.length) return None
-      val (s, len) = spans(idx)
-      if (s < 0 || len <= 0 || s.toLong + len > payload.length) return None
-      decodeKeyframe(payload, s, s + len)
+      val dec = (idx: Int) => {
+        if (idx < 0 || idx >= spans.length) None
+        else {
+          val (s, len) = spans(idx)
+          if (s < 0 || len <= 0 || s.toLong + len > payload.length) None
+          else decodeKeyframe(payload, s, s + len)
+        }
+      }
+      Some((spans.length, dec))
     } catch { case _: Exception => None }
   }
+
+  /** Decode frame `idx` of a WebM payload to (width, height, luma
+    * plane). Real pixels for VP8 keyframes within the documented scope;
+    * None (honest degrade) otherwise — see the object doc. One-shot form
+    * of [[frameDecoder]] (re-walks the container per call).
+    */
+  def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Byte])] =
+    if (idx < 0) None else frameDecoder(payload).flatMap(_._2(idx))
 
   /** Decode one VP8 keyframe bitstream in `b[start, end)`. */
   private[graft] def decodeKeyframe(b: Array[Byte], start: Int,

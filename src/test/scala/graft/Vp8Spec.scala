@@ -615,6 +615,35 @@ class Vp8Spec extends AnyFunSuite {
     assert(Vp8.decodeFrame(laced, 1).isEmpty)
   }
 
+  test("fuzz: random and bit-flipped payloads never throw — degrade only") {
+    val rnd = new scala.util.Random(977)
+    // pure garbage at several sizes
+    for (sz <- Seq(0, 1, 9, 64, 513, 4096)) {
+      val junk = Array.fill(sz)(rnd.nextInt(256).toByte)
+      Vp8.decodeFrame(junk, 0)
+      Vp8.decodeKeyframe(junk, 0, junk.length)
+      Multimodal.decodeVideoFrame(junk, 0)
+    }
+    // a valid container with single random byte corruptions — every
+    // outcome (None, or a successfully decoded frame when the flip lands
+    // in a don't-care byte) is fine; an escaped exception is not
+    val y = Array.fill(16)(new Array[Int](16)); y(3)(2) = 11
+    val good = Vp8Fixture.webm(Seq(
+      Vp8Fixture.keyframe(32, 16, Seq(Mb(y = y.map(_.clone())), Mb(yMode = Vp8Tables.VPred)),
+        FrameCfg(filterLevel = 20))))
+    for (_ <- 0 until 300) {
+      val mutated = good.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      Multimodal.decodeVideoFrame(mutated, 0)
+    }
+    // truncations at every length decile
+    for (k <- 1 until 10) {
+      val cut = good.take(good.length * k / 10)
+      Multimodal.decodeVideoFrame(cut, 0)
+    }
+  }
+
   // ---- container routing ----------------------------------------------------------
 
   test("frame indexes align between webmFrameIndex and decodeFrame") {
@@ -629,6 +658,33 @@ class Vp8Spec extends AnyFunSuite {
     assert(d0.forall(_ == 128))
     assert(d1.toSeq != d0.toSeq, "frame 1 must decode its own (non-flat) pixels")
     assert(Vp8.decodeFrame(container, 2).isEmpty)
+  }
+
+  test("frameDecoder (demux-once) ≡ decodeFrame per index; features = mean of per-frame grids") {
+    val y = Array.fill(16)(new Array[Int](16)); y(0)(1) = 20; y(9)(5) = -7
+    val frames = Seq(
+      Vp8Fixture.keyframe(16, 16, Seq(Mb(skip = true))),
+      Vp8Fixture.keyframe(16, 16, Seq(Mb(y = y))),
+      Vp8Fixture.keyframe(16, 16, Seq(Mb(yMode = Vp8Tables.TmPred))))
+    val container = Vp8Fixture.webm(frames)
+    val Some((cnt, dec)) = Vp8.frameDecoder(container)
+    assert(cnt == 3)
+    for (i <- -1 to 3) {
+      val a = dec(i).map { case (w, h, l) => (w, h, l.toSeq) }
+      val b = Vp8.decodeFrame(container, i).map { case (w, h, l) => (w, h, l.toSeq) }
+      assert(a == b, s"frame $i")
+    }
+    // extractVideoFeatures (single-demux path) must equal the mean of
+    // the per-frame decodeVideoFrame grids
+    val perFrame = (0 until 3).map(i => Multimodal.decodeVideoFrame(container, i).get._3)
+    val expect = Array.tabulate(Multimodal.FeatureDim)(d =>
+      (perFrame.map(_(d).toDouble).sum / 3).toFloat)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L, container, Row("vid", 16, 16, 0L)))),
+      Multimodal.MediaSchema)
+    val got = Multimodal.extractVideoFeatures(df).collect()(0)
+    assert(got.getAs[Int]("n_frames") == 3 && got.getAs[Boolean]("decoded"))
+    assert(got.getAs[Seq[Float]]("features").toArray.toSeq == expect.toSeq)
   }
 
   test("decodeVideoFrame routes WebM/VP8 to real pixels; extractVideoFeatures reports decoded") {
