@@ -453,4 +453,30 @@ class CavlcSpec extends AnyFunSuite {
       .collect()
     assert(got.nonEmpty && got.forall(_.getAs[Boolean]("decoded")))
   }
+
+  test("fuzz: random and bit-flipped MP4 payloads never throw — degrade only") {
+    val rnd = new scala.util.Random(1453)
+    for (sz <- Seq(0, 1, 17, 128, 1024, 8192)) {
+      val junk = Array.fill(sz)(rnd.nextInt(256).toByte)
+      H264.decodeFrame(junk, 0)
+      graft.multimodal.Multimodal.decodeVideoFrame(junk, 0)
+    }
+    val good = VideoFixture.mp4(32, 32, VideoFixture.sps(2, 2),
+      VideoFixture.pps(), Seq(VideoFixture.idrI16Slice(2, 2, Seq(
+        wrapI16(VideoFixture.I16Mb(2, Array(6, -3, 2) ++ Array.fill(13)(0))),
+        wrapI16(VideoFixture.I16Mb(1, new Array[Int](16))),
+        wrapI16(VideoFixture.I16Mb(3, new Array[Int](16))),
+        wrapI16(VideoFixture.I16Mb(0, new Array[Int](16)))))))
+    // single-bit corruptions anywhere in the file: any outcome is fine
+    // (None, or a frame when the flip lands in a don't-care byte) — an
+    // escaped exception is not
+    for (_ <- 0 until 300) {
+      val mutated = good.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 << rnd.nextInt(8))).toByte
+      graft.multimodal.Multimodal.decodeVideoFrame(mutated, 0)
+    }
+    for (k <- 1 until 10)
+      graft.multimodal.Multimodal.decodeVideoFrame(good.take(good.length * k / 10), 0)
+  }
 }
