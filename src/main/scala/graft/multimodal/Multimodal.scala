@@ -169,15 +169,38 @@ object Multimodal {
       .toDF("media_id", "width", "height", "features", "decoded", "n_bytes")
   }
 
-  /** Real audio decode (`javax.sound.sampled`, JDK-native WAV/PCM —
-    * AIFF/AU too): stream → 16-bit signed PCM → ([[FeatureDim]] windows
-    * of mean |amplitude|, channel-averaged and normalized to [0,1],
-    * time-ordered — the 1-D analog of the image path's luminance grid),
-    * plus the clip duration in ms. None when the payload isn't decodable
-    * audio.
+  /** Real audio decode: FLAC through [[Flac]] (compressed codec, decode
+    * MD5/CRC-verified against the encoder's own signature), everything
+    * else through `javax.sound.sampled` (JDK-native WAV/PCM — AIFF/AU
+    * too): stream → PCM → ([[FeatureDim]] windows of mean |amplitude|,
+    * channel-averaged and normalized to [0,1], time-ordered — the 1-D
+    * analog of the image path's luminance grid), plus the clip duration
+    * in ms. None when the payload isn't decodable audio.
     */
   def decodeAudio(payload: Array[Byte]): Option[(Long, Array[Float])] = {
     if (payload == null || payload.isEmpty) return None
+    if (payload.length >= 4 && payload(0) == 'f' && payload(1) == 'L' &&
+      payload(2) == 'a' && payload(3) == 'C') {
+      return Flac.decode(payload).map { case (si, chans) =>
+        val n = chans(0).length
+        val durationMs = math.round(n * 1000.0 / si.sampleRate)
+        val norm = math.pow(2.0, si.bps - 1)
+        val sums = new Array[Double](FeatureDim)
+        val counts = new Array[Long](FeatureDim)
+        var i = 0
+        while (i < n) {
+          var c = 0
+          var acc = 0.0
+          while (c < si.channels) { acc += math.abs(chans(c)(i).toDouble); c += 1 }
+          val cell = math.min(FeatureDim - 1, i.toLong * FeatureDim / n).toInt
+          sums(cell) += acc / si.channels / norm
+          counts(cell) += 1
+          i += 1
+        }
+        (durationMs, Array.tabulate(FeatureDim)(d =>
+          if (counts(d) == 0) 0f else (sums(d) / counts(d)).toFloat))
+      }
+    }
     import javax.sound.sampled.{AudioFormat, AudioSystem}
     try {
       val ais = AudioSystem.getAudioInputStream(
