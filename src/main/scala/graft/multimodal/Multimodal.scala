@@ -79,12 +79,17 @@ object Multimodal {
       .toDF("media_id", "features", "n_bytes")
   }
 
-  /** Real image decode: ImageIO parse + [[FeatureDim]]-dim feature vector
-    * of 4×4-grid luminance means (row-major; partial edge cells use their
-    * true pixel counts). None when the payload isn't a decodable image.
+  /** Real image decode: ImageIO parse (PNG/JPEG/GIF/BMP — the JDK
+    * codecs) or, for lossy WebP, the in-engine VP8 keyframe decoder —
+    * + [[FeatureDim]]-dim feature vector of 4×4-grid luminance means
+    * (row-major; partial edge cells use their true pixel counts). None
+    * when the payload isn't a decodable image.
     */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = {
     if (payload == null || payload.isEmpty) return None
+    Vp8.decodeWebP(payload).foreach { case (w, h, luma) =>
+      return Some((w, h, lumaGrid(luma, w, h)))
+    }
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case _: Exception => null }

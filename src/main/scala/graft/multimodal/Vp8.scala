@@ -520,6 +520,31 @@ object Vp8 {
   def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Byte])] =
     if (idx < 0) None else frameDecoder(payload).flatMap(_._2(idx))
 
+  /** Lossy WebP still image: the RIFF/WEBP wrapper around a single VP8
+    * keyframe ('VP8 ' chunk) — the same bitstream [[decodeKeyframe]]
+    * already handles, so web-scraped WebP images decode to real luma.
+    * VP8L (lossless) and VP8X (extended/animated) chunks keep the
+    * honest degrade.
+    */
+  def decodeWebP(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 20) return None
+    def fourcc(off: Int) =
+      new String(payload, off, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WEBP") return None
+    try {
+      var off = 12
+      while (off + 8 <= payload.length) {
+        val tag = fourcc(off)
+        val size = (payload(off + 4) & 0xFF) | ((payload(off + 5) & 0xFF) << 8) |
+          ((payload(off + 6) & 0xFF) << 16) | ((payload(off + 7) & 0xFF) << 24)
+        if (size < 0 || off + 8 + size > payload.length) return None
+        if (tag == "VP8 ") return decodeKeyframe(payload, off + 8, off + 8 + size)
+        off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
   /** Decode one VP8 keyframe bitstream in `b[start, end)`. */
   private[graft] def decodeKeyframe(b: Array[Byte], start: Int,
                                     end: Int): Option[(Int, Int, Array[Byte])] = {

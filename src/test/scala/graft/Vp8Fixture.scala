@@ -329,6 +329,16 @@ object Vp8Fixture {
     id ++ vsize(p.length) ++ p
   }
 
+  /** RIFF/WEBP wrap of a raw VP8 keyframe (lossy WebP still image). */
+  def webp(frame: Array[Byte], chunkTag: String = "VP8 "): Array[Byte] = {
+    val le = (v: Int) => Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    val pad = if (frame.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray
+    val chunk = chunkTag.getBytes("ISO-8859-1") ++ le(frame.length) ++ frame ++ pad
+    "RIFF".getBytes("ISO-8859-1") ++ le(4 + chunk.length) ++
+      "WEBP".getBytes("ISO-8859-1") ++ chunk
+  }
+
   /** Wrap raw VP8 frames as a one-cluster WebM, 40 ms apart. */
   def webm(frames: Seq[Array[Byte]], codecId: String = "V_VP8"): Array[Byte] = {
     val hdr = el(Array(0x1A, 0x45, 0xDF, 0xA3).map(_.toByte),

@@ -615,6 +615,37 @@ class Vp8Spec extends AnyFunSuite {
     assert(Vp8.decodeFrame(laced, 1).isEmpty)
   }
 
+  test("WebP: a lossy still image decodes through the VP8 keyframe path") {
+    val y = Array.fill(16)(new Array[Int](16)); y(4)(1) = 15
+    val frame = Vp8Fixture.keyframe(32, 16,
+      Seq(Mb(y = y.map(_.clone())), Mb(yMode = Vp8Tables.HPred)),
+      FrameCfg(filterLevel = 10))
+    // pixels through the image entry == pixels through the raw keyframe
+    val direct = Vp8.decodeKeyframe(frame, 0, frame.length).get
+    val viaWebp = Vp8.decodeWebP(Vp8Fixture.webp(frame)).get
+    assert(viaWebp._1 == direct._1 && viaWebp._2 == direct._2)
+    assert(viaWebp._3.toSeq == direct._3.toSeq)
+    // routed through the image feature path
+    val Some((w, h, grid)) = Multimodal.decodeImage(Vp8Fixture.webp(frame))
+    assert(w == 32 && h == 16 && grid.length == Multimodal.FeatureDim)
+    // a chunk before VP8 ' is skipped with RIFF padding honored
+    val withLeading = {
+      val odd = Array[Byte](1, 2, 3) // odd-size chunk forces the pad rule
+      val le = (v: Int) => Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+        ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+      val junkChunk = "JUNK".getBytes("ISO-8859-1") ++ le(odd.length) ++ odd ++ Array[Byte](0)
+      val vp8Chunk = "VP8 ".getBytes("ISO-8859-1") ++ le(frame.length) ++ frame
+      "RIFF".getBytes("ISO-8859-1") ++ le(4 + junkChunk.length + vp8Chunk.length) ++
+        "WEBP".getBytes("ISO-8859-1") ++ junkChunk ++ vp8Chunk
+    }
+    assert(Vp8.decodeWebP(withLeading).get._3.toSeq == direct._3.toSeq)
+    // honest degrades: lossless and extended chunk types, junk bytes
+    assert(Vp8.decodeWebP(Vp8Fixture.webp(frame, chunkTag = "VP8L")).isEmpty)
+    assert(Vp8.decodeWebP(Vp8Fixture.webp(frame, chunkTag = "VP8X")).isEmpty)
+    assert(Vp8.decodeWebP("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Vp8.decodeWebP(null).isEmpty)
+  }
+
   test("fuzz: random and bit-flipped payloads never throw — degrade only") {
     val rnd = new scala.util.Random(977)
     // pure garbage at several sizes
