@@ -143,4 +143,36 @@ class WarcSpec extends AnyFunSuite {
     val plan = Warc.responses(spark, files).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"responses() must stay shuffle-free:\n$plan")
   }
+
+  test("curation integration: WARC responses flow into langid/quality/token filters unchanged") {
+    import spark.implicits._
+    import graft.functions.TextAnalysisFns
+    // an English page, a Spanish page, and a binary asset in one archive
+    val en = "<html><body>" +
+      "<p>The quick brown fox jumps over the lazy dog and runs far away into the woods.</p>" +
+      "<p>It was the best of times and it was the worst of times for the model corpus.</p>" +
+      "</body></html>"
+    val es = "<html><body>" +
+      "<p>El rápido zorro marrón salta sobre el perro perezoso y corre hacia el bosque.</p>" +
+      "<p>Era el mejor de los tiempos y era el peor de los tiempos para el corpus.</p>" +
+      "</body></html>"
+    val warc =
+      record("response", "https://en.example/a", httpResponse(en.getBytes("UTF-8"))) ++
+        record("response", "https://es.example/b", httpResponse(es.getBytes("UTF-8"))) ++
+        record("response", "https://cdn.example/img",
+          httpResponse(Array.fill(128)(9.toByte), contentType = "image/png"))
+    val files = Seq(("crawl-0.warc", warc)).toDF("path", "content")
+    val curated = Warc.responses(spark, files)
+      .where(org.apache.spark.sql.functions.length($"text") > 0)
+      .withColumn("lang", TextAnalysisFns.langId($"text"))
+      .withColumn("quality", TextAnalysisFns.qualityScore($"text"))
+      .withColumn("n_words", TextAnalysisFns.wordCount($"text"))
+      .orderBy("target_uri")
+      .collect()
+    assert(curated.length == 2, "binary asset must drop out of the text leg")
+    assert(curated(0).getAs[String]("lang") == "en")
+    assert(curated(1).getAs[String]("lang") == "es")
+    assert(curated.forall(_.getAs[Int]("n_words") > 20))
+    assert(curated.forall(r => !r.getAs[String]("text").contains("<")))
+  }
 }
