@@ -5,7 +5,19 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR, materializing full rows through the `noop` sink
   * (a bare count() would let Catalyst prune unfiltered projection columns
-  * and measure only the scan). Prints ONE JSON line.
+  * and measure only the scan). Prints ONE JSON line per completed phase
+  * (the last line on stdout is always the most-enriched one).
+  *
+  * Timeout durability: the artifact (`bench_full.json`) and the stdout
+  * summary line are written IMMEDIATELY after the interleaved passes,
+  * then rewritten/re-printed after the adjudicator phase and again after
+  * the fresh-JVM phase. A run killed mid-protocol therefore always
+  * leaves a parseable line + a complete-for-its-phase artifact (round 13
+  * shipped `rc: 124, parsed: null` because everything was emitted only
+  * at the very end). A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
+  * default 480 s) skips the remaining protocol phases when exceeded —
+  * the interleaved result is the load-robust headline; the later phases
+  * are enrichment, never worth a zero-information artifact.
   */
 object Bench {
 
@@ -37,8 +49,15 @@ object Bench {
     catch { case _: Throwable => Seq(0.0, 0.0, 0.0) }
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Wall-clock budget for the OPTIONAL protocol phases (adjudicator +
+    // fresh-JVM forks). Once elapsed exceeds it, remaining phases are
+    // skipped — the artifact then records which phases ran ("stage").
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
     // fingerprint only on full runs: the fresh-JVM children (BENCH_ONLY
     // set) would otherwise each pay ~2 s of spin for a file they never
     // write — and their spin would itself perturb the box under test
@@ -99,6 +118,60 @@ object Bench {
     val total = r3(results.map(_._2).sum)
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
 
+    // Headline subset spanning the operator families (relational agg/join,
+    // window, dedup, ANN, text, streaming, upsert, composed pipeline).
+    val headline = Set(
+      "q1_agg", "q3_join_agg", "q5_region_revenue", "a6_convo_agg",
+      "j1_lookup_join", "j8_fuzzy_semi_join", "w4_sort_limit",
+      "win_moving_avg", "dedup_exact", "dedup_minhash_lsh",
+      "dedup_ngram_jaccard", "dedup_simhash", "ann_topk_bruteforce",
+      "ann_topk_ivf", "ann_topk_lsh", "text_quality", "tfidf_top_terms",
+      "stream_sessionize", "k4_merge_upsert", "pipeline_doc_filter",
+      "session_window_native", "topk_per_segment", "scalar_subquery_select",
+      "asof_prev_purchase", "text_tokens_bpe", "mixture_sample")
+
+    def line(queries: Seq[(String, Double)], nShown: Int, stage: String,
+             isoJson: String, extra: String = ""): String =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${timed.size},""" +
+      s""""n_ok":${results.size},"n_shown":$nShown,"stage":"$stage",""" +
+      s""""errors":$errJson,"queries":${jsonOf(queries)}$isoJson$extra,""" +
+      s""""sf":"$sfDir"}"""
+
+    // Emit one phase: rewrite bench_full.json (full per-query map + load
+    // fingerprint) and print the short headline summary line. Full
+    // per-query timings go to the file only: the bench driver keeps the
+    // last ~2000 chars of output, so the stdout line must stay short
+    // (~80 queries at full precision overflowed the window in r01/r02 and
+    // the driver recorded "parsed": null) — the fresh-JVM map and the
+    // load fingerprint live ONLY in the file for the same reason.
+    def emit(stage: String, isolated: Seq[(String, Double)],
+             fresh: Seq[(String, Double)]): Unit = {
+      val isoJson =
+        if (isolated.isEmpty) "" else s""","isolated":${jsonOf(isolated)}"""
+      val freshJson =
+        if (fresh.isEmpty) "" else s""","fresh":${jsonOf(fresh)}"""
+      val loadNow = if (fullRun) loadavg() else Nil
+      val spinNow = if (fullRun) spinSeconds() else 0.0
+      val loadJson =
+        s""","load":{"loadavg_start":[${loadStart.mkString(",")}],""" +
+        s""""loadavg_end":[${loadNow.mkString(",")}],""" +
+        s""""spin_start_sec":$spinStart,"spin_end_sec":$spinNow,""" +
+        s""""elapsed_sec":${r3(elapsedS)},"cpus":$cpus}"""
+      if (only.isEmpty) // a filtered dev run must not clobber the artifact
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get("bench_full.json"),
+          (line(results, results.size, stage, isoJson, freshJson + loadJson) +
+            "\n").getBytes("UTF-8"))
+      val shown =
+        if (only.nonEmpty) results else results.filter(r => headline(r._1))
+      println(line(shown, shown.size, stage, isoJson))
+      System.out.flush()
+    }
+
+    // PHASE 1 artifact: out the door before any optional phase can be
+    // killed. From here on the run can only get MORE informative.
+    emit("interleaved", Seq.empty, Seq.empty)
+
     // --- self-adjudication: any query reading > 1.5x its BASELINE.md
     // figure gets an immediate ISOLATED re-run (best of 2, nothing else
     // in flight) so a transiently loaded box can't masquerade as a plan
@@ -108,7 +181,11 @@ object Bench {
     // the single source of the figures; no file → no adjudication. The
     // figures were recorded at sf0.1 — at any other SF the comparison is
     // meaningless (everything reads >1.5x at sf1.0), so adjudication only
-    // arms when the bench dir IS that scale factor.
+    // arms when the bench dir IS that scale factor. Sub-second-baseline
+    // queries are NOT adjudicated: at that scale the isolated re-run
+    // measures GC wake-up, not plans (r13 judge run: text_token_quantiles
+    // isolated 1.10 s vs interleaved 0.44 s), so re-running them only
+    // burns wall-clock to produce a noisier number.
     val baseline: Map[String, Double] =
       if (!sfDir.stripSuffix("/").endsWith("sf0.1") ||
           !java.nio.file.Files.exists(java.nio.file.Paths.get("BASELINE.md")))
@@ -129,7 +206,8 @@ object Bench {
     val isolated: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty // dev-filtered runs are already isolated
       else results.collect {
-        case (name, t) if baseline.get(name).exists(b => t > 1.5 * b) =>
+        case (name, t) if baseline.get(name).exists(b =>
+            b >= 1.0 && t > 1.5 * b) && elapsedS < budgetS =>
           val ts = (1 to 2).flatMap { _ =>
             val t0 = System.nanoTime()
             try { run(qmap(name)); Some((System.nanoTime() - t0) / 1e9) }
@@ -137,21 +215,10 @@ object Bench {
           }
           name -> ts.minOption.getOrElse(t)
       }
-    val isoJson =
-      if (isolated.isEmpty) ""
-      else s""","isolated":${jsonOf(isolated)}"""
 
-    // Headline subset spanning the operator families (relational agg/join,
-    // window, dedup, ANN, text, streaming, upsert, composed pipeline).
-    val headline = Set(
-      "q1_agg", "q3_join_agg", "q5_region_revenue", "a6_convo_agg",
-      "j1_lookup_join", "j8_fuzzy_semi_join", "w4_sort_limit",
-      "win_moving_avg", "dedup_exact", "dedup_minhash_lsh",
-      "dedup_ngram_jaccard", "dedup_simhash", "ann_topk_bruteforce",
-      "ann_topk_ivf", "ann_topk_lsh", "text_quality", "tfidf_top_terms",
-      "stream_sessionize", "k4_merge_upsert", "pipeline_doc_filter",
-      "session_window_native", "topk_per_segment", "scalar_subquery_select",
-      "asof_prev_purchase", "text_tokens_bpe", "mixture_sample")
+    // PHASE 2 artifact (only if the adjudicator actually ran on anything —
+    // an identical rewrite would just churn the file's mtime).
+    if (isolated.nonEmpty) emit("adjudicated", isolated, Seq.empty)
 
     // --- dual protocol: the FRESH-JVM isolated floor per headline query.
     // The interleaved min depends on what ran before it in this JVM (JIT
@@ -160,14 +227,35 @@ object Bench {
     // across rounds on bit-identical f30_xml_extract code. A freshly
     // forked JVM per query (best of 2 INSIDE the child, so its reading
     // excludes JVM/session startup but includes one warm re-run) is the
-    // reproducible-across-rounds second protocol. Headline subset only,
-    // armed with the baseline (sf0.1, BASELINE.md present), bounded by a
-    // per-child timeout; SPARK_GRAFT_BENCH_FRESH=0 disables.
+    // reproducible-across-rounds second protocol. To keep the whole bench
+    // inside the driver's budget, each run forks only a ROTATING slice of
+    // the headline subset (SPARK_GRAFT_BENCH_FRESH_N per run, default 8 —
+    // full coverage every ceil(26/8)=4 runs); the cursor persists in
+    // bench_fresh_cursor.txt across runs. Armed with the baseline (sf0.1,
+    // BASELINE.md present), bounded by a per-child timeout and the global
+    // budget; SPARK_GRAFT_BENCH_FRESH=0 disables.
     val freshEnabled = only.isEmpty && baseline.nonEmpty &&
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") != "0"
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH", "1") != "0" &&
+      elapsedS < budgetS
     val fresh: Seq[(String, Double)] =
       if (!freshEnabled) Seq.empty
       else {
+        val resultNames = results.map(_._1).toSet
+        val pool = headline.toSeq.sorted.filter(resultNames)
+        val freshN = math.min(pool.size,
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_FRESH_N", "8").toInt)
+        val cursorPath = java.nio.file.Paths.get("bench_fresh_cursor.txt")
+        val cursor =
+          try new String(java.nio.file.Files.readAllBytes(cursorPath),
+            "UTF-8").trim.toInt
+          catch { case _: Throwable => 0 }
+        val slice =
+          if (pool.isEmpty) Seq.empty
+          else (0 until freshN).map(i => pool((cursor + i) % pool.size))
+        try java.nio.file.Files.write(cursorPath,
+          (((cursor + freshN) % math.max(1, pool.size)).toString + "\n")
+            .getBytes("UTF-8"))
+        catch { case _: Throwable => } // read-only cwd: rotation just stalls
         val javaBin = System.getProperty("java.home") + "/bin/java"
         val opens = Seq(
           "java.base/java.lang", "java.base/java.lang.invoke",
@@ -182,7 +270,7 @@ object Bench {
           s"-Xmx${Runtime.getRuntime.maxMemory()}",
           "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
           "-cp", System.getProperty("java.class.path"), "graft.Bench")
-        results.collect { case (name, _) if headline(name) =>
+        slice.takeWhile(_ => elapsedS < budgetS).flatMap { name =>
           val pb = new ProcessBuilder(cmd: _*)
           pb.redirectError(ProcessBuilder.Redirect.DISCARD)
           pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
@@ -193,48 +281,36 @@ object Bench {
           val outF = java.util.concurrent.CompletableFuture.supplyAsync(() =>
             new String(p.getInputStream.readAllBytes(), "UTF-8"))
           val done = p.waitFor(240, java.util.concurrent.TimeUnit.SECONDS)
-          if (!done) { p.destroyForcibly(); name -> None }
+          if (!done) { p.destroyForcibly(); None }
           else {
             val out = outF.get()
             val re = ("\"" + java.util.regex.Pattern.quote(name) +
               "\":([0-9][0-9.eE+-]*)").r
-            name -> re.findFirstMatchIn(out).map(_.group(1).toDouble)
+            re.findFirstMatchIn(out).map(m => name -> m.group(1).toDouble)
           }
-        }.collect { case (n, Some(t)) => n -> t }
+        }
       }
-    val freshJson =
-      if (fresh.isEmpty) ""
-      else s""","fresh":${jsonOf(fresh)}"""
 
-    def line(queries: Seq[(String, Double)], nShown: Int,
-             extra: String = ""): String =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${timed.size},""" +
-      s""""n_ok":${results.size},"n_shown":$nShown,"errors":$errJson,""" +
-      s""""queries":${jsonOf(queries)}$isoJson$extra,"sf":"$sfDir"}"""
-
-    // Full per-query timings go to a file: the bench driver only keeps the
-    // last 2000 chars of output, so the summary line below must stay short
-    // (~80 queries at full precision overflowed the window in r01/r02 and
-    // the driver recorded "parsed": null) — the fresh-JVM map and the load
-    // fingerprint live ONLY in the file for the same reason.
-    val loadEnd = if (fullRun) loadavg() else Nil
-    val spinEnd = if (fullRun) spinSeconds() else 0.0
-    val loadJson =
-      s""","load":{"loadavg_start":[${loadStart.mkString(",")}],""" +
-      s""""loadavg_end":[${loadEnd.mkString(",")}],""" +
-      s""""spin_start_sec":$spinStart,"spin_end_sec":$spinEnd,""" +
-      s""""cpus":$cpus}"""
-    if (only.isEmpty) // a filtered dev run must not clobber the artifact
+    // FINAL artifact + summary. Silence executor/shutdown logging, stop,
+    // THEN print: the final line must be the last thing on stdout before
+    // sbt's own success line.
+    if (only.isEmpty)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (line(results, results.size, freshJson + loadJson) + "\n")
+        (line(results, results.size, "final",
+          (if (isolated.isEmpty) ""
+           else s""","isolated":${jsonOf(isolated)}"""),
+          (if (fresh.isEmpty) "" else s""","fresh":${jsonOf(fresh)}""") +
+          s""","load":{"loadavg_start":[${loadStart.mkString(",")}],""" +
+          s""""loadavg_end":[${(if (fullRun) loadavg() else Nil).mkString(",")}],""" +
+          s""""spin_start_sec":$spinStart,""" +
+          s""""spin_end_sec":${if (fullRun) spinSeconds() else 0.0},""" +
+          s""""elapsed_sec":${r3(elapsedS)},"cpus":$cpus}""") + "\n")
           .getBytes("UTF-8"))
-
-    val shown = if (only.nonEmpty) results else results.filter(r => headline(r._1))
-    val summary = line(shown, shown.size)
-
-    // Silence executor/shutdown logging, stop, THEN print: the summary line
-    // must be the last thing on stdout before sbt's own success line.
+    val shown =
+      if (only.nonEmpty) results else results.filter(r => headline(r._1))
+    val summary = line(shown, shown.size, "final",
+      if (isolated.isEmpty) "" else s""","isolated":${jsonOf(isolated)}""")
     try { spark.sparkContext.setLogLevel("OFF"); spark.stop() }
     catch { case _: Throwable => }
     println(summary)
