@@ -346,20 +346,34 @@ object SuffixDedup {
   /** End-to-end decontamination: compute the prefix-doubling span front
     * ONCE and derive every head from it — the shape a real curation run
     * takes. The standalone `decontamination_suffix` / `_removal` /
-    * `contamination_rate_by_source` queries each pay the full suffix
-    * pipeline (the right contract for independent queries); a pipeline
-    * run wants the spans `localCheckpoint`ed (pinned + lineage-truncated,
-    * like PageRank's iterations) and the cheap per-doc/per-source heads
-    * derived from the pinned frame. Each head is row-identical to its
-    * standalone query by construction — the specs pin that.
+    * `contamination_rate_by_source` queries share the same pinned front
+    * through [[FrontCache]] (round-13 ask #3 — previously each paid the
+    * full suffix pipeline per query); a pipeline run wants the spans
+    * `localCheckpoint`ed (pinned + lineage-truncated, like PageRank's
+    * iterations) and the cheap per-doc/per-source heads derived from the
+    * pinned frame ([[decontaminateFromSpans]]). Each head is
+    * row-identical to its standalone query by construction — the specs
+    * pin that.
     *
     * `groupCol` names the training-feed grouping for the rates head (the
     * reference corpus' `source`).
     */
   def decontaminate(docs: DataFrame, idCol: String, textCol: String,
-                    groupCol: String, isEval: Column, L: Int): DecontamBundle = {
-    val spans = contaminationSpans(docs, idCol, textCol, isEval, L)
-      .localCheckpoint()
+                    groupCol: String, isEval: Column, L: Int): DecontamBundle =
+    decontaminateFromSpans(
+      contaminationSpans(docs, idCol, textCol, isEval, L).localCheckpoint(),
+      docs, idCol, textCol, groupCol, isEval)
+
+  /** [[decontaminate]] over an ALREADY-pinned spans frame (a
+    * [[FrontCache]] entry or a `Warehouse` snapshot) — the entry point
+    * that lets several independent queries of one run share one suffix
+    * front. `spans` must be [[contaminationSpans]]' output for the same
+    * (docs, isEval, L), already materialized (localCheckpoint/parquet);
+    * this method never recomputes or re-pins it.
+    */
+  def decontaminateFromSpans(spans: DataFrame, docs: DataFrame, idCol: String,
+                             textCol: String, groupCol: String,
+                             isEval: Column): DecontamBundle = {
     val per = spans.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), sum(col("span_len")).as("removed"))
     // one row per training doc: bounded by the corpus' doc count, the

@@ -27,6 +27,33 @@ object CurationWave4Queries {
     */
   private val DecontamL = 12
 
+  /** The decontamination span front, computed ONCE per (session, corpus
+    * version) and pinned through [[graft.operators.FrontCache]] — the
+    * round-13 VERDICT ask #3: the four decontamination queries are heads
+    * over one front, exactly like a real curation run; previously each
+    * paid the full O(corpus·log L) prefix-doubling pipeline. The cache
+    * key carries the sf directory and L, so a different corpus or policy
+    * knob never reads a stale front; values are checkpoint-pinned, so
+    * every head sees the same dense-label assignment. Heads re-sort —
+    * checkpointed block order is not an output contract.
+    */
+  private def decontamSpans(s: org.apache.spark.sql.SparkSession,
+                            dir: String) =
+    graft.operators.FrontCache.getOrCompute(s,
+      s"decontam-spans:$dir:L=$DecontamL")(
+      SuffixDedup.contaminationSpans(t("documents")(s, dir), "doc_id",
+        "text", col("source") === "src0", DecontamL))
+
+  /** The duplicate-span front (corpus-wide maximal duplicate spans at
+    * [[SpanL]]) shared by `dedup_substring_suffix` / `_removal` /
+    * `dup_span_length_hist` — same registry contract as
+    * [[decontamSpans]].
+    */
+  private def dupSpans(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.FrontCache.getOrCompute(s, s"dup-spans:$dir:L=$SpanL")(
+      SuffixDedup.maximalDuplicateSpans(t("documents")(s, dir), "doc_id",
+        "text", SpanL))
+
   /** Shared oracle CTE chain for the decontamination family: materialized
     * 12-gram cross-source overlap → covered positions → gaps-and-islands
     * merged `spans(doc_id, span_start, span_end, span_len)`. One source
@@ -72,8 +99,7 @@ object CurationWave4Queries {
     // materialized 12-gram strings, the affordable sf0.01 form — label
     // equality is exact, so both define the same covered set.
     QueryDef("decontamination_suffix", (s, dir) =>
-      SuffixDedup.contaminationSpans(t("documents")(s, dir),
-        "doc_id", "text", col("source") === "src0", DecontamL)
+      decontamSpans(s, dir).orderBy(col("doc_id"), col("span_start"))
     , Some(s"""
       WITH $decontamSpanCtes
       SELECT doc_id, span_start, span_end, span_len
@@ -86,8 +112,7 @@ object CurationWave4Queries {
     // exactly; one grouped agg + a left join onto per-doc token counts.
     QueryDef("decontamination_suffix_removal", (s, dir) => {
       val docs = t("documents")(s, dir)
-      val spans = SuffixDedup.contaminationSpans(docs, "doc_id", "text",
-        col("source") === "src0", DecontamL)
+      val spans = decontamSpans(s, dir)
       val per = spans.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           sum(col("span_len")).as("removed"))
@@ -121,8 +146,7 @@ object CurationWave4Queries {
     // two final double divisions (portable-exact).
     QueryDef("contamination_rate_by_source", (s, dir) => {
       val docs = t("documents")(s, dir)
-      val spans = SuffixDedup.contaminationSpans(docs, "doc_id", "text",
-        col("source") === "src0", DecontamL)
+      val spans = decontamSpans(s, dir)
       val per = spans.groupBy(col("doc_id"))
         .agg(sum(col("span_len")).as("removed"))
       docs.where(col("source") =!= "src0")
@@ -170,8 +194,9 @@ object CurationWave4Queries {
     // frame. SuffixDedupSpec pins each bundled head row-identical to its
     // standalone query.
     QueryDef("pipeline_decontam_e2e", (s, dir) => {
-      val b = SuffixDedup.decontaminate(t("documents")(s, dir),
-        "doc_id", "text", "source", col("source") === "src0", DecontamL)
+      val b = SuffixDedup.decontaminateFromSpans(decontamSpans(s, dir),
+        t("documents")(s, dir), "doc_id", "text", "source",
+        col("source") === "src0")
       b.perDoc
         .join(b.rates.select(col("source"),
           col("doc_rate").as("src_doc_rate"),
@@ -217,8 +242,7 @@ object CurationWave4Queries {
     // is exact (dense ids, no hashing), so the two formulations define
     // the same covered set by construction.
     QueryDef("dedup_substring_suffix", (s, dir) =>
-      SuffixDedup.maximalDuplicateSpans(t("documents")(s, dir),
-        "doc_id", "text", SpanL)
+      dupSpans(s, dir).orderBy(col("doc_id"), col("span_start"))
     , Some(s"""
       WITH tk AS (SELECT doc_id, ${Sql.tokens("text")} AS ts FROM documents),
       g AS (SELECT doc_id,
@@ -256,8 +280,7 @@ object CurationWave4Queries {
     // the spans pipeline's plan shape carries over unchanged.
     QueryDef("dedup_substring_removal", (s, dir) => {
       val docs = t("documents")(s, dir)
-      val spans = SuffixDedup.maximalDuplicateSpans(docs, "doc_id", "text",
-        SpanL)
+      val spans = dupSpans(s, dir)
       val per = spans.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           sum(col("span_len")).as("removed_tokens"))
@@ -416,7 +439,11 @@ object CurationWave4Queries {
         .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "tok")))
         .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
           col("tok"))
-      val top = SuffixDedup.suffixRanks(toks)
+      // the suffix-rank front is a per-corpus artifact too (a real run
+      // builds the suffix array once) — registry-pinned like decontamSpans
+      val ranks = graft.operators.FrontCache.getOrCompute(s,
+        s"suffix-ranks:$dir")(SuffixDedup.suffixRanks(toks))
+      val top = ranks
         .orderBy(col("lbl"), col("doc_id"), col("pos")).limit(100)
       top.join(withTs, Seq("doc_id"))
         .select(col("lbl"), col("doc_id"), col("pos"),
@@ -605,8 +632,7 @@ object CurationWave4Queries {
     // at long spans) from "pervasive boilerplate" (mass at short spans).
     // One grouped count over the spans table.
     QueryDef("dup_span_length_hist", (s, dir) =>
-      SuffixDedup.maximalDuplicateSpans(t("documents")(s, dir),
-          "doc_id", "text", SpanL)
+      dupSpans(s, dir)
         .groupBy(col("span_len"))
         .agg(count(lit(1)).as("n_spans"))
         .orderBy(col("span_len"))
