@@ -158,8 +158,12 @@ object Tar {
       var total = 0L
       while (n > 0) {
         total += n
-        if (total > Int.MaxValue - 16)
-          throw new IllegalStateException("tar member over 2 GB — needs a streaming splitter")
+        // over the JVM byte[] cap: degrade this ARCHIVE to Nil (null →
+        // no entries) rather than throw out of entries() and fail the
+        // whole Spark task on one oversized file — the file's "never a
+        // throw" contract. Archives that big belong on the streaming
+        // path (Warc.recordsFromPaths is the per-record-stream pattern).
+        if (total > Int.MaxValue - 16) return null
         out.write(buf, 0, n)
         n = in.read(buf)
       }

@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,7 +32,15 @@ object Warc {
 
   /** One parsed WARC record. `body` is the raw block; for HTTP response
     * records the HTTP envelope is additionally parsed into
-    * status/headers/payload.
+    * status/headers/payload, the payload DECHUNKED (Transfer-Encoding:
+    * chunked) and CONTENT-DECODED (gzip/x-gzip/deflate) — Common Crawl
+    * stores raw HTTP responses, so without this the text column carries
+    * chunk framing and compressed bytes. `httpContentEncoding` /
+    * `httpTransferEncoding` name the encoding REMAINING on `body`: ""
+    * once fully decoded (or none was present); the original header value
+    * when the encoding is unsupported (br, zstd) or its framing is
+    * malformed — downstream treats such bodies as binary rather than
+    * decoding garbage.
     */
   final case class WarcRecord(
       warcType: String,
@@ -41,6 +51,8 @@ object Warc {
       contentLength: Long,
       httpStatus: Int, // -1 when the block carries no HTTP envelope
       httpContentType: String, // "" likewise
+      httpContentEncoding: String, // encoding still on body ("" = identity)
+      httpTransferEncoding: String, // "" once dechunked / none
       body: Array[Byte]) // HTTP payload for http blocks, raw block otherwise
 
   private val Crlf = "\r\n".getBytes("ISO-8859-1")
@@ -82,8 +94,12 @@ object Warc {
       var total = 0L
       while (n > 0) {
         total += n
-        if (total > Int.MaxValue - 16)
-          throw new IllegalStateException("warc member over 2 GB — needs the streaming splitter")
+        // over the JVM byte[] cap: degrade (null → caller keeps raw bytes
+        // or Nil) rather than throw out of parseAll and fail the Spark
+        // task on one oversized file. Whole-file >2 GiB archives belong
+        // on the streaming path ([[parseStream]]/[[recordsFromPaths]]),
+        // which never materializes the inflated file.
+        if (total > Int.MaxValue - 16) return null
         out.write(buf, 0, n)
         n = in.read(buf)
       }
@@ -92,6 +108,175 @@ object Warc {
       case _: java.util.zip.ZipException => null
       case _: java.io.EOFException => null
     }
+  }
+
+  /** Streaming record walk — the >2 GiB path: records are parsed off a
+    * bounded InputStream (gzip-transparent, concatenated members walked
+    * natively by the JDK inflater) one at a time, so heap holds ONE
+    * record block at most, never the inflated file. Common Crawl caps
+    * files at ~1 GB but other crawl sources don't; this is the honest
+    * answer where [[parseAll]]'s byte[] form degrades. Same damage
+    * contract: a malformed header, over-cap record (> 2 GB block — the
+    * format's own unit must still fit one array), or truncated tail ends
+    * the walk at the last good record; nothing throws out of `next()`.
+    *
+    * The caller owns `in`'s lifetime; the iterator never closes it
+    * (close after exhaustion — [[recordsFromPaths]] shows the pattern).
+    */
+  def parseStream(in: java.io.InputStream): Iterator[WarcRecord] = {
+    val s: java.io.InputStream =
+      try {
+        val pb = new java.io.PushbackInputStream(
+          new java.io.BufferedInputStream(in, 1 << 16), 2)
+        val b1 = pb.read()
+        if (b1 < 0) return Iterator.empty
+        val b2 = pb.read()
+        if (b2 >= 0) pb.unread(b2)
+        pb.unread(b1)
+        if (b1 == 0x1F && b2 == 0x8B)
+          new java.util.zip.GZIPInputStream(pb, 1 << 16)
+        else pb
+      } catch { case _: java.io.IOException => return Iterator.empty }
+
+    def nextRecord(): WarcRecord =
+      try {
+        // skip record separators (blank lines) up to the version line
+        var line = readCrlfLine(s)
+        while (line != null && line.isEmpty) line = readCrlfLine(s)
+        if (line == null || !line.startsWith("WARC/")) return null
+        var warcType = ""
+        var recordId = ""
+        var date = ""
+        var uri = ""
+        var ctype = ""
+        var clen = -1L
+        var done = false
+        while (!done) {
+          val h = readCrlfLine(s)
+          if (h == null) return null
+          if (h.isEmpty) done = true
+          else {
+            val colon = h.indexOf(':')
+            if (colon > 0) {
+              val k = h.substring(0, colon).trim.toLowerCase
+              val v = h.substring(colon + 1).trim
+              k match {
+                case "warc-type" => warcType = v
+                case "warc-record-id" => recordId = v
+                case "warc-date" => date = v
+                case "warc-target-uri" => uri = v
+                case "content-type" => ctype = v
+                case "content-length" =>
+                  clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                case _ => ()
+              }
+            }
+          }
+        }
+        if (clen < 0 || clen > Int.MaxValue - 16) return null // over-cap
+        val block = s.readNBytes(clen.toInt)
+        if (block.length < clen) return null // truncated tail
+        interpretRecord(warcType, recordId, date, uri, ctype, clen, block)
+      } catch {
+        case _: java.io.IOException => null // ZipException included
+      }
+
+    new Iterator[WarcRecord] {
+      private var ahead: WarcRecord = nextRecord()
+      def hasNext: Boolean = ahead != null
+      def next(): WarcRecord = {
+        val r = ahead
+        ahead = nextRecord()
+        r
+      }
+    }
+  }
+
+  /** One CRLF-terminated ISO-8859-1 line (terminator stripped); null at
+    * EOF or past the 1 MiB header-line bound (headers that long are
+    * damage, and the bound keeps a hostile stream from ballooning the
+    * heap the streaming path exists to protect).
+    */
+  private def readCrlfLine(s: java.io.InputStream): String = {
+    val sb = new java.lang.StringBuilder(96)
+    var prev = -1
+    var c = s.read()
+    while (c >= 0) {
+      if (prev == '\r' && c == '\n') {
+        sb.setLength(sb.length - 1)
+        return sb.toString
+      }
+      if (sb.length > (1 << 20)) return null
+      sb.append(c.toChar)
+      prev = c
+      c = s.read()
+    }
+    null
+  }
+
+  /** Decode RFC 9112 §7.1 chunked framing: hex size line (extensions
+    * after ';' ignored), CRLF, data, CRLF, …, 0-size chunk, optional
+    * trailer fields, final CRLF. None on any framing violation (the
+    * caller keeps the raw bytes and the transfer-encoding mark).
+    */
+  private def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    var p = 0
+    while (true) {
+      val e = lineEnd(b, p)
+      if (e < 0) return None
+      val sizeStr = str(b, p, e).takeWhile(_ != ';').trim
+      val size =
+        try java.lang.Long.parseLong(sizeStr, 16)
+        catch { case _: NumberFormatException => return None }
+      if (size < 0 || size > Int.MaxValue - 16) return None
+      p = e + 2
+      if (size == 0) {
+        // trailer fields until an empty line (or clean end of input)
+        var tdone = p >= b.length
+        while (!tdone) {
+          val te = lineEnd(b, p)
+          if (te < 0) tdone = true // tolerate a truncated final CRLF
+          else if (te == p) tdone = true
+          else p = te + 2
+        }
+        return Some(out.toByteArray)
+      }
+      if (p + size > b.length) return None
+      out.write(b, p, size.toInt)
+      p += size.toInt
+      // data must be followed by CRLF
+      if (p + 2 > b.length || b(p) != Crlf(0) || b(p + 1) != Crlf(1))
+        return None
+      p += 2
+    }
+    None // unreachable
+  }
+
+  /** RFC 9110 `deflate` content coding: zlib-wrapped DEFLATE, with the
+    * raw-DEFLATE fallback real servers historically emit. None on
+    * corrupt input or an over-2GB inflate.
+    */
+  private def inflateBody(b: Array[Byte]): Option[Array[Byte]] = {
+    def tryWith(raw: Boolean): Option[Array[Byte]] =
+      try {
+        val inf = new java.util.zip.Inflater(raw)
+        val in = new java.util.zip.InflaterInputStream(
+          new java.io.ByteArrayInputStream(b), inf, 1 << 16)
+        val out = new java.io.ByteArrayOutputStream(math.min(b.length * 4, 1 << 20))
+        val buf = new Array[Byte](1 << 16)
+        var total = 0L
+        var n = in.read(buf)
+        while (n > 0) {
+          total += n
+          if (total > Int.MaxValue - 16) return None
+          out.write(buf, 0, n)
+          n = in.read(buf)
+        }
+        Some(out.toByteArray)
+      } catch { case _: java.io.IOException => None }
+      finally ()
+    tryWith(raw = false).orElse(tryWith(raw = true))
   }
 
   /** One record at `off`: version line, headers, Content-Length block,
@@ -146,14 +331,29 @@ object Warc {
       seps += 1
     }
     if (seps == 0 && next < b.length) return None // garbage after block
-    // HTTP envelope for application/http blocks
+    val block = java.util.Arrays.copyOfRange(b, blockStart, blockEnd)
+    Some((interpretRecord(warcType, recordId, date, uri, ctype, clen, block),
+      next))
+  }
+
+  /** Interpret a fully-carved record block: for `application/http` blocks
+    * parse the HTTP envelope, dechunk, and content-decode (see
+    * [[WarcRecord]]); other blocks pass through raw. Shared by the
+    * in-memory ([[parseAll]]) and streaming ([[parseStream]]) paths.
+    */
+  private def interpretRecord(warcType: String, recordId: String,
+                              date: String, uri: String, ctype: String,
+                              clen: Long, block: Array[Byte]): WarcRecord = {
     var status = -1
     var httpCt = ""
-    var body = java.util.Arrays.copyOfRange(b, blockStart, blockEnd)
+    var httpCe = ""
+    var httpTe = ""
+    var body = block
+    val blockEnd = block.length
     if (ctype.toLowerCase.startsWith("application/http")) {
-      val se = lineEnd(b, blockStart)
-      if (se > 0 && se <= blockEnd) {
-        val statusLine = str(b, blockStart, se)
+      val se = lineEnd(block, 0)
+      if (se > 0) {
+        val statusLine = str(block, 0, se)
         if (statusLine.startsWith("HTTP/")) {
           val parts = statusLine.split(' ')
           if (parts.length >= 2)
@@ -161,25 +361,56 @@ object Warc {
           var q = se + 2
           var hdone = false
           while (!hdone && q < blockEnd) {
-            val e = lineEnd(b, q)
-            if (e < 0 || e > blockEnd) { hdone = true }
+            val e = lineEnd(block, q)
+            if (e < 0) { hdone = true }
             else if (e == q) { q += 2; hdone = true } // end of HTTP headers
             else {
-              val line = str(b, q, e)
+              val line = str(block, q, e)
               val colon = line.indexOf(':')
-              if (colon > 0 &&
-                line.substring(0, colon).trim.equalsIgnoreCase("content-type"))
-                httpCt = line.substring(colon + 1).trim
+              if (colon > 0) {
+                val k = line.substring(0, colon).trim.toLowerCase
+                val v = line.substring(colon + 1).trim
+                k match {
+                  case "content-type" => httpCt = v
+                  case "content-encoding" => httpCe = v
+                  case "transfer-encoding" => httpTe = v
+                  case _ => ()
+                }
+              }
               q = e + 2
             }
           }
           if (q <= blockEnd)
-            body = java.util.Arrays.copyOfRange(b, q, blockEnd)
+            body = java.util.Arrays.copyOfRange(block, q, blockEnd)
+          // Transfer decode first (chunk framing wraps the encoded body),
+          // then content decode — RFC 9112 §6/§7 layering. Each step that
+          // succeeds clears its header; a failed/unsupported step keeps
+          // the header AND the bytes as-is (honest degrade: downstream
+          // sees "still encoded" and treats the body as binary).
+          if (httpTe.toLowerCase.contains("chunked")) {
+            dechunk(body) match {
+              case Some(dc) => body = dc; httpTe = ""
+              case None => ()
+            }
+          }
+          val ceNorm = httpCe.toLowerCase
+          if (httpTe.isEmpty && ceNorm.nonEmpty) {
+            if (ceNorm == "identity") httpCe = ""
+            else if (ceNorm == "gzip" || ceNorm == "x-gzip") {
+              val d = gunzipAll(body)
+              if (d != null) { body = d; httpCe = "" }
+            } else if (ceNorm == "deflate") {
+              inflateBody(body) match {
+                case Some(d) => body = d; httpCe = ""
+                case None => ()
+              }
+            } // else: br/zstd/... stay marked — no JDK decoder
+          }
         }
       }
     }
-    Some((WarcRecord(warcType, recordId, date, uri, ctype, clen, status, httpCt, body),
-      next))
+    WarcRecord(warcType, recordId, date, uri, ctype, clen, status,
+      httpCt, httpCe, httpTe, body)
   }
 
   private def lineEnd(b: Array[Byte], from: Int): Int = {
@@ -261,12 +492,73 @@ object Warc {
         it.flatMap { case (path, content) =>
           parseAll(content).map { r =>
             (path, r.warcType, r.recordId, r.date, r.targetUri, r.contentType,
-              r.contentLength, r.httpStatus, r.httpContentType, r.body)
+              r.contentLength, r.httpStatus, r.httpContentType,
+              r.httpContentEncoding, r.httpTransferEncoding, r.body)
           }
         }
       }
       .toDF("path", "warc_type", "record_id", "warc_date", "target_uri",
-        "content_type", "content_length", "http_status", "http_content_type", "body")
+        "content_type", "content_length", "http_status", "http_content_type",
+        "http_content_encoding", "http_transfer_encoding", "body")
+  }
+
+  /** [[records]] over file PATHS instead of loaded contents — the
+    * >2 GiB route: each task opens its file through the Hadoop
+    * filesystem (so file://, hdfs://, s3a:// all resolve exactly as the
+    * cluster's other reads do) and walks records via [[parseStream]],
+    * holding one record in memory at a time. Same row schema and
+    * one-task-per-file parallelism as [[records]]; use it when archives
+    * can exceed the `binaryFile` byte[] cap. `paths` needs one string
+    * column `path`. Unreadable paths degrade to zero rows (a crawl batch
+    * with one bad file must not lose the other 99 999).
+    */
+  def recordsFromPaths(spark: SparkSession, paths: DataFrame): DataFrame = {
+    import spark.implicits._
+    val hadoopConfSer = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toMap)
+    paths.select(col("path").cast("string")).as[String]
+      .mapPartitions { it =>
+        lazy val conf = {
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          hadoopConfSer.value.foreach { case (k, v) => c.set(k, v) }
+          c
+        }
+        it.flatMap { p =>
+          val opened =
+            try {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              Some(hp.getFileSystem(conf).open(hp))
+            } catch { case _: Exception => None }
+          opened match {
+            case None => Iterator.empty
+            case Some(in) =>
+              val base = parseStream(in).map { r =>
+                (p, r.warcType, r.recordId, r.date, r.targetUri,
+                  r.contentType, r.contentLength, r.httpStatus,
+                  r.httpContentType, r.httpContentEncoding,
+                  r.httpTransferEncoding, r.body)
+              }
+              // close exactly once, when the walk ends
+              new Iterator[(String, String, String, String, String, String,
+                  Long, Int, String, String, String, Array[Byte])] {
+                private var closed = false
+                def hasNext: Boolean = {
+                  val h = base.hasNext
+                  if (!h && !closed) {
+                    closed = true
+                    try in.close() catch { case _: Exception => () }
+                  }
+                  h
+                }
+                def next() = base.next()
+              }
+          }
+        }
+      }
+      .toDF("path", "warc_type", "record_id", "warc_date", "target_uri",
+        "content_type", "content_length", "http_status", "http_content_type",
+        "http_content_encoding", "http_transfer_encoding", "body")
   }
 
   /** The curation entry point: HTTP `response` records reduced to
@@ -275,20 +567,28 @@ object Warc {
     * HTML-ish payloads go through [[htmlToText]]; other text types
     * decode charset-aware as-is; binary payloads keep text="" with
     * their true byte size, so downstream filters can count them without
-    * pretending to read them.
+    * pretending to read them. Bodies whose transfer/content encoding
+    * could NOT be removed at parse time (unsupported coding, malformed
+    * framing — see [[WarcRecord]]) are treated as binary the same way:
+    * emitting mojibake into the text column would poison langid/quality/
+    * dedup downstream.
     */
   def responses(spark: SparkSession, files: DataFrame): DataFrame = {
     import spark.implicits._
     records(spark, files)
       .where(col("warc_type") === "response" && col("http_status") >= 0)
       .select(col("path"), col("target_uri"), col("warc_date"),
-        col("http_status"), col("http_content_type"), col("body"))
-      .as[(String, String, String, Int, String, Array[Byte])]
+        col("http_status"), col("http_content_type"),
+        (col("http_content_encoding") === "" &&
+          col("http_transfer_encoding") === "").as("decoded"),
+        col("body"))
+      .as[(String, String, String, Int, String, Boolean, Array[Byte])]
       .mapPartitions { it =>
-        it.map { case (path, uri, date, status, ct, body) =>
+        it.map { case (path, uri, date, status, ct, decoded, body) =>
           val lower = Option(ct).getOrElse("").toLowerCase
           val text =
-            if (lower.startsWith("text/html") || lower.startsWith("application/xhtml"))
+            if (!decoded) ""
+            else if (lower.startsWith("text/html") || lower.startsWith("application/xhtml"))
               Warc.htmlToText(bodyText(body, ct))
             else if (lower.startsWith("text/")) bodyText(body, ct)
             else ""

@@ -117,6 +117,85 @@ class WarcSpec extends AnyFunSuite {
     assert(Warc.htmlToText(null) == "")
   }
 
+  // ---- streaming path -------------------------------------------------------------
+
+  test("parseStream parity: plain and gzip streams yield the byte-identical record walk") {
+    for (payload <- Seq(sampleWarc, gzMember(sampleWarc))) {
+      val streamed = Warc.parseStream(
+        new java.io.ByteArrayInputStream(payload)).toSeq
+      val inMem = Warc.parseAll(payload)
+      assert(streamed.length == inMem.length)
+      streamed.zip(inMem).foreach { case (a, b) =>
+        assert(a.warcType == b.warcType && a.targetUri == b.targetUri &&
+          a.httpStatus == b.httpStatus &&
+          java.util.Arrays.equals(a.body, b.body))
+      }
+    }
+    // damage contract parity: truncated tail keeps the prefix, junk is empty
+    assert(Warc.parseStream(new java.io.ByteArrayInputStream(
+      sampleWarc.take(sampleWarc.length - 30))).length == 4)
+    assert(Warc.parseStream(new java.io.ByteArrayInputStream(
+      "not a warc".getBytes)).isEmpty)
+    assert(Warc.parseStream(new java.io.ByteArrayInputStream(
+      Array.emptyByteArray)).isEmpty)
+  }
+
+  test(">2 GiB archive: the streaming walk ingests it with bounded heap where byte[] parse degrades") {
+    // ~2.3 GiB UNCOMPRESSED as a multi-member .warc.gz a few MB on disk:
+    // 2400 response records with ~1 MiB repetitive bodies. Build the
+    // compressed stream incrementally — the uncompressed whole never
+    // exists in memory anywhere in this test.
+    val bodyUnit = new Array[Byte](1 << 20)
+    java.util.Arrays.fill(bodyUnit, 'a'.toByte)
+    val nRecs = 2400
+    val bos = new java.io.ByteArrayOutputStream(8 << 20)
+    var i = 0
+    while (i < nRecs) {
+      bos.write(gzMember(record("response", s"https://big.example/$i",
+        httpResponse(bodyUnit, contentType = "application/octet-stream"))))
+      i += 1
+    }
+    val gz = bos.toByteArray
+    assert(gz.length < (64 << 20), "fixture must stay small on disk")
+    // byte[] path: over the 2 GiB inflate cap → degrades to Nil, no throw
+    assert(Warc.parseAll(gz).isEmpty)
+    // streaming path: every record walks through, one block in heap at a
+    // time (total uncompressed ≈ 2.3 GiB ≫ any sane test heap)
+    var seen = 0
+    var bytes = 0L
+    val it = Warc.parseStream(new java.io.ByteArrayInputStream(gz))
+    while (it.hasNext) {
+      val r = it.next()
+      assert(r.warcType == "response" && r.body.length == (1 << 20))
+      seen += 1
+      bytes += r.contentLength
+    }
+    assert(seen == nRecs)
+    assert(bytes > (2L << 30), s"walked $bytes uncompressed body bytes")
+  }
+
+  test("recordsFromPaths: per-path streaming rows match records(), bad paths degrade to zero rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("warc-paths")
+    val f1 = dir.resolve("a.warc")
+    val f2 = dir.resolve("b.warc.gz")
+    java.nio.file.Files.write(f1, sampleWarc)
+    java.nio.file.Files.write(f2, gzMember(record("response", "https://b.example/",
+      httpResponse("plain body".getBytes, contentType = "text/plain"))))
+    val paths = Seq(f1.toString, f2.toString, dir.resolve("missing.warc").toString)
+      .toDF("path")
+    val rows = Warc.recordsFromPaths(spark, paths)
+    assert(rows.count() == 6) // 5 + 1; missing path contributes 0
+    val viaContent = Warc.records(spark,
+      Seq(("a.warc", sampleWarc)).toDF("path", "content"))
+      .select("target_uri", "warc_type").collect().map(_.toSeq).toSet
+    val viaPath = rows.where($"path".contains("a.warc"))
+      .select("target_uri", "warc_type").collect().map(_.toSeq).toSet
+    assert(viaPath == viaContent)
+    val plan = rows.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"path walk must stay shuffle-free:\n$plan")
+  }
+
   // ---- Spark surface --------------------------------------------------------------
 
   test("records()/responses(): per-file flatMap rows, text extraction, binary kept as bytes") {
@@ -142,6 +221,83 @@ class WarcSpec extends AnyFunSuite {
     // the no-shuffle claim: a narrow plan (no Exchange before the rows)
     val plan = Warc.responses(spark, files).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"responses() must stay shuffle-free:\n$plan")
+  }
+
+  // ---- HTTP transfer/content codings ----------------------------------------------
+
+  private def httpResponseWith(body: Array[Byte], headers: Seq[String],
+                               contentType: String = "text/plain; charset=utf-8"): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      headers.map(_ + "\r\n").mkString +
+      s"Content-Length: ${body.length}\r\n" +
+      "\r\n").getBytes("ISO-8859-1") ++ body
+
+  private def chunkEncode(b: Array[Byte], at: Int): Array[Byte] =
+    b.grouped(at).map(p =>
+      (p.length.toHexString + "\r\n").getBytes("ISO-8859-1") ++ p ++
+        "\r\n".getBytes("ISO-8859-1")).reduce(_ ++ _) ++
+      "0\r\n\r\n".getBytes("ISO-8859-1")
+
+  private def zlibDeflate(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.util.zip.DeflaterOutputStream(bos)
+    d.write(b); d.close()
+    bos.toByteArray
+  }
+
+  test("content/transfer codings: chunked dechunked, gzip/deflate inflated, layering honored") {
+    val payload = "the decoded payload survives all codings intact".getBytes("UTF-8")
+    val warc =
+      record("response", "https://x.example/gz",
+        httpResponseWith(gzMember(payload), Seq("Content-Encoding: gzip"))) ++
+      record("response", "https://x.example/defl",
+        httpResponseWith(zlibDeflate(payload), Seq("Content-Encoding: deflate"))) ++
+      record("response", "https://x.example/chunk",
+        httpResponseWith(chunkEncode(payload, 7), Seq("Transfer-Encoding: chunked"))) ++
+      record("response", "https://x.example/both",
+        httpResponseWith(chunkEncode(gzMember(payload), 11),
+          Seq("Transfer-Encoding: chunked", "Content-Encoding: gzip")))
+    val recs = Warc.parseAll(warc)
+    assert(recs.length == 4)
+    recs.foreach { r =>
+      assert(new String(r.body, "UTF-8") == new String(payload, "UTF-8"),
+        s"${r.targetUri}: body not decoded")
+      assert(r.httpContentEncoding == "" && r.httpTransferEncoding == "",
+        s"${r.targetUri}: codings not cleared")
+    }
+    import spark.implicits._
+    val resp = Warc.responses(spark,
+      Seq(("c.warc", warc)).toDF("path", "content")).collect()
+    assert(resp.length == 4 &&
+      resp.forall(_.getAs[String]("text") == new String(payload, "UTF-8")))
+  }
+
+  test("undecodable codings stay marked and degrade to binary, never mojibake") {
+    val payload = "readable once, never twice".getBytes("UTF-8")
+    val warc =
+      record("response", "https://x.example/br",
+        httpResponseWith(Array[Byte](27, 99, 0, -128), Seq("Content-Encoding: br"))) ++
+      record("response", "https://x.example/badchunk",
+        httpResponseWith("ZZZ\r\nnot chunked at all".getBytes("ISO-8859-1"),
+          Seq("Transfer-Encoding: chunked"))) ++
+      record("response", "https://x.example/badgz",
+        httpResponseWith("not gzip".getBytes("ISO-8859-1"),
+          Seq("Content-Encoding: gzip"))) ++
+      record("response", "https://x.example/ok", httpResponseWith(payload, Nil))
+    val recs = Warc.parseAll(warc)
+    assert(recs.length == 4)
+    assert(recs(0).httpContentEncoding == "br")
+    assert(recs(1).httpTransferEncoding.toLowerCase.contains("chunked"))
+    assert(recs(2).httpContentEncoding == "gzip") // corrupt member: kept raw
+    import spark.implicits._
+    val byUri = Warc.responses(spark,
+      Seq(("u.warc", warc)).toDF("path", "content")).collect()
+      .map(r => r.getAs[String]("target_uri") -> r.getAs[String]("text")).toMap
+    assert(byUri("https://x.example/br") == "")
+    assert(byUri("https://x.example/badchunk") == "")
+    assert(byUri("https://x.example/badgz") == "")
+    assert(byUri("https://x.example/ok") == "readable once, never twice")
   }
 
   test("curation integration: WARC responses flow into langid/quality/token filters unchanged") {
