@@ -24,6 +24,13 @@ package graft.multimodal
   * stereo decorrelation. Honest degrades (None): reserved/invalid codes,
   * CRC or MD5 mismatch, truncation, >8 channels per frame mismatch,
   * and sample counts over [[MaxTotalSamples]] (hostile-header cap).
+  *
+  * Scope limit: 32-bit streams using stereo DECORRELATION (left/right/
+  * mid-side) are rejected to None — RFC 9639 gives the difference
+  * channel one extra bit (33), which exceeds this decoder's 32-bit
+  * sample reads (`effBps > 32` guard below). 32-bit INDEPENDENT-channel
+  * streams decode fully; 33-bit side channels need Long-widened
+  * subframe reads, not just a relaxed guard.
   */
 object Flac {
 

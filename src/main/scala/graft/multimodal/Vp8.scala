@@ -448,9 +448,20 @@ object Vp8 {
     * (band × ctx × node). Returns the has-nonzero flag that becomes the
     * above/left context for neighboring blocks.
     */
+  /** Returns `(eob << 1) | anyNz`. `eob` is the token position where EOB
+    * occurred (`first`..16 — the count of coefficient positions consumed,
+    * ZERO runs included); `anyNz` is whether any nonzero VALUE was
+    * decoded. The two differ exactly on a block coded as ZERO tokens then
+    * EOB (legal, encoder-wasteful): its eob exceeds `first` but it has no
+    * nonzero coefficient. The anyNz bit feeds the §13.3 above/left
+    * nonzero contexts (unchanged semantics); the eob feeds the per-MB
+    * eobtotal that gates internal loop-filter edges (§15.2) the way
+    * libvpx does — conformant decoders DO filter the internal edges of
+    * such a block.
+    */
   private[graft] def decodeCoeffs(d: BoolDecoder, tp: Array[Array[Array[Int]]],
                                   ctx0: Int, first: Int, out: Array[Int],
-                                  dcMul: Int, acMul: Int): Boolean = {
+                                  dcMul: Int, acMul: Int): Int = {
     var c = first
     var ctx = ctx0
     var anyNz = false
@@ -458,7 +469,7 @@ object Vp8 {
     while (c < 16) {
       val p = tp(CoeffBands(c))(ctx)
       val tok = d.tree(TokenTree, p, if (skipEob) 2 else 0)
-      if (tok == DctEob) return anyNz
+      if (tok == DctEob) return (c << 1) | (if (anyNz) 1 else 0)
       if (tok == DctZero) {
         ctx = 0
         skipEob = true
@@ -482,7 +493,7 @@ object Vp8 {
         c += 1
       }
     }
-    anyNz
+    (16 << 1) | (if (anyNz) 1 else 0)
   }
 
   // ---- frame decode ---------------------------------------------------------
@@ -747,22 +758,29 @@ object Vp8 {
             val y2ac = math.max(8, AcQLookup(clampQ(q + y2AcDelta)) * 155 / 100)
             val uvdc = math.min(132, DcQLookup(clampQ(q + uvDcDelta)))
             val uvac = AcQLookup(clampQ(q + uvAcDelta))
-            // Y2 first
+            // Y2 first. eobTotal accumulates every block's EOB position —
+            // the libvpx internal-edge gate: tokens CONSUMED (zero runs
+            // included) decide filtering, not nonzero values, so a block
+            // legally coded as ZERO tokens then EOB still filters.
             val ctx2 = (if (aboveY2(mbx)) 1 else 0) + (if (leftY2) 1 else 0)
-            val nz2 = decodeCoeffs(td, probs(1), ctx2, 0, coeffs(24), y2dc, y2ac)
+            val r2 = decodeCoeffs(td, probs(1), ctx2, 0, coeffs(24), y2dc, y2ac)
+            val nz2 = (r2 & 1) == 1
+            var eobTotal = r2 >> 1
             aboveY2(mbx) = nz2
             leftY2 = nz2
-            var anyCoeff = nz2
-            // 16 Y blocks (type 0, first coeff 1)
+            // 16 Y blocks (type 0, first coeff 1): each starts at position
+            // 1, so an immediately-EOB'd block reports eob 1 — subtract
+            // the implicit position per block (libvpx's `eobtotal -= 16`)
             var sb = 0
             while (sb < 16) {
               val bx = sb & 3
               val by = sb >> 2
               val ctx = (if (aboveY(mbx * 4 + bx)) 1 else 0) + (if (leftY(by)) 1 else 0)
-              val nz = decodeCoeffs(td, probs(0), ctx, 1, coeffs(sb), y1dc, y1ac)
+              val r = decodeCoeffs(td, probs(0), ctx, 1, coeffs(sb), y1dc, y1ac)
+              val nz = (r & 1) == 1
+              eobTotal += (r >> 1) - 1
               aboveY(mbx * 4 + bx) = nz
               leftY(by) = nz
-              anyCoeff ||= nz
               sb += 1
             }
             // 4 U then 4 V (type 2)
@@ -771,10 +789,11 @@ object Vp8 {
               val bx = sb & 1
               val by = sb >> 1
               val ctx = (if (aboveU(mbx * 2 + bx)) 1 else 0) + (if (leftU(by)) 1 else 0)
-              val nz = decodeCoeffs(td, probs(2), ctx, 0, coeffs(16 + sb), uvdc, uvac)
+              val r = decodeCoeffs(td, probs(2), ctx, 0, coeffs(16 + sb), uvdc, uvac)
+              val nz = (r & 1) == 1
+              eobTotal += r >> 1
               aboveU(mbx * 2 + bx) = nz
               leftU(by) = nz
-              anyCoeff ||= nz
               sb += 1
             }
             sb = 0
@@ -782,15 +801,17 @@ object Vp8 {
               val bx = sb & 1
               val by = sb >> 1
               val ctx = (if (aboveV(mbx * 2 + bx)) 1 else 0) + (if (leftV(by)) 1 else 0)
-              val nz = decodeCoeffs(td, probs(2), ctx, 0, coeffs(20 + sb), uvdc, uvac)
+              val r = decodeCoeffs(td, probs(2), ctx, 0, coeffs(20 + sb), uvdc, uvac)
+              val nz = (r & 1) == 1
+              eobTotal += r >> 1
               aboveV(mbx * 2 + bx) = nz
               leftV(by) = nz
-              anyCoeff ||= nz
               sb += 1
             }
-            // internal loop-filter edges apply only to MBs that decoded
-            // coefficients (§15.1; skipped and all-EOB MBs don't)
-            mbHasCoeffs(mbi) = anyCoeff
+            // internal loop-filter edges apply only to MBs that consumed
+            // coefficient tokens (§15.1/libvpx: eobtotal == 0 ⇒ treat as
+            // skipped; zero-valued tokens still count as consumed)
+            mbHasCoeffs(mbi) = eobTotal > 0
             // Y2 → per-subblock DC (§14.3)
             inverseWht(coeffs(24), dcOut)
             var kk = 0
