@@ -21,8 +21,25 @@ object Tar {
 
   final case class Entry(name: String, data: Array[Byte])
 
+  /** [[Entry]] plus the exact payload size — survives `needData = false`
+    * column pruning, where `data` is left empty.
+    */
+  final case class EntryMeta(name: String, size: Long, data: Array[Byte])
+
   /** All regular-file entries of a (possibly gzipped) tar payload. */
-  def entries(payload: Array[Byte]): Seq[Entry] = {
+  def entries(payload: Array[Byte]): Seq[Entry] =
+    entriesFiltered(payload, _ => true, needData = true)
+      .map(e => Entry(e.name, e.data))
+
+  /** [[entries]] with SOURCE-SIDE entry skipping — the walk the DSv2
+    * connector's pushdown compiles to: `keep(name)` is evaluated on the
+    * header block alone, so a rejected entry's payload is never copied;
+    * `needData = false` skips the copy for kept entries too (column
+    * pruning — a name/size listing walks 512-byte headers only). Sizes
+    * stay exact either way.
+    */
+  def entriesFiltered(payload: Array[Byte], keep: String => Boolean,
+                      needData: Boolean): Seq[EntryMeta] = {
     // a gzipped tar can be far smaller than one tar block — only the
     // INFLATED stream must clear 512 bytes
     if (payload == null || payload.length < 18) return Nil
@@ -30,7 +47,7 @@ object Tar {
       if ((payload(0) & 0xFF) == 0x1F && (payload(1) & 0xFF) == 0x8B) gunzip(payload)
       else payload
     if (bytes == null || bytes.length < 512) return Nil
-    val out = Seq.newBuilder[Entry]
+    val out = Seq.newBuilder[EntryMeta]
     var off = 0
     var pendingName: String = null // from 'L' / pax records
     var ok = true
@@ -56,8 +73,11 @@ object Tar {
                     if (prefix.nonEmpty) s"$prefix/$base" else base
                   }
                 pendingName = null
-                out += Entry(name,
-                  java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd.toInt))
+                if (keep(name))
+                  out += EntryMeta(name, size,
+                    if (needData)
+                      java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd.toInt)
+                    else Array.emptyByteArray)
               case 0x4C => // GNU 'L' long name: data block IS the next entry's name
                 pendingName = cstr(bytes, dataStart, size.toInt)
               case 0x78 | 0x67 => // pax 'x'/'g' extended header: "len key=value\n" records

@@ -123,7 +123,24 @@ object Warc {
     * The caller owns `in`'s lifetime; the iterator never closes it
     * (close after exhaustion — [[recordsFromPaths]] shows the pattern).
     */
-  def parseStream(in: java.io.InputStream): Iterator[WarcRecord] = {
+  def parseStream(in: java.io.InputStream): Iterator[WarcRecord] =
+    parseStreamFiltered(in, (_, _, _) => true, needBlock = true)
+
+  /** [[parseStream]] with SOURCE-SIDE record skipping — the walk the
+    * DSv2 connector's filter pushdown compiles to. `keep(warcType,
+    * targetUri, contentType)` is evaluated on the WARC headers BEFORE
+    * the record block is touched: a rejected record's block bytes are
+    * skipped, never allocated, envelope-parsed, or content-decoded —
+    * under a selective pushed predicate (one host out of a crawl
+    * segment) that's the difference between walking headers and
+    * inflating gigabytes. `needBlock = false` additionally skips the
+    * block of KEPT records (column pruning: no body/http_* column
+    * requested) — such records carry an empty body and a -1/-""
+    * envelope; WARC headers stay exact.
+    */
+  def parseStreamFiltered(in: java.io.InputStream,
+                          keep: (String, String, String) => Boolean,
+                          needBlock: Boolean): Iterator[WarcRecord] = {
     val s: java.io.InputStream =
       try {
         val pb = new java.io.PushbackInputStream(
@@ -140,45 +157,57 @@ object Warc {
 
     def nextRecord(): WarcRecord =
       try {
-        // skip record separators (blank lines) up to the version line
-        var line = readCrlfLine(s)
-        while (line != null && line.isEmpty) line = readCrlfLine(s)
-        if (line == null || !line.startsWith("WARC/")) return null
-        var warcType = ""
-        var recordId = ""
-        var date = ""
-        var uri = ""
-        var ctype = ""
-        var clen = -1L
-        var done = false
-        while (!done) {
-          val h = readCrlfLine(s)
-          if (h == null) return null
-          if (h.isEmpty) done = true
-          else {
-            val colon = h.indexOf(':')
-            if (colon > 0) {
-              val k = h.substring(0, colon).trim.toLowerCase
-              val v = h.substring(colon + 1).trim
-              k match {
-                case "warc-type" => warcType = v
-                case "warc-record-id" => recordId = v
-                case "warc-date" => date = v
-                case "warc-target-uri" => uri = v
-                case "content-type" => ctype = v
-                case "content-length" =>
-                  clen = try v.toLong catch { case _: NumberFormatException => -1L }
-                case _ => ()
+        while (true) {
+          // skip record separators (blank lines) up to the version line
+          var line = readCrlfLine(s)
+          while (line != null && line.isEmpty) line = readCrlfLine(s)
+          if (line == null || !line.startsWith("WARC/")) return null
+          var warcType = ""
+          var recordId = ""
+          var date = ""
+          var uri = ""
+          var ctype = ""
+          var clen = -1L
+          var done = false
+          while (!done) {
+            val h = readCrlfLine(s)
+            if (h == null) return null
+            if (h.isEmpty) done = true
+            else {
+              val colon = h.indexOf(':')
+              if (colon > 0) {
+                val k = h.substring(0, colon).trim.toLowerCase
+                val v = h.substring(colon + 1).trim
+                k match {
+                  case "warc-type" => warcType = v
+                  case "warc-record-id" => recordId = v
+                  case "warc-date" => date = v
+                  case "warc-target-uri" => uri = v
+                  case "content-type" => ctype = v
+                  case "content-length" =>
+                    clen = try v.toLong catch { case _: NumberFormatException => -1L }
+                  case _ => ()
+                }
               }
             }
           }
+          if (clen < 0 || clen > Int.MaxValue - 16) return null // over-cap
+          if (!keep(warcType, uri, ctype)) {
+            s.skipNBytes(clen) // rejected: block bytes never materialize
+          } else if (!needBlock) {
+            s.skipNBytes(clen) // kept, but no block-derived column needed
+            return interpretRecord(warcType, recordId, date, uri, ctype,
+              clen, Array.emptyByteArray)
+          } else {
+            val block = s.readNBytes(clen.toInt)
+            if (block.length < clen) return null // truncated tail
+            return interpretRecord(warcType, recordId, date, uri, ctype,
+              clen, block)
+          }
         }
-        if (clen < 0 || clen > Int.MaxValue - 16) return null // over-cap
-        val block = s.readNBytes(clen.toInt)
-        if (block.length < clen) return null // truncated tail
-        interpretRecord(warcType, recordId, date, uri, ctype, clen, block)
+        null // unreachable
       } catch {
-        case _: java.io.IOException => null // ZipException included
+        case _: java.io.IOException => null // ZipException/EOF included
       }
 
     new Iterator[WarcRecord] {

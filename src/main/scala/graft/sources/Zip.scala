@@ -32,8 +32,27 @@ object Zip {
     (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
       ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
 
+  /** [[Entry]] plus the central directory's exact raw size — survives
+    * `needData = false` column pruning, where `data` is left empty.
+    */
+  final case class EntryMeta(name: String, size: Long, data: Array[Byte])
+
   /** All CRC-verified entries of a ZIP payload; Nil for non-ZIP data. */
-  def entries(payload: Array[Byte]): Seq[Entry] = {
+  def entries(payload: Array[Byte]): Seq[Entry] =
+    entriesFiltered(payload, _ => true, needData = true)
+      .map(e => Entry(e.name, e.data))
+
+  /** [[entries]] with SOURCE-SIDE entry skipping — the walk the DSv2
+    * connector's pushdown compiles to. ZIP is the best case: names and
+    * sizes live in the central directory, so `keep(name)` rejections and
+    * `needData = false` pruning skip the local-header seek, the inflate,
+    * AND the CRC check entirely — a name listing of a 4 GB archive reads
+    * only the directory. Note the CRC therefore goes UNVERIFIED for
+    * skipped data (it verifies what it decodes, and decode is exactly
+    * what pruning avoids).
+    */
+  def entriesFiltered(payload: Array[Byte], keep: String => Boolean,
+                      needData: Boolean): Seq[EntryMeta] = {
     if (payload == null || payload.length < 22) return Nil
     try {
       // EOCD scan from the tail (comment can push it up to 64 KB in)
@@ -49,7 +68,7 @@ object Zip {
       val cdOff = le32(payload, eocd + 16)
       if (count == 0xFFFF || cdOff == 0xFFFFFFFFL) return Nil // ZIP64
       if (cdOff > payload.length) return Nil
-      val out = Seq.newBuilder[Entry]
+      val out = Seq.newBuilder[EntryMeta]
       var off = cdOff.toInt
       var n = 0
       while (n < count && off + 46 <= payload.length) {
@@ -69,8 +88,11 @@ object Zip {
           java.nio.charset.StandardCharsets.UTF_8
         else java.nio.charset.StandardCharsets.ISO_8859_1
         val name = new String(payload, off + 46, nameLen, cs)
-        decodeEntry(payload, locOff.toInt, method, compSize, rawSize, crc)
-          .foreach(data => if (!name.endsWith("/")) out += Entry(name, data))
+        if (!name.endsWith("/") && keep(name)) {
+          if (!needData) out += EntryMeta(name, rawSize, Array.emptyByteArray)
+          else decodeEntry(payload, locOff.toInt, method, compSize, rawSize, crc)
+            .foreach(data => out += EntryMeta(name, rawSize, data))
+        }
         off += 46 + nameLen + extraLen + commentLen
         n += 1
       }
