@@ -531,11 +531,14 @@ object Vp8 {
   def decodeFrame(payload: Array[Byte], idx: Int): Option[(Int, Int, Array[Byte])] =
     if (idx < 0) None else frameDecoder(payload).flatMap(_._2(idx))
 
-  /** Lossy WebP still image: the RIFF/WEBP wrapper around a single VP8
-    * keyframe ('VP8 ' chunk) — the same bitstream [[decodeKeyframe]]
-    * already handles, so web-scraped WebP images decode to real luma.
-    * VP8L (lossless) and VP8X (extended/animated) chunks keep the
-    * honest degrade.
+  /** WebP still image: the RIFF/WEBP wrapper around either a VP8
+    * keyframe ('VP8 ' chunk — [[decodeKeyframe]], lossy) or a VP8L
+    * lossless bitstream ('VP8L' chunk — [[Vp8l.decode]], returning true
+    * RGB converted here to a Rec.601 full-range luma plane, the same
+    * weights [[Multimodal]]'s ImageIO path uses). VP8X (extended/
+    * animated) wrappers are walked chunk-by-chunk, so an embedded
+    * still-image chunk still decodes; anything else keeps the honest
+    * degrade.
     */
   def decodeWebP(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (payload == null || payload.length < 20) return None
@@ -550,6 +553,20 @@ object Vp8 {
           ((payload(off + 6) & 0xFF) << 16) | ((payload(off + 7) & 0xFF) << 24)
         if (size < 0 || off + 8 + size > payload.length) return None
         if (tag == "VP8 ") return decodeKeyframe(payload, off + 8, off + 8 + size)
+        if (tag == "VP8L")
+          return Vp8l.decode(payload, off + 8, off + 8 + size).map {
+            case (w, h, argb) =>
+              val luma = new Array[Byte](w * h)
+              var i = 0
+              while (i < argb.length) {
+                val p = argb(i)
+                val y = 0.299 * ((p >> 16) & 0xFF) + 0.587 * ((p >> 8) & 0xFF) +
+                  0.114 * (p & 0xFF)
+                luma(i) = math.round(y).toInt.min(255).toByte
+                i += 1
+              }
+              (w, h, luma)
+          }
         off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
       }
       None
