@@ -72,8 +72,13 @@ if load:
     flags = []
     if ref and max(ss, se) > 1.3 * ref:
         flags.append(f"spin {max(ss, se):.2f}s > 1.3x idle {ref:.2f}s")
-    if max(la, le) > 0.25 * cpus:
-        flags.append(f"loadavg {max(la, le):.2f} > 25% of {cpus:.0f} cpus")
+    # START loadavg only: the end reading mostly measures the bench's OWN
+    # local[32] threads and varies with which protocol phase ran last
+    # (a full interleaved pass ends at ~15, a fresh-fork tail near idle),
+    # so it cannot distinguish foreign load. The spin covers the
+    # during-run window: a contended box slows the fixed work unit.
+    if la > 0.25 * cpus:
+        flags.append(f"start loadavg {la:.2f} > 25% of {cpus:.0f} cpus")
     if flags:
         print("  HIGH-LOAD RUN - treat every ratio above as an upper "
               "bound, not a plan regression: " + "; ".join(flags))

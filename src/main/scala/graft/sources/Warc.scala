@@ -602,9 +602,18 @@ object Warc {
     * emitting mojibake into the text column would poison langid/quality/
     * dedup downstream.
     */
-  def responses(spark: SparkSession, files: DataFrame): DataFrame = {
+  def responses(spark: SparkSession, files: DataFrame): DataFrame =
+    responsesOf(spark, records(spark, files))
+
+  /** [[responses]] over file paths — the >2 GiB route, pairing
+    * [[recordsFromPaths]]' streaming walk with the same curation tail.
+    */
+  def responsesFromPaths(spark: SparkSession, paths: DataFrame): DataFrame =
+    responsesOf(spark, recordsFromPaths(spark, paths))
+
+  private def responsesOf(spark: SparkSession, records: DataFrame): DataFrame = {
     import spark.implicits._
-    records(spark, files)
+    records
       .where(col("warc_type") === "response" && col("http_status") >= 0)
       .select(col("path"), col("target_uri"), col("warc_date"),
         col("http_status"), col("http_content_type"),

@@ -192,6 +192,12 @@ class WarcSpec extends AnyFunSuite {
     val viaPath = rows.where($"path".contains("a.warc"))
       .select("target_uri", "warc_type").collect().map(_.toSeq).toSet
     assert(viaPath == viaContent)
+    // the curation tail binds to the path surface identically
+    val respText = Warc.responsesFromPaths(spark, paths)
+      .select("target_uri", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(respText("https://b.example/") == "plain body")
+    assert(respText("https://example.com/latin") == "café")
     val plan = rows.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"path walk must stay shuffle-free:\n$plan")
   }
