@@ -92,6 +92,104 @@ object Tar {
     out.result()
   }
 
+  /** Streaming entry walk — the >2 GiB path, mirroring
+    * [[Warc.parseStream]]: tar is a sequence of 512-byte headers and
+    * padded payloads, so it streams naturally (gzip-transparent,
+    * concatenated members included). Heap holds one ENTRY at a time —
+    * corpus tarballs routinely exceed the JVM byte[] cap where Common
+    * Crawl WARCs don't, so this matters even more here. Per-entry
+    * degrade is STRONGER than the byte[] walk's: an individual payload
+    * over 2 GB is skipped (its bytes streamed past) and the walk
+    * continues, instead of the whole archive degrading. `keep(name)` /
+    * `needData` behave exactly as in [[entriesFiltered]]. A bad header
+    * ends the walk at the last good entry; nothing throws.
+    *
+    * The caller owns `in`'s lifetime ([[filesFromPaths]] shows the
+    * close-at-exhaustion pattern).
+    */
+  def entriesStream(in: java.io.InputStream,
+                    keep: String => Boolean = _ => true,
+                    needData: Boolean = true): Iterator[EntryMeta] = {
+    val s: java.io.InputStream =
+      try {
+        val pb = new java.io.PushbackInputStream(
+          new java.io.BufferedInputStream(in, 1 << 16), 2)
+        val b1 = pb.read()
+        if (b1 < 0) return Iterator.empty
+        val b2 = pb.read()
+        if (b2 >= 0) pb.unread(b2)
+        pb.unread(b1)
+        if (b1 == 0x1F && b2 == 0x8B)
+          new java.util.zip.GZIPInputStream(pb, 1 << 16)
+        else pb
+      } catch { case _: java.io.IOException => return Iterator.empty }
+
+    var pendingName: String = null
+    def nextEntry(): EntryMeta =
+      try {
+        while (true) {
+          val header = s.readNBytes(512)
+          if (header.length < 512 || isZeroBlock(header, 0)) return null
+          if (!checksumValid(header)) return null
+          val size = parseSize(header)
+          if (size < 0) return null
+          val pad = ((512 - (size % 512)) % 512).toInt
+          val typeflag = header(156) & 0xFF
+          typeflag match {
+            case 0x30 | 0x00 => // regular file
+              val name =
+                if (pendingName != null) pendingName
+                else {
+                  val prefix = cstr(header, 345, 155)
+                  val base = cstr(header, 0, 100)
+                  if (prefix.nonEmpty) s"$prefix/$base" else base
+                }
+              pendingName = null
+              if (!keep(name) || size > Int.MaxValue - 16) {
+                // rejected or over-cap payload: stream past it
+                s.skipNBytes(size + pad)
+              } else if (!needData) {
+                s.skipNBytes(size + pad)
+                return EntryMeta(name, size, Array.emptyByteArray)
+              } else {
+                val data = s.readNBytes(size.toInt)
+                if (data.length < size) return null // truncated tail
+                s.skipNBytes(pad)
+                return EntryMeta(name, size, data)
+              }
+            case 0x4C => // GNU 'L' long name
+              if (size > (1 << 20)) return null // hostile name length
+              val data = s.readNBytes(size.toInt)
+              if (data.length < size) return null
+              s.skipNBytes(pad)
+              pendingName = cstr(data, 0, size.toInt)
+            case 0x78 | 0x67 => // pax extended header
+              if (size > (1 << 20)) return null
+              val data = s.readNBytes(size.toInt)
+              if (data.length < size) return null
+              s.skipNBytes(pad)
+              paxPath(data, 0, size.toInt).foreach(pendingName = _)
+            case _ =>
+              pendingName = null
+              s.skipNBytes(size + pad)
+          }
+        }
+        null // unreachable
+      } catch {
+        case _: java.io.IOException => null // incl. EOF/Zip mid-skip
+      }
+
+    new Iterator[EntryMeta] {
+      private var ahead: EntryMeta = nextEntry()
+      def hasNext: Boolean = ahead != null
+      def next(): EntryMeta = {
+        val r = ahead
+        ahead = nextEntry()
+        r
+      }
+    }
+  }
+
   private def isZeroBlock(b: Array[Byte], off: Int): Boolean = {
     var i = off
     while (i < off + 512) { if (b(i) != 0) return false; i += 1 }
@@ -208,6 +306,54 @@ object Tar {
         it.flatMap { case (path, content) =>
           entries(content).map(e =>
             (path, e.name, e.data.length.toLong, e.data))
+        }
+      }
+      .toDF("path", "entry_name", "n_bytes", "data")
+  }
+
+  /** [[files]] over file PATHS — the >2 GiB route: each task opens its
+    * archive through the Hadoop filesystem and walks entries via
+    * [[entriesStream]], one entry in heap at a time. Same row schema
+    * and one-task-per-file parallelism; unreadable paths degrade to
+    * zero rows.
+    */
+  def filesFromPaths(spark: SparkSession, paths: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val hadoopConfSer = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toMap)
+    paths.select(col("path").cast("string")).as[String]
+      .mapPartitions { it =>
+        lazy val conf = {
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          hadoopConfSer.value.foreach { case (k, v) => c.set(k, v) }
+          c
+        }
+        it.flatMap { p =>
+          val opened =
+            try {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              Some(hp.getFileSystem(conf).open(hp))
+            } catch { case _: Exception => None }
+          opened match {
+            case None => Iterator.empty
+            case Some(in) =>
+              val base = entriesStream(in)
+                .map(e => (p, e.name, e.size, e.data))
+              new Iterator[(String, String, Long, Array[Byte])] {
+                private var closed = false
+                def hasNext: Boolean = {
+                  val h = base.hasNext
+                  if (!h && !closed) {
+                    closed = true
+                    try in.close() catch { case _: Exception => () }
+                  }
+                  h
+                }
+                def next() = base.next()
+              }
+          }
         }
       }
       .toDF("path", "entry_name", "n_bytes", "data")

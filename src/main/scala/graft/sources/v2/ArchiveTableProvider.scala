@@ -36,10 +36,11 @@ import graft.sources.{Tar, Warc, Zip}
   *    `data`), the walk skips payloads of KEPT records too — a
   *    name/size listing of a 100 TB crawl reads record headers only.
   *
-  * WARC additionally reads through the STREAMING walk (one record in
-  * heap at a time, >2 GiB files fine); tar/ZIP load the archive bytes
-  * per task (their formats need random access for ZIP and are ≤2 GiB by
-  * the byte[] contract) but skip per-entry copies/inflates.
+  * WARC and tar read through STREAMING walks (one record/entry in heap
+  * at a time — >2 GiB archives fine, which corpus tarballs routinely
+  * are); ZIP needs random access to its central directory, so it loads
+  * the archive bytes per task (≤2 GiB by the byte[] contract) but still
+  * skips per-entry inflates/CRCs for rejected or pruned entries.
   *
   * Usage: {{{
   *   spark.read.format("graft.sources.v2.WarcTableProvider").load(dir)
@@ -336,35 +337,58 @@ class EntryArchiveReader(format: String, path: String, required: StructType,
   private val keep = ArchiveTables.namePredicate(pushed, "entry_name")
   private val pathU = UTF8String.fromString(path)
 
-  private val entries: Iterator[(String, Long, Array[Byte])] = {
-    val bytes =
-      try {
-        val hp = new org.apache.hadoop.fs.Path(path)
-        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val st = fs.getFileStatus(hp)
-        if (st.getLen > Int.MaxValue - 16) null // byte[] contract
-        else {
-          val s = fs.open(hp)
-          try s.readAllBytes() finally s.close()
-        }
-      } catch { case _: Exception => null }
-    if (bytes == null) Iterator.empty
-    else {
-      val counted = (n: String) => {
-        val k = keep(n)
-        if (k) ArchiveScanMetrics.materialized.add(1)
-        else ArchiveScanMetrics.skipped.add(1)
-        k
+  private val counted = (n: String) => {
+    val k = keep(n)
+    if (k) ArchiveScanMetrics.materialized.add(1)
+    else ArchiveScanMetrics.skipped.add(1)
+    k
+  }
+
+  private val entries: Iterator[(String, Long, Array[Byte])] = format match {
+    // tar streams (512-byte headers + payloads in sequence): one entry
+    // in heap at a time, no whole-file cap — corpus tarballs routinely
+    // exceed the byte[] limit
+    case "tar" =>
+      val opened =
+        try {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          Some(hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            .open(hp))
+        } catch { case _: Exception => None }
+      opened match {
+        case None => Iterator.empty
+        case Some(in) =>
+          val base = Tar.entriesStream(in, counted, needData)
+            .map(e => (e.name, e.size, e.data))
+          new Iterator[(String, Long, Array[Byte])] {
+            private var closed = false
+            def hasNext: Boolean = {
+              val h = base.hasNext
+              if (!h && !closed) {
+                closed = true
+                try in.close() catch { case _: Exception => () }
+              }
+              h
+            }
+            def next() = base.next()
+          }
       }
-      val es = format match {
-        case "tar" => Tar.entriesFiltered(bytes, counted, needData)
-          .map(e => (e.name, e.size, e.data))
-        case "zip" => Zip.entriesFiltered(bytes, counted, needData)
-          .map(e => (e.name, e.size, e.data))
-        case other => throw new IllegalArgumentException(s"format $other")
-      }
-      es.iterator
-    }
+    // ZIP needs random access to the central directory: byte[] contract
+    case "zip" =>
+      val bytes =
+        try {
+          val hp = new org.apache.hadoop.fs.Path(path)
+          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          if (fs.getFileStatus(hp).getLen > Int.MaxValue - 16) null
+          else {
+            val s = fs.open(hp)
+            try s.readAllBytes() finally s.close()
+          }
+        } catch { case _: Exception => null }
+      if (bytes == null) Iterator.empty
+      else Zip.entriesFiltered(bytes, counted, needData)
+        .map(e => (e.name, e.size, e.data)).iterator
+    case other => throw new IllegalArgumentException(s"format $other")
   }
 
   private val getters: Array[((String, Long, Array[Byte])) => Any] =

@@ -125,6 +125,92 @@ class TarSpec extends AnyFunSuite {
     }
   }
 
+  // ---- streaming path -------------------------------------------------------
+
+  test("entriesStream parity: plain and gzip streams match the byte[] walk; keep/needData honored") {
+    val longName = "corpus/" + ("x" * 150) + "/part-00000.jsonl"
+    val t = tar(
+      entry("docs/a.txt", "hello tar".getBytes),
+      entry("docs/", Array.emptyByteArray, typeflag = '5'),
+      entry("././@LongLink", (longName + "\u0000").getBytes, typeflag = 'L') ++
+        entry("short.jsonl", "long ok".getBytes),
+      entry("docs/b.jsonl", "{\"x\":1}".getBytes))
+    for (payload <- Seq(t, gz(t))) {
+      val streamed = Tar.entriesStream(
+        new java.io.ByteArrayInputStream(payload)).toSeq
+      val inMem = Tar.entries(payload)
+      assert(streamed.map(_.name) == inMem.map(_.name))
+      streamed.zip(inMem).foreach { case (a, b) =>
+        assert(a.size == b.data.length &&
+          java.util.Arrays.equals(a.data, b.data))
+      }
+    }
+    // pushdown + pruning semantics match entriesFiltered
+    val kept = Tar.entriesStream(new java.io.ByteArrayInputStream(t),
+      keep = _.endsWith(".jsonl"), needData = false).toSeq
+    assert(kept.map(_.name) == Seq(longName, "docs/b.jsonl"))
+    assert(kept.forall(_.data.isEmpty) && kept.map(_.size) == Seq(7L, 7L))
+    // damage parity: truncation keeps the prefix; fuzz never throws
+    assert(Tar.entriesStream(new java.io.ByteArrayInputStream(
+      t.take(t.length - 1200))).map(_.name).toSeq.head == "docs/a.txt")
+    val rnd = new scala.util.Random(97)
+    for (_ <- 0 until 150) {
+      val m = t.clone()
+      val at = rnd.nextInt(m.length)
+      m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      Tar.entriesStream(new java.io.ByteArrayInputStream(m)).foreach(_ => ())
+    }
+  }
+
+  test(">2 GiB tarball: the streaming walk ingests it with bounded heap; byte[] walk degrades") {
+    // ~2.2 GiB uncompressed as a small .tar.gz: 2200 entries of 1 MiB
+    // zeros, built incrementally — the inflated whole never exists
+    val unit = new Array[Byte](1 << 20)
+    val bos = new java.io.ByteArrayOutputStream(8 << 20)
+    val gzo = new java.util.zip.GZIPOutputStream(bos, 1 << 16)
+    var i = 0
+    while (i < 2200) {
+      gzo.write(entry(s"shard-$i.bin", unit))
+      i += 1
+    }
+    gzo.write(new Array[Byte](1024))
+    gzo.close()
+    val payload = bos.toByteArray
+    assert(payload.length < (64 << 20), "fixture must stay small on disk")
+    assert(Tar.entries(payload).isEmpty) // over the inflate cap → degrade
+    var seen = 0
+    var bytes = 0L
+    val it = Tar.entriesStream(new java.io.ByteArrayInputStream(payload))
+    while (it.hasNext) {
+      val e = it.next()
+      assert(e.size == (1 << 20))
+      seen += 1
+      bytes += e.size
+    }
+    assert(seen == 2200)
+    assert(bytes > (2L << 30))
+  }
+
+  test("filesFromPaths: per-path streaming rows match files(); bad paths degrade to zero rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tar-paths")
+    val t = tar(entry("a.txt", "alpha".getBytes),
+      entry("b.bin", Array.fill(16)(7.toByte)))
+    java.nio.file.Files.write(dir.resolve("c.tar"), t)
+    java.nio.file.Files.write(dir.resolve("c.tar.gz"), gz(t))
+    val paths = Seq(dir.resolve("c.tar").toString,
+      dir.resolve("c.tar.gz").toString,
+      dir.resolve("missing.tar").toString).toDF("path")
+    val rows = Tar.filesFromPaths(spark, paths)
+    assert(rows.count() == 4)
+    val viaContent = Tar.files(spark, Seq(("c.tar", t)).toDF("path", "content"))
+      .select("entry_name", "n_bytes").collect().map(_.toSeq).toSet
+    val viaPath = rows.where($"path".endsWith("c.tar"))
+      .select("entry_name", "n_bytes").collect().map(_.toSeq).toSet
+    assert(viaPath == viaContent)
+    assert(!rows.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("Spark surface: files()/textFiles() rows; Exchange-free plan; jsonl ready for from_json") {
     import spark.implicits._
     val t = tar(

@@ -138,6 +138,16 @@ class WarcSpec extends AnyFunSuite {
       "not a warc".getBytes)).isEmpty)
     assert(Warc.parseStream(new java.io.ByteArrayInputStream(
       Array.emptyByteArray)).isEmpty)
+    // mutation fuzz: like parseAll's, no escaped exception on any bit flip
+    val rnd = new scala.util.Random(71)
+    for (_ <- 0 until 200) {
+      val m = sampleWarc.clone()
+      val at = rnd.nextInt(m.length)
+      m(at) = (m(at) ^ (1 << rnd.nextInt(8))).toByte
+      Warc.parseStream(new java.io.ByteArrayInputStream(m)).foreach(_ => ())
+      val gz = gzMember(m)
+      Warc.parseStream(new java.io.ByteArrayInputStream(gz)).foreach(_ => ())
+    }
   }
 
   test(">2 GiB archive: the streaming walk ingests it with bounded heap where byte[] parse degrades") {
