@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * VERIFIED — an entry whose bytes don't match its recorded CRC is
   * dropped, never emitted wrong. Entry names decode UTF-8 when the
   * entry's UTF-8 flag (general-purpose bit 11) is set, CP437-compatible
-  * Latin otherwise. ZIP64 archives (any 0xFFFFFFFF sentinel field)
-  * degrade honestly — they exceed the single-array model anyway.
+  * Latin otherwise. ZIP64 is supported within the byte[] model: the
+  * EOCD64 locator/record resolve 64-bit entry counts and directory
+  * offsets, and per-entry 0xFFFFFFFF markers resolve through the
+  * ZIP64 extra field (APPNOTE §4.5.3) — dataset bundles with >65535
+  * entries hit this even when physically small (the JDK's own
+  * ZipOutputStream writes ZIP64 then, which is the interop fixture the
+  * spec uses). Archives physically over the 2 GB byte[] cap still
+  * degrade honestly: the central directory needs random access, so
+  * there is no streaming fallback like tar/WARC's.
   */
 object Zip {
 
@@ -31,6 +38,49 @@ object Zip {
   private def le32(b: Array[Byte], off: Int): Long =
     (b(off) & 0xFFL) | ((b(off + 1) & 0xFFL) << 8) |
       ((b(off + 2) & 0xFFL) << 16) | ((b(off + 3) & 0xFFL) << 24)
+  private def le64(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xFFL); i -= 1 }
+    v
+  }
+
+  /** ZIP64 extended-information extra field (header id 0x0001): the
+    * 64-bit replacements appear IN ORDER (raw size, compressed size,
+    * local-header offset), each present only when its 32-bit field is
+    * the 0xFFFFFFFF marker (PKWARE APPNOTE §4.5.3). Returns the three
+    * resolved values, or None when a needed replacement is missing.
+    */
+  private def zip64Fields(b: Array[Byte], extraOff: Int, extraLen: Int,
+                          raw32: Long, comp32: Long,
+                          loc32: Long): Option[(Long, Long, Long)] = {
+    val needRaw = raw32 == 0xFFFFFFFFL
+    val needComp = comp32 == 0xFFFFFFFFL
+    val needLoc = loc32 == 0xFFFFFFFFL
+    if (!needRaw && !needComp && !needLoc) return Some((raw32, comp32, loc32))
+    var p = extraOff
+    val end = extraOff + extraLen
+    while (p + 4 <= end) {
+      val id = le16(b, p)
+      val len = le16(b, p + 2)
+      if (p + 4 + len > end) return None
+      if (id == 0x0001) {
+        var q = p + 4
+        var raw = raw32
+        var comp = comp32
+        var loc = loc32
+        def take(): Option[Long] =
+          if (q + 8 <= p + 4 + len) { val v = le64(b, q); q += 8; Some(v) }
+          else None
+        if (needRaw) raw = take().getOrElse(return None)
+        if (needComp) comp = take().getOrElse(return None)
+        if (needLoc) loc = take().getOrElse(return None)
+        return Some((raw, comp, loc))
+      }
+      p += 4 + len
+    }
+    None
+  }
 
   /** [[Entry]] plus the central directory's exact raw size — survives
     * `needData = false` column pruning, where `data` is left empty.
@@ -64,10 +114,23 @@ object Zip {
         i -= 1
       }
       if (eocd < 0) return Nil
-      val count = le16(payload, eocd + 10)
-      val cdOff = le32(payload, eocd + 16)
-      if (count == 0xFFFF || cdOff == 0xFFFFFFFFL) return Nil // ZIP64
-      if (cdOff > payload.length) return Nil
+      var count: Long = le16(payload, eocd + 10)
+      var cdOff: Long = le32(payload, eocd + 16)
+      if (count == 0xFFFFL || cdOff == 0xFFFFFFFFL) {
+        // ZIP64 (>65535 entries and/or >4 GB offsets — dataset bundles
+        // hit the entry-count form even when physically small): the
+        // EOCD64 locator sits 20 bytes before the EOCD and points at
+        // the EOCD64 record carrying 64-bit count + directory offset
+        val loc = eocd - 20
+        if (loc < 0 || le32(payload, loc) != 0x07064b50L) return Nil
+        val z64 = le64(payload, loc + 8)
+        if (z64 < 0 || z64 + 56 > payload.length ||
+          le32(payload, z64.toInt) != 0x06064b50L) return Nil
+        count = le64(payload, z64.toInt + 32)
+        cdOff = le64(payload, z64.toInt + 48)
+      }
+      // a 46-byte minimum per central entry bounds any hostile count
+      if (cdOff > payload.length || count > payload.length / 46 + 1) return Nil
       val out = Seq.newBuilder[EntryMeta]
       var off = cdOff.toInt
       var n = 0
@@ -76,22 +139,26 @@ object Zip {
         val flags = le16(payload, off + 8)
         val method = le16(payload, off + 10)
         val crc = le32(payload, off + 16)
-        val compSize = le32(payload, off + 20)
-        val rawSize = le32(payload, off + 24)
+        val comp32 = le32(payload, off + 20)
+        val raw32 = le32(payload, off + 24)
         val nameLen = le16(payload, off + 28)
         val extraLen = le16(payload, off + 30)
         val commentLen = le16(payload, off + 32)
-        val locOff = le32(payload, off + 42)
-        if (compSize == 0xFFFFFFFFL || rawSize == 0xFFFFFFFFL ||
-          locOff == 0xFFFFFFFFL) return Nil // ZIP64
+        val loc32 = le32(payload, off + 42)
         val cs = if ((flags & (1 << 11)) != 0)
           java.nio.charset.StandardCharsets.UTF_8
         else java.nio.charset.StandardCharsets.ISO_8859_1
         val name = new String(payload, off + 46, nameLen, cs)
-        if (!name.endsWith("/") && keep(name)) {
-          if (!needData) out += EntryMeta(name, rawSize, Array.emptyByteArray)
-          else decodeEntry(payload, locOff.toInt, method, compSize, rawSize, crc)
-            .foreach(data => out += EntryMeta(name, rawSize, data))
+        // 0xFFFFFFFF markers resolve through the ZIP64 extra field; an
+        // entry whose needed replacement is absent is damage → skipped
+        zip64Fields(payload, off + 46 + nameLen, extraLen,
+            raw32, comp32, loc32).foreach { case (rawSize, compSize, locOff) =>
+          if (!name.endsWith("/") && locOff <= Int.MaxValue - 16 &&
+            keep(name)) {
+            if (!needData) out += EntryMeta(name, rawSize, Array.emptyByteArray)
+            else decodeEntry(payload, locOff.toInt, method, compSize, rawSize, crc)
+              .foreach(data => out += EntryMeta(name, rawSize, data))
+          }
         }
         off += 46 + nameLen + extraLen + commentLen
         n += 1

@@ -87,6 +87,31 @@ class ZipSpec extends AnyFunSuite {
     }
   }
 
+  test("ZIP64: a >65535-entry archive (JDK-written EOCD64 + locator) lists and decodes") {
+    // the JDK switches to ZIP64 records at 65536 entries even though the
+    // archive stays physically tiny — the dataset-bundle case
+    val n = 70000
+    val bos = new java.io.ByteArrayOutputStream(16 << 20)
+    val zo = new java.util.zip.ZipOutputStream(bos)
+    var i = 0
+    while (i < n) {
+      zo.putNextEntry(new java.util.zip.ZipEntry(f"shard/e$i%05d.txt"))
+      zo.write(('a' + (i % 26)).toByte)
+      zo.closeEntry()
+      i += 1
+    }
+    zo.close()
+    val payload = bos.toByteArray
+    // EOCD count field must be the 0xFFFF marker for this to test ZIP64
+    val names = Zip.entriesFiltered(payload, _ => true, needData = false)
+    assert(names.length == n)
+    assert(names.head.name == "shard/e00000.txt" && names.head.size == 1L)
+    val some = Zip.entriesFiltered(payload,
+      Set("shard/e00000.txt", "shard/e69999.txt"), needData = true)
+    assert(some.map(e => new String(e.data)) ==
+      Seq("a", ('a' + (69999 % 26)).toChar.toString))
+  }
+
   test("Spark surface: files()/textFiles(), Exchange-free plan") {
     import spark.implicits._
     val z = zip(Seq(
