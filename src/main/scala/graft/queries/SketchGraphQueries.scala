@@ -104,14 +104,8 @@ object SketchGraphQueries {
     // edge-keyed equi-join (never |V|²). Distances are small ints; the
     // oracle unrolls the same three steps as chained CTEs.
     QueryDef("graph_bfs_reach", (s, dir) => {
-      val li = t("lineitem")(s, dir)
-        .where(col("l_orderkey") <= 6000)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
+      // same FrontCache-pinned edge set as graph_triangle_coeff
+      val e = GraphFronts.partCoPurchase(s, dir)
       val adj = e.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
         .cache()

@@ -290,18 +290,11 @@ object TrainingWave2Queries {
     // graphs at cluster scale. Each triangle is counted exactly once
     // (its unique (deg, id)-minimum corner). All integer; the
     // coefficient is one float division at the end.
-    QueryDef("graph_triangle_coeff", (s, dir) => {
-      val li = t("lineitem")(s, dir)
-        .where(col("l_orderkey") <= 6000)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") < col("b.l_partkey"))
-        .select(col("a.l_partkey").as("u"), col("b.l_partkey").as("v"))
-        .distinct()
-        .cache()
-      triangleCoeff(e)
-    }, Some("""
+    QueryDef("graph_triangle_coeff", (s, dir) =>
+      // the co-purchase edge set is a per-corpus FRONT shared with
+      // graph_bfs_reach — FrontCache-pinned like the suffix spans
+      triangleCoeff(GraphFronts.partCoPurchase(s, dir))
+    , Some("""
       WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
                   WHERE l_orderkey <= 6000),
       e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
