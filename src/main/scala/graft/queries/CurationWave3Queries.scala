@@ -144,7 +144,7 @@ object CurationWave3Queries {
     // window, and the output are all constant-sized at any corpus scale.
     QueryDef("retrieval_prf_expansion", (s, dir) => {
       val docs = t("documents")(s, dir).select(col("doc_id"), col("text"))
-      val top = RetrievalQueries.bm25TwoTermScores(docs)
+      val top = RetrievalQueries.bm25ScoresCached(s, dir)
         .groupBy().agg(graft.expressions.TopKAgg.topK(
           struct(col("score"), col("doc_id").cast("long").as("id")), 10).as("__top"))
         .select(explode(col("__top")).as("__e"))

@@ -70,8 +70,7 @@ object HybridRetrievalQueries {
       val dense = Ann.bruteForceTopK(emb.where(col("vec_id") === 0), emb,
           "vec_id", "embedding", 50)
         .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_dense"))
-      val sparse = RetrievalQueries.bm25TwoTermScores(
-          t("documents")(s, dir).select(col("doc_id"), col("text")))
+      val sparse = RetrievalQueries.bm25ScoresCached(s, dir)
         .groupBy().agg(graft.expressions.TopKAgg.topK(
           struct(col("score"), col("doc_id").cast("long").as("id")), 50).as("__top"))
         .select(posexplode(col("__top")).as(Seq("__pos", "__e")))

