@@ -44,6 +44,19 @@ object FrontCache {
     frames.getOrElseUpdate((System.identityHashCode(spark), key),
       build.localCheckpoint())
 
+  private val values = TrieMap.empty[(Int, String), Any]
+
+  /** Driver-side front VALUES (a trained ANN index's centroids, a
+    * collected statistic) — same keying contract as [[getOrCompute]],
+    * no checkpoint needed: they're plain immutable objects. The build
+    * must be deterministic for the same key (every index trainer here
+    * is — the oracle gates depend on it).
+    */
+  def getOrComputeValue[T](spark: SparkSession, key: String)
+                          (build: => T): T =
+    values.getOrElseUpdate((System.identityHashCode(spark), key), build)
+      .asInstanceOf[T]
+
   /** Drop every cached front (tests; or to release executor storage). */
-  def clear(): Unit = frames.clear()
+  def clear(): Unit = { frames.clear(); values.clear() }
 }

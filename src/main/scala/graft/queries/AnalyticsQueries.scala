@@ -210,7 +210,7 @@ object AnalyticsQueries {
     // rank plumbing to an exact cross-engine oracle.
     QueryDef("ann_topk_ivf", (s, dir) => {
       val emb = t("embeddings")(s, dir)
-      val index = Ann.ivfTrain(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+      val index = CorpusFronts.ivfIndex(s, dir, nlist = 8)
       Ann.ivfTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
           k = 5, index, nprobe = 2)
         .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))

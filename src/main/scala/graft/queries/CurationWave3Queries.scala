@@ -87,7 +87,7 @@ object CurationWave3Queries {
     // carries O(cells × quota), never a per-cell sort of the corpus.
     QueryDef("sample_cluster_balanced", (s, dir) => {
       val emb = t("embeddings")(s, dir)
-      val index = Ann.ivfTrain(emb, "vec_id", "embedding", nlist = 8, iters = 0)
+      val index = CorpusFronts.ivfIndex(s, dir, nlist = 8)
       val cells = Ann.assignCells(emb, "embedding", index)
         .select(col("vec_id"), col("cell"))
       val sel = cells.groupBy(col("cell"))

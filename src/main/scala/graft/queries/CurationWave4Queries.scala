@@ -480,8 +480,7 @@ object CurationWave4Queries {
     // (cell, dim) — nlist × dim rows out, never vectors × vectors.
     QueryDef("ivf_lloyd_means", (s, dir) => {
       val emb = t("embeddings")(s, dir)
-      val index = Ann.ivfTrain(emb, "vec_id", "embedding", nlist = 8,
-        iters = 0)
+      val index = CorpusFronts.ivfIndex(s, dir, nlist = 8)
       val cells = Ann.assignCells(emb, "embedding", index)
       cells
         .select(col("cell"), col("vec_id"),

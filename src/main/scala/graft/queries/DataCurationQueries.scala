@@ -196,7 +196,7 @@ object DataCurationQueries {
       val emb = t("embeddings")(s, dir)
       val nlist = math.max(8L,
         math.ceil(math.sqrt(emb.count().toDouble)).toLong).toInt
-      val index = Ann.ivfTrain(emb, "vec_id", "embedding", nlist = nlist, iters = 0)
+      val index = CorpusFronts.ivfIndex(s, dir, nlist = nlist)
       Dedup.semantic(emb, "vec_id", "embedding", index, threshold = 0.3)
         .orderBy(col("id"))
     }, Some {

@@ -118,7 +118,7 @@ object GraphWarehouseQueries {
     QueryDef("graph_pagerank", (s, dir) => {
       // the bipartite pair set is a FrontCache-pinned per-corpus front
       // (the round-10 profile put this build at the query's cost floor)
-      val pairs = GraphFronts.custSuppPairs(s, dir)
+      val pairs = CorpusFronts.custSuppPairs(s, dir)
       val edges = pairs.select(col("c").as("src"), col("sn").as("dst"))
         .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
       PageRank.ranks(edges, "src", "dst", iters = 3)

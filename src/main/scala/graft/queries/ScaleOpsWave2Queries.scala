@@ -103,8 +103,7 @@ object ScaleOpsWave2Queries {
     // compute compressor that makes a 100 TB vector index fit executors.
     QueryDef("ann_topk_pq", (s, dir) => {
       val emb = t("embeddings")(s, dir)
-      val index = Ann.pqTrain(emb, "vec_id", "embedding",
-        m = 4, ksub = 8, iters = 0)
+      val index = CorpusFronts.pqIndex(s, dir, m = 4, ksub = 8)
       Ann.pqTopK(emb.where(col("vec_id") < 10), emb, "vec_id", "embedding",
           k = 5, index)
         .orderBy(col("query_id"), col("rank"))

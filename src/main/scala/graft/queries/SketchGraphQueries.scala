@@ -105,7 +105,7 @@ object SketchGraphQueries {
     // oracle unrolls the same three steps as chained CTEs.
     QueryDef("graph_bfs_reach", (s, dir) => {
       // same FrontCache-pinned edge set as graph_triangle_coeff
-      val e = GraphFronts.partCoPurchase(s, dir)
+      val e = CorpusFronts.partCoPurchase(s, dir)
       val adj = e.select(col("u").as("src"), col("v").as("dst"))
         .unionByName(e.select(col("v").as("src"), col("u").as("dst")))
         .cache()

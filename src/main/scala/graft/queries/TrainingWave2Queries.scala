@@ -293,7 +293,7 @@ object TrainingWave2Queries {
     QueryDef("graph_triangle_coeff", (s, dir) =>
       // the co-purchase edge set is a per-corpus FRONT shared with
       // graph_bfs_reach — FrontCache-pinned like the suffix spans
-      triangleCoeff(GraphFronts.partCoPurchase(s, dir))
+      triangleCoeff(CorpusFronts.partCoPurchase(s, dir))
     , Some("""
       WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
                   WHERE l_orderkey <= 6000),
