@@ -261,6 +261,15 @@ object Bench {
     val fresh: Seq[(String, Double)] =
       if (!freshEnabled) Seq.empty
       else {
+        // every timing that uses the parent's state is recorded — release
+        // the pinned fronts and cached frames so the parent idles at low
+        // heap while the children run (a GC-pressured parent perturbs
+        // the box the fresh floors are supposed to read as idle)
+        try {
+          graft.operators.FrontCache.clear()
+          spark.catalog.clearCache()
+          System.gc()
+        } catch { case _: Throwable => }
         val resultNames = results.map(_._1).toSet
         val pool = headline.toSeq.sorted.filter(resultNames)
         val freshN = math.min(pool.size,
@@ -287,8 +296,16 @@ object Bench {
           "java.base/sun.nio.ch", "java.base/sun.nio.cs",
           "java.base/sun.security.action", "java.base/sun.util.calendar",
         ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        // children get a CAPPED heap, not the parent's: one sf0.1 query
+        // fits in 16 GiB easily, while 8 sequential children inheriting
+        // a ~100 GiB ceiling beside a parent that has just run 600
+        // queries (and holds the pinned fronts) creates the exact memory
+        // pressure the fresh floors are supposed to be free of — the r14
+        // first run read 69 min of sys time and a 1.74 s end spin from
+        // it, poisoning every fresh reading
+        val childMx = math.min(Runtime.getRuntime.maxMemory(), 16L << 30)
         val cmd = Seq(javaBin) ++ opens ++ Seq(
-          s"-Xmx${Runtime.getRuntime.maxMemory()}",
+          s"-Xmx$childMx",
           "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
           "-cp", System.getProperty("java.class.path"), "graft.Bench")
         slice.takeWhile(_ => elapsedS < budgetS).flatMap { name =>
@@ -307,7 +324,11 @@ object Bench {
             val out = outF.get()
             val re = ("\"" + java.util.regex.Pattern.quote(name) +
               "\":([0-9][0-9.eE+-]*)").r
-            re.findFirstMatchIn(out).map(m => name -> m.group(1).toDouble)
+            // the child emits per-pass lines too now; the LAST match is
+            // its final (min-of-passes) figure — the first would be the
+            // JIT-cold pass-1 reading
+            re.findAllMatchIn(out).toSeq.lastOption
+              .map(m => name -> m.group(1).toDouble)
           }
         }
       }
