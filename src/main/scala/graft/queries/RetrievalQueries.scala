@@ -48,7 +48,7 @@ object RetrievalQueries {
       bm25TwoTermScores(Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"))))
 
-  private[queries] def bm25TwoTermScores(
+  private[graft] def bm25TwoTermScores(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs.select(col("doc_id"),
       explode(TextAnalysisFns.tokens(col("text"))).as("term"))

@@ -277,10 +277,21 @@ class PlanAuditSpec extends AnyFunSuite {
   }
 
   test("text_bm25: df/stats broadcast, top-k via the bounded aggregate — no ranking window") {
+    // the query now reads the FrontCache-pinned scoring leg (a
+    // checkpoint scan — audited in FrontCacheSpec); the plan properties
+    // pinned HERE belong to the leg's BUILD, so audit the builder
+    val buildPlan = graft.queries.RetrievalQueries.bm25TwoTermScores(
+        graft.Tables.load(spark, dir, "documents")
+          .select(org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.col("text")))
+      .queryExecution.executedPlan.toString
+    assert(buildPlan.contains("BroadcastHashJoin") ||
+      buildPlan.contains("BroadcastNestedLoopJoin"),
+      "expected the 2-row df and 1-row stats sides to broadcast")
+    assert(!buildPlan.contains("Window"),
+      s"BM25 scoring fell back to a window:\n${buildPlan.take(600)}")
     val plan = planOf("text_bm25")
     assert(plan.contains("graft_top_k"), s"expected TopKAgg:\n${plan.take(600)}")
-    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
-      "expected the 2-row df and 1-row stats sides to broadcast")
     assert(!plan.contains("Window"),
       s"BM25 ranking fell back to a window:\n${plan.take(600)}")
   }
