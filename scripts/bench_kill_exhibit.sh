@@ -44,5 +44,40 @@ print(f"PASS: killed mid-run (rc {0}); stdout line stage={parsed['stage']} "
       f"n_ok={parsed['n_ok']}; artifact stage={art['stage']} n={art['n']}")
 PY
 ST=$?
+if [ $ST -ne 0 ]; then
+  cp -f /tmp/bench_full_backup.json bench_full.json 2>/dev/null
+  exit $ST
+fi
+
+# Scenario B (round-14 verdict #1): a deliberately BUDGET-TRUNCATED run
+# (pass 1 completes, the 1 s budget cuts pass 2) must label itself
+# honestly — stage "pass1-only" on the truncation emit, passes_run <
+# runs_intended in the final artifact — and compare_bench.py must REFUSE
+# to grade its per-query figures against standing baselines (r14's
+# official artifact labeled such samples "interleaved" and earned 14
+# false >2x regression flags).
+OUT2=/tmp/bench_truncated_stdout.txt
+rm -f bench_full.json "$OUT2"
+SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_BENCH_RUNS=2 \
+  SPARK_GRAFT_BENCH_BUDGET_S=1 SPARK_GRAFT_BENCH_FRESH=0 \
+  java $OPENS -Xmx8g -cp "$CP" graft.Bench > "$OUT2" 2>/dev/null
+CMP=$(python3 scripts/compare_bench.py bench_full.json 2>&1)
+python3 - "$OUT2" <<PY
+import json, sys
+lines = [l for l in open(sys.argv[1]) if l.startswith('{')]
+stages = [json.loads(l)['stage'] for l in lines]
+assert 'pass1-only' in stages, f"no pass1-only emit in {stages}"
+assert 'interleaved' not in stages, \
+    f"truncated run mislabeled interleaved: {stages}"
+art = json.loads(open('bench_full.json').read())
+assert art['passes_run'] == 1 and art['runs_intended'] == 2, \
+    f"artifact passes accounting wrong: {art['passes_run']}/{art['runs_intended']}"
+cmp_out = '''$CMP'''
+assert 'REFUSED' in cmp_out, f"compare_bench graded a truncated run:\n{cmp_out}"
+print(f"PASS: truncated run labeled {stages}; artifact passes_run="
+      f"{art['passes_run']}/{art['runs_intended']}; compare_bench refused "
+      f"regression grading")
+PY
+ST=$?
 cp -f /tmp/bench_full_backup.json bench_full.json 2>/dev/null
 exit $ST

@@ -15,9 +15,23 @@ import org.apache.spark.sql.SparkSession
   * leaves a parseable line + a complete-for-its-phase artifact (round 13
   * shipped `rc: 124, parsed: null` because everything was emitted only
   * at the very end). A wall-clock budget (SPARK_GRAFT_BENCH_BUDGET_S,
-  * default 480 s) skips the remaining protocol phases when exceeded —
+  * default 900 s) skips the remaining protocol phases when exceeded —
   * the interleaved result is the load-robust headline; the later phases
   * are enrichment, never worth a zero-information artifact.
+  *
+  * Protocol honesty (round 14's top ask): every emitted line carries
+  * `passes_run`/`runs_intended`; a budget-truncated run is labeled
+  * `passN-only`, NEVER `interleaved` (r14's official artifact stamped
+  * cold pass-1 samples "interleaved" and earned 14 false >2x flags);
+  * the file artifact carries the raw per-pass sample arrays; and a
+  * truncated run still self-adjudicates its 5 worst baseline ratios in
+  * a small reserved budget slice. `scripts/compare_bench.py` refuses
+  * standing-baseline regression grading of truncated artifacts.
+  *
+  * Front builds are timed COLD as first-class `front_*` entries before
+  * pass 1 (the registry moved them out of every head's figure — the
+  * most expensive computations in the suite need standing numbers), and
+  * the bench total includes them once.
   */
 object Bench {
 
@@ -101,13 +115,23 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.isEmpty || only(n) }
+    // Per-corpus front builds, timed COLD as first-class `front_*`
+    // entries (round-14 ask #2): the registry moved these builds out of
+    // every head query's figure, so without this phase the most
+    // expensive computations in the suite (suffix fronts, edge sets,
+    // BM25 leg, ANN training) had no standing number at all.
+    val frontDefs = graft.queries.CorpusFronts.benchFronts
+    val frontMap = frontDefs.map(f => f.name -> f).toMap
+    val frontSel = frontDefs.filter(f => only.isEmpty || only(f.name))
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     def jsonOf(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
 
     // Headline subset spanning the operator families (relational agg/join,
-    // window, dedup, ANN, text, streaming, upsert, composed pipeline).
-    val headline = Set(
+    // window, dedup, ANN, text, streaming, upsert, composed pipeline),
+    // plus every front build — the real per-corpus work belongs on
+    // stdout, not only in the file.
+    val headline = frontDefs.map(_.name).toSet ++ Set(
       "q1_agg", "q3_join_agg", "q5_region_revenue", "a6_convo_agg",
       "j1_lookup_join", "j8_fuzzy_semi_join", "w4_sort_limit",
       "win_moving_avg", "dedup_exact", "dedup_minhash_lsh",
@@ -118,13 +142,16 @@ object Bench {
       "asof_prev_purchase", "text_tokens_bpe", "mixture_sample")
 
     // samples accumulate pass by pass; every summary below recomputes
-    // from what exists SO FAR, so an artifact can land after each pass
+    // from what exists SO FAR, so an artifact can land after each pass.
+    // Front builds are sampled ONCE (cold, before pass 1) and flow
+    // through the same min-of-samples summary.
     var samples = Seq.empty[(String, Option[Double])]
+    val allNames: Seq[String] = frontSel.map(_.name) ++ selected.map(_._1)
     def summarize(): (Int, Seq[(String, Double)], Seq[String], Double) = {
       val byName = samples.groupBy(_._1)
       // getOrElse: RUNS=0 means no samples at all — report every query
       // as an error rather than crash
-      val timed = selected.map { case (name, _) =>
+      val timed = allNames.map { name =>
         name -> byName.getOrElse(name, Seq.empty).flatMap(_._2).minOption
       }
       val results = timed.collect { case (n, Some(t)) => n -> t }
@@ -132,11 +159,20 @@ object Bench {
       (timed.size, results, errors, r3(results.map(_._2).sum))
     }
 
+    // protocol accounting, stamped into EVERY emitted line (round-14
+    // verdict #1: a budget-truncated single pass must be distinguishable
+    // from a true min-of-N run — r14's official artifact labeled cold
+    // pass-1 samples "interleaved" and earned 14 false >2x flags)
+    var passesRun = 0
+    var passSamples = Vector.empty[Seq[(String, Double)]]
+    var frontSamples = Seq.empty[(String, Double)]
+
     def line(n: Int, nOk: Int, total: Double, errors: Seq[String],
              queries: Seq[(String, Double)], nShown: Int, stage: String,
              isoJson: String, extra: String = ""): String =
       s"""{"metric":"total","value":$total,"unit":"sec","n":$n,""" +
       s""""n_ok":$nOk,"n_shown":$nShown,"stage":"$stage",""" +
+      s""""passes_run":$passesRun,"runs_intended":$runs,""" +
       s""""errors":${errors.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":${jsonOf(queries)}$isoJson$extra,"sf":"$sfDir"}"""
 
@@ -161,16 +197,42 @@ object Bench {
         s""""loadavg_end":[${loadNow.mkString(",")}],""" +
         s""""spin_start_sec":$spinStart,"spin_end_sec":$spinNow,""" +
         s""""elapsed_sec":${r3(elapsedS)},"cpus":$cpus}"""
+      // file-only protocol detail: the cold front-build map and the raw
+      // per-pass sample arrays (min-of-passes hides which pass carried
+      // a reading; the arrays make any artifact self-explaining)
+      val frontJson =
+        if (frontSamples.isEmpty) ""
+        else s""","front_build":${jsonOf(frontSamples)}"""
+      val passesJson =
+        if (passSamples.isEmpty) ""
+        else passSamples.map(jsonOf).mkString(""","passes":[""", ",", "]")
       if (only.isEmpty) // a filtered dev run must not clobber the artifact
         java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_full.json"),
           (line(n, results.size, total, errors, results, results.size, stage,
-            isoJson, freshJson + loadJson) + "\n").getBytes("UTF-8"))
+            isoJson, freshJson + frontJson + passesJson + loadJson) + "\n")
+            .getBytes("UTF-8"))
       val shown =
         if (only.nonEmpty) results else results.filter(r => headline(r._1))
       println(line(n, results.size, total, errors, shown, shown.size, stage,
         isoJson))
       System.out.flush()
+    }
+
+    // Phase 0: cold front builds. FrontCache cleared first so every
+    // `front_*` reading is the real build, then left PINNED so pass 1's
+    // head queries read steady state (the contract BASELINE.md's
+    // post-front per-head figures were recorded under).
+    if (frontSel.nonEmpty) {
+      try graft.operators.FrontCache.clear() catch { case _: Throwable => }
+      val fs = frontSel.map { f =>
+        val t0 = System.nanoTime()
+        try { f.build(spark, sfDir)
+              f.name -> Some((System.nanoTime() - t0) / 1e9) }
+        catch { case _: Throwable => f.name -> None }
+      }
+      samples ++= fs
+      frontSamples = fs.collect { case (n, Some(t)) => n -> t }
     }
 
     // Passes run one at a time, an artifact after EACH: the r13 driver
@@ -179,18 +241,23 @@ object Bench {
     // (if JIT-inflated) per-query map, on disk ~halfway through the run.
     // Later passes are skipped once the budget is spent: the min-of-N
     // protocol matters least exactly when the box can't afford N passes.
-    var passesRun = 0
+    // A truncated run is labeled "passN-only", NEVER "interleaved" — its
+    // samples carry cold JIT and the full front-order effects that
+    // min-of-N amortizes away, so downstream comparison must know.
     while (passesRun < runs && (passesRun == 0 || elapsedS < budgetS)) {
-      samples ++= selected.map { case (name, fn) =>
+      val ps = selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { run(fn); name -> Some((System.nanoTime() - t0) / 1e9) }
         catch { case _: Throwable => name -> None }
       }
+      samples ++= ps
+      passSamples :+= ps.collect { case (n, Some(t)) => n -> t }
       passesRun += 1
       emit(if (passesRun >= runs) "interleaved" else s"pass$passesRun",
         Seq.empty, Seq.empty)
     }
-    if (passesRun < runs) emit("interleaved", Seq.empty, Seq.empty)
+    val truncated = passesRun < runs
+    if (truncated) emit(s"pass$passesRun-only", Seq.empty, Seq.empty)
     val (_, results, errors, total) = summarize()
 
     // --- self-adjudication: any query reading > 1.5x its BASELINE.md
@@ -224,14 +291,34 @@ object Bench {
           .toMap
       }
     val qmap = SparkEntry.queries
+    // A `front_*` entry re-runs COLD (invalidate just its keys, rebuild
+    // — which re-pins the front, so a later head's re-run stays warm);
+    // a query re-runs as-is. On a TRUNCATED run the main budget is spent
+    // by definition, but its outliers are exactly the readings most in
+    // need of adjudication (round-14 ask #8: the pass1-only artifact
+    // shipped 14 unadjudicated false >2x flags) — so the worst 5 ratios
+    // still get isolated re-runs inside a small reserved slice.
+    def isolatedRun(name: String): Unit = frontMap.get(name) match {
+      case Some(f) =>
+        graft.operators.FrontCache.invalidate(spark, f.keyPrefix)
+        f.build(spark, sfDir)
+      case None => run(qmap(name))
+    }
+    val candidates: Seq[(String, Double, Double)] = results.flatMap {
+      case (name, t) => baseline.get(name).collect {
+        case b if b >= 1.0 && t > 1.5 * b => (name, t, t / b)
+      }
+    }
+    val adjPicked =
+      if (!truncated) candidates else candidates.sortBy(-_._3).take(5)
+    val adjDeadline = if (!truncated) budgetS else elapsedS + 150.0
     val isolated: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty // dev-filtered runs are already isolated
-      else results.collect {
-        case (name, t) if baseline.get(name).exists(b =>
-            b >= 1.0 && t > 1.5 * b) && elapsedS < budgetS =>
+      else adjPicked.collect {
+        case (name, t, _) if elapsedS < adjDeadline =>
           val ts = (1 to 2).flatMap { _ =>
             val t0 = System.nanoTime()
-            try { run(qmap(name)); Some((System.nanoTime() - t0) / 1e9) }
+            try { isolatedRun(name); Some((System.nanoTime() - t0) / 1e9) }
             catch { case _: Throwable => None }
           }
           name -> ts.minOption.getOrElse(t)
@@ -308,7 +395,11 @@ object Bench {
           s"-Xmx$childMx",
           "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
           "-cp", System.getProperty("java.class.path"), "graft.Bench")
-        slice.takeWhile(_ => elapsedS < budgetS).flatMap { name =>
+        // iterator: the budget predicate must be re-read BETWEEN child
+        // forks (on a strict seq every predicate evaluates before the
+        // first fork, so the global budget never interrupted the
+        // sequence — only the 240 s per-child timeout bounded it)
+        slice.iterator.takeWhile(_ => elapsedS < budgetS).flatMap { name =>
           val pb = new ProcessBuilder(cmd: _*)
           pb.redirectError(ProcessBuilder.Redirect.DISCARD)
           pb.environment().put("SPARK_GRAFT_BENCH_ONLY", name)
@@ -330,7 +421,7 @@ object Bench {
             re.findAllMatchIn(out).toSeq.lastOption
               .map(m => name -> m.group(1).toDouble)
           }
-        }
+        }.toSeq
       }
 
     // FINAL artifact + summary. Silence executor/shutdown logging, stop,
@@ -339,11 +430,16 @@ object Bench {
     if (only.isEmpty)
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_full.json"),
-        (line(selected.size, results.size, total, errors, results,
+        (line(allNames.size, results.size, total, errors, results,
           results.size, "final",
           (if (isolated.isEmpty) ""
            else s""","isolated":${jsonOf(isolated)}"""),
           (if (fresh.isEmpty) "" else s""","fresh":${jsonOf(fresh)}""") +
+          (if (frontSamples.isEmpty) ""
+           else s""","front_build":${jsonOf(frontSamples)}""") +
+          (if (passSamples.isEmpty) ""
+           else passSamples.map(jsonOf)
+             .mkString(""","passes":[""", ",", "]")) +
           s""","load":{"loadavg_start":[${loadStart.mkString(",")}],""" +
           s""""loadavg_end":[${(if (fullRun) loadavg() else Nil).mkString(",")}],""" +
           s""""spin_start_sec":$spinStart,""" +
@@ -352,7 +448,7 @@ object Bench {
           .getBytes("UTF-8"))
     val shown =
       if (only.nonEmpty) results else results.filter(r => headline(r._1))
-    val summary = line(selected.size, results.size, total, errors, shown,
+    val summary = line(allNames.size, results.size, total, errors, shown,
       shown.size, "final",
       if (isolated.isEmpty) "" else s""","isolated":${jsonOf(isolated)}""")
     try { spark.sparkContext.setLogLevel("OFF"); spark.stop() }

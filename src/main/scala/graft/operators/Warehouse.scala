@@ -78,6 +78,16 @@ class Warehouse(spark: SparkSession, root: String) {
     spark.read.parquet(tableDir(name).resolve(snap).toString)
   }
 
+  /** Directory of the CURRENT snapshot — for readers that bring their
+    * own schema (e.g. [[FrontStore]] pins the front's schema beside the
+    * snapshot so a fresh session's read launches no inference job).
+    */
+  def currentPath(name: String): String = {
+    val snap = currentSnapshot(name).getOrElse(
+      throw new IllegalArgumentException(s"no such table: $name"))
+    tableDir(name).resolve(snap).toString
+  }
+
   /** K2 — truncate-overwrite: write a fresh snapshot, swap the pointer. */
   def overwrite(name: String, df: DataFrame): Unit = synchronized {
     Files.createDirectories(tableDir(name))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.FrontCache
+import graft.operators.{FrontCache, FrontStore}
 
 /** Per-corpus fronts shared across query families through
   * [[FrontCache]] (the suffix-front pattern, round-13 ask #3 applied to
@@ -22,7 +22,7 @@ object CorpusFronts {
     * orderkey ≤ 6000 — the shared input of the triangle and BFS queries.
     */
   def partCoPurchase(s: SparkSession, dir: String): DataFrame =
-    FrontCache.getOrCompute(s, s"copurchase-part:$dir:cap=6000") {
+    FrontStore.frame(s, s"copurchase-part:$dir:cap=6000", dir) {
       val li = Tables.load(s, dir, "lineitem")
         .where(col("l_orderkey") <= 6000)
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -37,7 +37,7 @@ object CorpusFronts {
     * lineitem⋈orders join — `graph_pagerank`'s bipartite graph.
     */
   def custSuppPairs(s: SparkSession, dir: String): DataFrame =
-    FrontCache.getOrCompute(s, s"copurchase-cs:$dir") {
+    FrontStore.frame(s, s"copurchase-cs:$dir", dir) {
       val li = Tables.load(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"))
       val ord = Tables.load(s, dir, "orders")
@@ -54,7 +54,7 @@ object CorpusFronts {
     */
   def ivfIndex(s: SparkSession, dir: String,
                nlist: Int): graft.operators.Ann.IvfIndex =
-    FrontCache.getOrComputeValue(s, s"ivf-index:$dir:nlist=$nlist:iters=0")(
+    FrontStore.value(s, s"ivf-index:$dir:nlist=$nlist:iters=0", dir)(
       graft.operators.Ann.ivfTrain(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", nlist = nlist, iters = 0))
 
@@ -63,7 +63,50 @@ object CorpusFronts {
     */
   def pqIndex(s: SparkSession, dir: String, m: Int,
               ksub: Int): graft.operators.Ann.PqIndex =
-    FrontCache.getOrComputeValue(s, s"pq-index:$dir:m=$m:ksub=$ksub:iters=0")(
+    FrontStore.value(s, s"pq-index:$dir:m=$m:ksub=$ksub:iters=0", dir)(
       graft.operators.Ann.pqTrain(Tables.load(s, dir, "embeddings"),
         "vec_id", "embedding", m = m, ksub = ksub, iters = 0))
+
+  /** One cold registry build: `build` must leave the front PINNED again
+    * (so an isolated re-run never poisons a later head's timing), and
+    * `keyPrefix` scopes [[FrontCache.invalidate]] to exactly this
+    * front's entries.
+    */
+  final case class FrontBuild(name: String, keyPrefix: String,
+                              build: (SparkSession, String) => Unit)
+
+  /** The per-corpus fronts the bench times as FIRST-CLASS entries
+    * (round-14 VERDICT ask #2 / ADVICE #5): the registry moved the
+    * build cost out of every head query's reported figure — correct for
+    * per-head regression tracking, but the builds themselves (the most
+    * expensive computations in the suite: the prefix-doubling suffix
+    * fronts, the graph edge sets, the BM25 sparse leg, ANN training)
+    * then had NO standing figure, so a regression in any of them was
+    * invisible to the adjudicator. `graft.Bench` cold-builds each of
+    * these (FrontCache cleared first) before pass 1 and reports them as
+    * `front_*` rows against BASELINE.md like any query; its >1.5×
+    * self-adjudicator re-runs one by [[FrontCache.invalidate]] +
+    * rebuild, which re-pins the front.
+    *
+    * getOrCompute's `localCheckpoint` is eager, so touching each
+    * accessor IS the materialized build; the two index trainers are
+    * driver-side values whose builds collect bounded samples.
+    */
+  def benchFronts: Seq[FrontBuild] = Seq(
+    FrontBuild("front_dup_spans", "dup-spans:",
+      (s, d) => { CurationWave4Queries.dupSpans(s, d); () }),
+    FrontBuild("front_decontam_spans", "decontam-spans:",
+      (s, d) => { CurationWave4Queries.decontamSpans(s, d); () }),
+    FrontBuild("front_suffix_ranks", "suffix-ranks:",
+      (s, d) => { CurationWave4Queries.suffixRanksFront(s, d); () }),
+    FrontBuild("front_copurchase", "copurchase-part:",
+      (s, d) => { partCoPurchase(s, d); () }),
+    FrontBuild("front_cs_pairs", "copurchase-cs:",
+      (s, d) => { custSuppPairs(s, d); () }),
+    FrontBuild("front_bm25", "bm25-sc2:",
+      (s, d) => { RetrievalQueries.bm25ScoresCached(s, d); () }),
+    FrontBuild("front_ivf", "ivf-index:",
+      (s, d) => { ivfIndex(s, d, nlist = 8); () }),
+    FrontBuild("front_pq", "pq-index:",
+      (s, d) => { pqIndex(s, d, m = 4, ksub = 8); () }))
 }

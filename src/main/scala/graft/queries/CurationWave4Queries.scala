@@ -37,20 +37,37 @@ object CurationWave4Queries {
     * every head sees the same dense-label assignment. Heads re-sort —
     * checkpointed block order is not an output contract.
     */
-  private def decontamSpans(s: org.apache.spark.sql.SparkSession,
+  private[graft] def decontamSpans(s: org.apache.spark.sql.SparkSession,
                             dir: String) =
-    graft.operators.FrontCache.getOrCompute(s,
-      s"decontam-spans:$dir:L=$DecontamL")(
+    graft.operators.FrontStore.frame(s,
+      s"decontam-spans:$dir:L=$DecontamL", dir)(
       SuffixDedup.contaminationSpans(t("documents")(s, dir), "doc_id",
         "text", col("source") === "src0", DecontamL))
+
+  /** The suffix-rank front of `suffix_array_topk` — the per-corpus
+    * suffix array, registry-pinned like [[decontamSpans]] (and timed as
+    * a first-class `front_*` bench entry through
+    * [[CorpusFronts.benchFronts]]).
+    */
+  private[graft] def suffixRanksFront(s: org.apache.spark.sql.SparkSession,
+                                      dir: String) = {
+    val toks = t("documents")(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysisFns.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "tok")))
+      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+        col("tok"))
+    graft.operators.FrontStore.frame(s, s"suffix-ranks:$dir", dir)(
+      SuffixDedup.suffixRanks(toks))
+  }
 
   /** The duplicate-span front (corpus-wide maximal duplicate spans at
     * [[SpanL]]) shared by `dedup_substring_suffix` / `_removal` /
     * `dup_span_length_hist` — same registry contract as
     * [[decontamSpans]].
     */
-  private def dupSpans(s: org.apache.spark.sql.SparkSession, dir: String) =
-    graft.operators.FrontCache.getOrCompute(s, s"dup-spans:$dir:L=$SpanL")(
+  private[graft] def dupSpans(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.operators.FrontStore.frame(s, s"dup-spans:$dir:L=$SpanL", dir)(
       SuffixDedup.maximalDuplicateSpans(t("documents")(s, dir), "doc_id",
         "text", SpanL))
 
@@ -435,14 +452,9 @@ object CurationWave4Queries {
       val docs = t("documents")(s, dir)
       val withTs = docs.select(col("doc_id"),
         graft.functions.TextAnalysisFns.tokens(col("text")).as("ts"))
-      val toks = withTs
-        .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "tok")))
-        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-          col("tok"))
       // the suffix-rank front is a per-corpus artifact too (a real run
       // builds the suffix array once) — registry-pinned like decontamSpans
-      val ranks = graft.operators.FrontCache.getOrCompute(s,
-        s"suffix-ranks:$dir")(SuffixDedup.suffixRanks(toks))
+      val ranks = suffixRanksFront(s, dir)
       val top = ranks
         .orderBy(col("lbl"), col("doc_id"), col("pos")).limit(100)
       top.join(withTs, Seq("doc_id"))

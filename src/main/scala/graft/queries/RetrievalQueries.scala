@@ -43,8 +43,8 @@ object RetrievalQueries {
     */
   private[queries] def bm25ScoresCached(s: org.apache.spark.sql.SparkSession,
                                         dir: String): org.apache.spark.sql.DataFrame =
-    graft.operators.FrontCache.getOrCompute(s,
-      s"bm25-sc2:$dir:terms=table,spark")(
+    graft.operators.FrontStore.frame(s,
+      s"bm25-sc2:$dir:terms=table,spark", dir)(
       bm25TwoTermScores(Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("text"))))
 

@@ -104,12 +104,22 @@ object Tar {
     * `needData` behave exactly as in [[entriesFiltered]]. A bad header
     * ends the walk at the last good entry; nothing throws.
     *
+    * A KEPT entry whose payload exceeds `maxBytes` (the byte[] cap by
+    * default; a knob so specs can exercise the path without a 2 GiB
+    * fixture) is NOT silently dropped — it emits a MARKER row (name,
+    * exact size, `null` data) with its bytes streamed past. At 100 TB
+    * ingest scale a kept-but-vanished entry is unaccounted data loss;
+    * `null` data is distinguishable from both an empty file
+    * (zero-length array) and pruning (`needData = false`, where the
+    * over-cap entry emits the same empty array as every other row).
+    *
     * The caller owns `in`'s lifetime ([[filesFromPaths]] shows the
     * close-at-exhaustion pattern).
     */
   def entriesStream(in: java.io.InputStream,
                     keep: String => Boolean = _ => true,
-                    needData: Boolean = true): Iterator[EntryMeta] = {
+                    needData: Boolean = true,
+                    maxBytes: Long = Int.MaxValue - 16): Iterator[EntryMeta] = {
     val s: java.io.InputStream =
       try {
         val pb = new java.io.PushbackInputStream(
@@ -145,9 +155,14 @@ object Tar {
                   if (prefix.nonEmpty) s"$prefix/$base" else base
                 }
               pendingName = null
-              if (!keep(name) || size > Int.MaxValue - 16) {
-                // rejected or over-cap payload: stream past it
+              if (!keep(name)) {
+                // rejected payload: stream past it
                 s.skipNBytes(size + pad)
+              } else if (needData && size > math.min(maxBytes, Int.MaxValue - 16L)) {
+                // kept but over the cap: bytes streamed past, but the
+                // entry is ACCOUNTED with a null-data marker row
+                s.skipNBytes(size + pad)
+                return EntryMeta(name, size, null)
               } else if (!needData) {
                 s.skipNBytes(size + pad)
                 return EntryMeta(name, size, Array.emptyByteArray)

@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   * ZIP64 extra field (APPNOTE §4.5.3) — dataset bundles with >65535
   * entries hit this even when physically small (the JDK's own
   * ZipOutputStream writes ZIP64 then, which is the interop fixture the
-  * spec uses). Archives physically over the 2 GB byte[] cap still
-  * degrade honestly: the central directory needs random access, so
-  * there is no streaming fallback like tar/WARC's.
+  * spec uses). Archives over the 2 GB byte[] cap walk through
+  * [[entriesSeekable]]: Hadoop inputs are seekable, so the central
+  * directory reads by position and each entry decodes from its own
+  * positioned reads — the whole archive is never in heap (only the
+  * byte[] CONVENIENCE surface, [[entries]] over an in-memory payload,
+  * keeps the 2 GB bound).
   */
 object Zip {
 
@@ -87,10 +90,13 @@ object Zip {
     */
   final case class EntryMeta(name: String, size: Long, data: Array[Byte])
 
-  /** All CRC-verified entries of a ZIP payload; Nil for non-ZIP data. */
+  /** All CRC-verified entries of a ZIP payload; Nil for non-ZIP data.
+    * Damaged entries (null-data markers in [[entriesFiltered]]) are
+    * dropped here — this surface's contract is "verified bytes only".
+    */
   def entries(payload: Array[Byte]): Seq[Entry] =
     entriesFiltered(payload, _ => true, needData = true)
-      .map(e => Entry(e.name, e.data))
+      .collect { case e if e.data != null => Entry(e.name, e.data) }
 
   /** [[entries]] with SOURCE-SIDE entry skipping — the walk the DSv2
     * connector's pushdown compiles to. ZIP is the best case: names and
@@ -155,9 +161,15 @@ object Zip {
             raw32, comp32, loc32).foreach { case (rawSize, compSize, locOff) =>
           if (!name.endsWith("/") && locOff <= Int.MaxValue - 16 &&
             keep(name)) {
+            // the ROW SET must be projection-independent: a damaged
+            // entry (CRC mismatch, unsupported method, truncated local
+            // header) emits a null-data marker instead of vanishing —
+            // otherwise select(entry_name) and select(entry_name, data)
+            // over the same archive would return different row counts
             if (!needData) out += EntryMeta(name, rawSize, Array.emptyByteArray)
-            else decodeEntry(payload, locOff.toInt, method, compSize, rawSize, crc)
-              .foreach(data => out += EntryMeta(name, rawSize, data))
+            else out += EntryMeta(name, rawSize,
+              decodeEntry(payload, locOff.toInt, method, compSize, rawSize, crc)
+                .orNull)
           }
         }
         off += 46 + nameLen + extraLen + commentLen
@@ -165,6 +177,166 @@ object Zip {
       }
       out.result()
     } catch { case _: Exception => Nil }
+  }
+
+  /** One parsed central-directory entry (offsets already ZIP64-resolved). */
+  private final case class CenEntry(name: String, method: Int, crc: Long,
+                                    compSize: Long, rawSize: Long,
+                                    locOff: Long)
+
+  /** Parse central-directory BYTES (read separately from the archive —
+    * the seekable walk's form) into entry descriptors. Damage degrades
+    * to the entries parsed so far; never throws.
+    */
+  private def parseCentral(cd: Array[Byte], count: Long): Seq[CenEntry] = {
+    val out = Seq.newBuilder[CenEntry]
+    var off = 0
+    var n = 0L
+    val bounded = math.min(count, cd.length / 46L + 1)
+    try {
+      while (n < bounded && off + 46 <= cd.length) {
+        if (le32(cd, off) != CenSig) return out.result()
+        val flags = le16(cd, off + 8)
+        val method = le16(cd, off + 10)
+        val crc = le32(cd, off + 16)
+        val comp32 = le32(cd, off + 20)
+        val raw32 = le32(cd, off + 24)
+        val nameLen = le16(cd, off + 28)
+        val extraLen = le16(cd, off + 30)
+        val commentLen = le16(cd, off + 32)
+        val loc32 = le32(cd, off + 42)
+        val cs = if ((flags & (1 << 11)) != 0)
+          java.nio.charset.StandardCharsets.UTF_8
+        else java.nio.charset.StandardCharsets.ISO_8859_1
+        if (off + 46 + nameLen > cd.length) return out.result()
+        val name = new String(cd, off + 46, nameLen, cs)
+        zip64Fields(cd, off + 46 + nameLen, extraLen, raw32, comp32, loc32)
+          .foreach { case (rawSize, compSize, locOff) =>
+            out += CenEntry(name, method, crc, compSize, rawSize, locOff)
+          }
+        off += 46 + nameLen + extraLen + commentLen
+        n += 1
+      }
+      out.result()
+    } catch { case _: Exception => out.result() }
+  }
+
+  /** STREAMING/SEEKING entry walk over a Hadoop input — the >2 GiB
+    * path the byte[] walk can't take (round-14 VERDICT ask #6). ZIP
+    * needs random access, and Hadoop inputs ARE seekable: the tail scan
+    * finds the EOCD (+ EOCD64), ONE positioned read pulls the central
+    * directory (compact — 46+name bytes per entry, megabytes for
+    * millions of entries, never the archive), and each KEPT entry
+    * decodes from its own positioned reads. `keep` rejections and
+    * `needData = false` pruning never touch an entry's local bytes — a
+    * name listing of a 100 GB archive reads only the directory. Decode
+    * damage emits the null-data marker row ([[entriesFiltered]]'s
+    * projection-independence contract); an entry over the per-entry
+    * byte[] cap emits the marker too (accounted, like the tar walk),
+    * with nothing read. Anything unparseable degrades to the entries
+    * walked so far; never throws. The caller owns `in`'s lifetime.
+    */
+  def entriesSeekable(in: org.apache.hadoop.fs.FSDataInputStream,
+                      fileLen: Long, keep: String => Boolean,
+                      needData: Boolean): Iterator[EntryMeta] = {
+    val cen: Seq[CenEntry] =
+      try {
+        if (fileLen < 22) Seq.empty
+        else {
+          // EOCD within the last 22+64K bytes (comment), plus room for
+          // the EOCD64 locator (20) — one tail read covers the scan
+          val tailLen = math.min(fileLen, 22L + 0xFFFF + 20).toInt
+          val tailBase = fileLen - tailLen
+          val tail = new Array[Byte](tailLen)
+          in.readFully(tailBase, tail)
+          var eocd = -1
+          var i = tailLen - 22
+          while (eocd < 0 && i >= 0) {
+            if (le32(tail, i) == Eocd) eocd = i
+            i -= 1
+          }
+          if (eocd < 0) Seq.empty
+          else {
+            var count: Long = le16(tail, eocd + 10)
+            var cdSize: Long = le32(tail, eocd + 12)
+            var cdOff: Long = le32(tail, eocd + 16)
+            if (count == 0xFFFFL || cdOff == 0xFFFFFFFFL ||
+              cdSize == 0xFFFFFFFFL) {
+              // EOCD64 locator sits 20 bytes before the EOCD; the
+              // EOCD64 record itself can be anywhere → positioned read
+              val loc = eocd - 20
+              if (loc < 0 || le32(tail, loc) != 0x07064b50L) return Iterator.empty
+              val z64 = le64(tail, loc + 8)
+              if (z64 < 0 || z64 + 56 > fileLen) return Iterator.empty
+              val rec = new Array[Byte](56)
+              in.readFully(z64, rec)
+              if (le32(rec, 0) != 0x06064b50L) return Iterator.empty
+              count = le64(rec, 32)
+              cdSize = le64(rec, 40)
+              cdOff = le64(rec, 48)
+            }
+            if (cdOff < 0 || cdSize < 0 || cdOff + cdSize > fileLen ||
+              cdSize > Int.MaxValue - 16) Seq.empty
+            else {
+              val cd = new Array[Byte](cdSize.toInt)
+              in.readFully(cdOff, cd)
+              parseCentral(cd, count)
+            }
+          }
+        }
+      } catch { case _: Exception => Seq.empty }
+
+    cen.iterator.filter(e => !e.name.endsWith("/") && keep(e.name))
+      .map { e =>
+        if (!needData) EntryMeta(e.name, e.rawSize, Array.emptyByteArray)
+        else if (e.rawSize > Int.MaxValue - 16 ||
+          e.compSize > Int.MaxValue - 16)
+          EntryMeta(e.name, e.rawSize, null) // over-cap: accounted marker
+        else EntryMeta(e.name, e.rawSize,
+          decodeSeekable(in, fileLen, e).orNull)
+      }
+  }
+
+  /** Decode one entry via positioned reads of its local header + data;
+    * None when damaged (mirrors [[decodeEntry]]'s checks).
+    */
+  private def decodeSeekable(in: org.apache.hadoop.fs.FSDataInputStream,
+                             fileLen: Long, e: CenEntry): Option[Array[Byte]] = {
+    try {
+      if (e.locOff < 0 || e.locOff + 30 > fileLen) return None
+      val loc = new Array[Byte](30)
+      in.readFully(e.locOff, loc)
+      if (le32(loc, 0) != LocSig) return None
+      val nameLen = le16(loc, 26)
+      val extraLen = le16(loc, 28)
+      val dataOff = e.locOff + 30 + nameLen + extraLen
+      if (dataOff + e.compSize > fileLen) return None
+      val comp = new Array[Byte](e.compSize.toInt)
+      in.readFully(dataOff, comp)
+      val data = e.method match {
+        case 0 => // stored
+          if (e.compSize != e.rawSize) return None
+          comp
+        case 8 => // deflate (raw stream: nowrap)
+          val inf = new java.util.zip.Inflater(true)
+          try {
+            inf.setInput(comp)
+            val out = new Array[Byte](e.rawSize.toInt)
+            var done = 0
+            while (done < e.rawSize && !inf.finished()) {
+              val k = inf.inflate(out, done, out.length - done)
+              if (k == 0 && inf.needsInput()) return None // truncated
+              done += k
+            }
+            if (done != e.rawSize) return None
+            out
+          } finally inf.end()
+        case _ => return None // unsupported method: marker row upstream
+      }
+      val crc = new java.util.zip.CRC32
+      crc.update(data)
+      if (crc.getValue != e.crc) None else Some(data)
+    } catch { case _: Exception => None }
   }
 
   /** Decode one entry via its local header; None when damaged (bad

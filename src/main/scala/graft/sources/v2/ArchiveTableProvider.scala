@@ -38,9 +38,10 @@ import graft.sources.{Tar, Warc, Zip}
   *
   * WARC and tar read through STREAMING walks (one record/entry in heap
   * at a time — >2 GiB archives fine, which corpus tarballs routinely
-  * are); ZIP needs random access to its central directory, so it loads
-  * the archive bytes per task (≤2 GiB by the byte[] contract) but still
-  * skips per-entry inflates/CRCs for rejected or pruned entries.
+  * are); ZIP reads its central directory by SEEK (Hadoop inputs are
+  * seekable) and each kept entry by positioned reads — >2 GiB ZIP64
+  * archives walk with only the directory + one entry in heap, and
+  * rejected/pruned entries' local bytes are never touched.
   *
   * Usage: {{{
   *   spark.read.format("graft.sources.v2.WarcTableProvider").load(dir)
@@ -115,6 +116,41 @@ object ArchiveTables {
       case sources.StringContains(a, _) => cols(a)
       case _ => false
     }
+
+  /** The session's Hadoop configuration as a serializable entry map —
+    * captured DRIVER-SIDE at scan build and rebuilt in each partition
+    * reader (the `Warc.recordsFromPaths` pattern). A fresh executor-side
+    * `new Configuration()` works on a local filesystem but silently
+    * drops everything the session set — s3a/gcs credentials, fs.*
+    * overrides, custom `fs.<scheme>.impl` registrations — so a path
+    * that LISTS fine on the driver would yield zero rows per file.
+    */
+  def sessionConfEntries(
+      spark: org.apache.spark.sql.SparkSession): Map[String, String] =
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+
+  def rebuildConf(entries: Map[String, String]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.sources.v2")
+
+  /** Open a file through the SHIPPED session conf; an unreadable file
+    * degrades to None (a crawl batch with one bad file must not lose
+    * the other 99 999) but is LOGGED, never swallowed silently.
+    */
+  def openLogged(path: String, confEntries: Map[String, String]): Option[org.apache.hadoop.fs.FSDataInputStream] =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      Some(hp.getFileSystem(rebuildConf(confEntries)).open(hp))
+    } catch {
+      case e: Exception =>
+        log.warn(s"archive scan: cannot open $path (${e.getClass.getSimpleName}: ${e.getMessage}); emitting zero rows for this file")
+        None
+    }
 }
 
 /** Walk counters for the spec's "parsed records < total records" audit
@@ -183,21 +219,24 @@ class WarcScan(required: StructType, pushed: Array[sources.Filter],
       .map(f => ArchiveFilePartition(f).asInstanceOf[InputPartition]).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushed.toSeq, needBlock)
+    new WarcReaderFactory(required, pushed.toSeq, needBlock,
+      ArchiveTables.sessionConfEntries(org.apache.spark.sql.SparkSession.active))
 }
 
 case class ArchiveFilePartition(path: String) extends InputPartition
 
 class WarcReaderFactory(required: StructType, pushed: Seq[sources.Filter],
-                        needBlock: Boolean) extends PartitionReaderFactory {
+                        needBlock: Boolean, confEntries: Map[String, String])
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ArchiveFilePartition]
-    new WarcPartitionReader(p.path, required, pushed, needBlock)
+    new WarcPartitionReader(p.path, required, pushed, needBlock, confEntries)
   }
 }
 
 class WarcPartitionReader(path: String, required: StructType,
-                          pushed: Seq[sources.Filter], needBlock: Boolean)
+                          pushed: Seq[sources.Filter], needBlock: Boolean,
+                          confEntries: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val typeKeep = ArchiveTables.namePredicate(pushed, "warc_type")
@@ -205,10 +244,7 @@ class WarcPartitionReader(path: String, required: StructType,
   private val ctKeep = ArchiveTables.namePredicate(pushed, "content_type")
 
   private val in: java.io.InputStream =
-    try {
-      val hp = new org.apache.hadoop.fs.Path(path)
-      hp.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(hp)
-    } catch { case _: Exception => null } // unreadable file → zero rows
+    ArchiveTables.openLogged(path, confEntries).orNull // unreadable → zero rows
 
   private val pathU = UTF8String.fromString(path)
   private def u(s: String): UTF8String = UTF8String.fromString(s)
@@ -317,21 +353,24 @@ class EntryArchiveScan(format: String, required: StructType,
       .map(f => ArchiveFilePartition(f).asInstanceOf[InputPartition]).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EntryArchiveReaderFactory(format, required, pushed.toSeq, needData)
+    new EntryArchiveReaderFactory(format, required, pushed.toSeq, needData,
+      ArchiveTables.sessionConfEntries(org.apache.spark.sql.SparkSession.active))
 }
 
 class EntryArchiveReaderFactory(format: String, required: StructType,
                                 pushed: Seq[sources.Filter],
-                                needData: Boolean)
+                                needData: Boolean,
+                                confEntries: Map[String, String])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new EntryArchiveReader(format,
       partition.asInstanceOf[ArchiveFilePartition].path, required, pushed,
-      needData)
+      needData, confEntries)
 }
 
 class EntryArchiveReader(format: String, path: String, required: StructType,
-                         pushed: Seq[sources.Filter], needData: Boolean)
+                         pushed: Seq[sources.Filter], needData: Boolean,
+                         confEntries: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private val keep = ArchiveTables.namePredicate(pushed, "entry_name")
@@ -344,51 +383,68 @@ class EntryArchiveReader(format: String, path: String, required: StructType,
     k
   }
 
+  /** The task's open stream, if any — closed at drain AND in [[close]]:
+    * an early-terminated scan (LIMIT, take(1)) never drains the
+    * iterator, and a no-op close() would leak one handle per task.
+    */
+  private var openStream: java.io.InputStream = null
+
   private val entries: Iterator[(String, Long, Array[Byte])] = format match {
     // tar streams (512-byte headers + payloads in sequence): one entry
     // in heap at a time, no whole-file cap — corpus tarballs routinely
     // exceed the byte[] limit
     case "tar" =>
-      val opened =
-        try {
-          val hp = new org.apache.hadoop.fs.Path(path)
-          Some(hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-            .open(hp))
-        } catch { case _: Exception => None }
-      opened match {
+      ArchiveTables.openLogged(path, confEntries) match {
         case None => Iterator.empty
         case Some(in) =>
+          openStream = in
           val base = Tar.entriesStream(in, counted, needData)
             .map(e => (e.name, e.size, e.data))
           new Iterator[(String, Long, Array[Byte])] {
-            private var closed = false
             def hasNext: Boolean = {
               val h = base.hasNext
-              if (!h && !closed) {
-                closed = true
-                try in.close() catch { case _: Exception => () }
-              }
+              if (!h) closeStream()
               h
             }
             def next() = base.next()
           }
       }
-    // ZIP needs random access to the central directory: byte[] contract
+    // ZIP streams too since r15: the central directory is read by SEEK
+    // (tail + directory only), then each kept entry is decoded from its
+    // own seek — no whole-archive byte[], so >2 GiB ZIP64 archives walk
+    // fine and a name listing reads only the directory
     case "zip" =>
-      val bytes =
-        try {
-          val hp = new org.apache.hadoop.fs.Path(path)
-          val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          if (fs.getFileStatus(hp).getLen > Int.MaxValue - 16) null
+      ArchiveTables.openLogged(path, confEntries) match {
+        case None => Iterator.empty
+        case Some(in) =>
+          openStream = in
+          val len =
+            try {
+              val hp = new org.apache.hadoop.fs.Path(path)
+              hp.getFileSystem(ArchiveTables.rebuildConf(confEntries))
+                .getFileStatus(hp).getLen
+            } catch { case _: Exception => -1L }
+          if (len < 0) { closeStream(); Iterator.empty }
           else {
-            val s = fs.open(hp)
-            try s.readAllBytes() finally s.close()
+            val base = Zip.entriesSeekable(in, len, counted, needData)
+              .map(e => (e.name, e.size, e.data))
+            new Iterator[(String, Long, Array[Byte])] {
+              def hasNext: Boolean = {
+                val h = base.hasNext
+                if (!h) closeStream()
+                h
+              }
+              def next() = base.next()
+            }
           }
-        } catch { case _: Exception => null }
-      if (bytes == null) Iterator.empty
-      else Zip.entriesFiltered(bytes, counted, needData)
-        .map(e => (e.name, e.size, e.data)).iterator
+      }
     case other => throw new IllegalArgumentException(s"format $other")
+  }
+
+  private def closeStream(): Unit = {
+    val s = openStream
+    openStream = null
+    if (s != null) { try s.close() catch { case _: Exception => () } }
   }
 
   private val getters: Array[((String, Long, Array[Byte])) => Any] =
@@ -411,5 +467,5 @@ class EntryArchiveReader(format: String, path: String, required: StructType,
       true
     } else false
   override def get(): InternalRow = current
-  override def close(): Unit = ()
+  override def close(): Unit = closeStream()
 }

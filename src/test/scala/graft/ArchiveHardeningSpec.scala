@@ -1,0 +1,308 @@
+package graft
+
+import java.net.URI
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.hadoop.fs.{FSDataInputStream, Path => HPath, PositionedReadable, RawLocalFileSystem, Seekable}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Tar, Zip}
+
+/** A RawLocalFileSystem under a PRIVATE scheme, resolvable ONLY through
+  * the session's hadoopConfiguration (`fs.graftcnt.impl`, cache
+  * disabled so every open re-resolves from the conf it is handed) —
+  * proves the DSv2 readers ship the session conf to executors instead
+  * of building an empty `new Configuration()`. It also counts stream
+  * opens/closes, so early-terminated scans (LIMIT) can be audited for
+  * handle leaks.
+  */
+class CountingLocalFs extends RawLocalFileSystem {
+  override def getScheme: String = "graftcnt"
+  override def getUri: URI = URI.create("graftcnt:///")
+  override def open(f: HPath, bufferSize: Int): FSDataInputStream = {
+    val d = super.open(f, bufferSize)
+    CountingLocalFs.opened.incrementAndGet()
+    new FSDataInputStream(new CountingLocalFs.Tracking(d))
+  }
+}
+
+object CountingLocalFs {
+  val opened = new AtomicInteger
+  val closed = new AtomicInteger
+
+  final class Tracking(d: FSDataInputStream) extends java.io.InputStream
+      with Seekable with PositionedReadable {
+    def read(): Int = d.read()
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      d.read(b, off, len)
+    def seek(pos: Long): Unit = d.seek(pos)
+    def getPos: Long = d.getPos
+    def seekToNewSource(targetPos: Long): Boolean = d.seekToNewSource(targetPos)
+    def read(position: Long, buffer: Array[Byte], offset: Int,
+             length: Int): Int = d.read(position, buffer, offset, length)
+    def readFully(position: Long, buffer: Array[Byte], offset: Int,
+                  length: Int): Unit = d.readFully(position, buffer, offset, length)
+    def readFully(position: Long, buffer: Array[Byte]): Unit =
+      d.readFully(position, buffer)
+    private var done = false
+    override def close(): Unit = {
+      if (!done) { done = true; closed.incrementAndGet() }
+      d.close()
+    }
+  }
+}
+
+/** Round-14 hardening asks #5/#6 + ADVICE #1/#2: session-conf shipping
+  * to DSv2 partition readers, close() on early termination, accounted
+  * marker rows for kept-but-over-cap tar entries, projection-independent
+  * ZIP row sets, and the seekable (>2 GiB-capable) ZIP walk.
+  */
+class ArchiveHardeningSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+
+  // ---- minimal ustar fixture (TarSpec's builder, trimmed) -----------------
+  private def tarHeader(name: String, size: Long): Array[Byte] = {
+    val h = new Array[Byte](512)
+    val nb = name.getBytes("UTF-8")
+    System.arraycopy(nb, 0, h, 0, math.min(nb.length, 100))
+    def octal(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      System.arraycopy(padded.getBytes("ASCII"), 0, h, off, len - 1)
+      h(off + len - 1) = 0
+    }
+    octal(420, 100, 8); octal(0, 108, 8); octal(0, 116, 8)
+    octal(size, 124, 12); octal(0, 136, 12)
+    h(156) = '0'.toByte
+    System.arraycopy("ustar".getBytes("ASCII"), 0, h, 257, 5)
+    h(263) = '0'; h(264) = '0'
+    for (i <- 148 until 156) h(i) = ' '
+    var sum = 0L
+    for (i <- 0 until 512) sum += h(i) & 0xFF
+    val cs = java.lang.Long.toOctalString(sum)
+    System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes("ASCII"), 0, h, 148, 6)
+    h(154) = 0; h(155) = ' '
+    h
+  }
+  private def tarEntry(name: String, data: Array[Byte]): Array[Byte] =
+    tarHeader(name, data.length) ++ data ++
+      new Array[Byte]((512 - (data.length % 512)) % 512)
+  private def tar(entries: Array[Byte]*): Array[Byte] =
+    entries.flatten.toArray ++ new Array[Byte](1024)
+
+  private def zip(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bos)
+    for ((name, data) <- entries) {
+      zo.putNextEntry(new java.util.zip.ZipEntry(name))
+      zo.write(data); zo.closeEntry()
+    }
+    zo.close(); bos.toByteArray
+  }
+
+  private def tmpFile(tag: String, bytes: Array[Byte]): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempFile(tag, ".bin")
+    java.nio.file.Files.write(p, bytes)
+    p
+  }
+
+  private def openLocal(p: java.nio.file.Path): (FSDataInputStream, Long) = {
+    val hp = new HPath(p.toString)
+    val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    (fs.open(hp), java.nio.file.Files.size(p))
+  }
+
+  // ---- tar: kept-but-over-cap entries are ACCOUNTED -----------------------
+
+  test("tar streaming walk: a kept entry over the cap emits a (name, size, null) marker, never vanishes") {
+    val big = Array.fill[Byte](100)('b')
+    val small = Array.fill[Byte](40)('s')
+    val t = tar(tarEntry("a_small.txt", small), tarEntry("b_big.bin", big),
+      tarEntry("c_small.txt", small))
+    def walk(needData: Boolean) = Tar.entriesStream(
+      new java.io.ByteArrayInputStream(t), _ => true, needData,
+      maxBytes = 60).toSeq
+
+    val full = walk(needData = true)
+    assert(full.map(_.name) == Seq("a_small.txt", "b_big.bin", "c_small.txt"),
+      "the over-cap entry must be present — silent loss is unaccounted data")
+    assert(full(1).size == 100 && full(1).data == null,
+      "marker row: exact size, null data")
+    assert(full(0).data.length == 40 && full(2).data.length == 40,
+      "the walk continues past the over-cap payload")
+
+    val pruned = walk(needData = false)
+    assert(pruned.map(_.name) == full.map(_.name) &&
+      pruned.forall(_.data.length == 0),
+      "pruned walk: same row set, empty arrays throughout")
+  }
+
+  // ---- zip: projection-independent row set + seekable walk ----------------
+
+  test("zip: damaged entries emit null-data markers so the row set is projection-independent") {
+    val doc = ("corpus line " * 100).getBytes
+    val z = zip(Seq("keep.txt" -> doc, "drop.txt" -> doc))
+    val corrupted = z.clone()
+    corrupted(40) = (corrupted(40) ^ 0x20).toByte // first entry's deflate bytes
+
+    val withData = Zip.entriesFiltered(corrupted, _ => true, needData = true)
+    val pruned = Zip.entriesFiltered(corrupted, _ => true, needData = false)
+    assert(withData.map(_.name) == pruned.map(_.name),
+      "select(entry_name) and select(entry_name, data) must see the same rows")
+    assert(withData.count(_.data == null) == 1 &&
+      withData.find(_.data != null).exists(_.name == "drop.txt"))
+    // the verified-bytes convenience surface still drops damage
+    assert(Zip.entries(corrupted).map(_.name) == Seq("drop.txt"))
+
+    // seekable walk: same projection-independence
+    val p = tmpFile("zip-damaged", corrupted)
+    val (in, len) = openLocal(p)
+    try {
+      val seek = Zip.entriesSeekable(in, len, _ => true, needData = true).toSeq
+      assert(seek.map(_.name) == withData.map(_.name))
+      assert(seek.count(_.data == null) == 1)
+    } finally in.close()
+  }
+
+  test("zip seekable walk: parity with the byte[] walk; pruning reads only the directory") {
+    val docs = (1 to 40).map(i => s"doc$i.txt" -> s"payload $i ${"x" * i}".getBytes)
+    val z = zip(docs)
+    val p = tmpFile("zip-parity", z)
+    val mem = Zip.entriesFiltered(z, _ => true, needData = true)
+    val (in, len) = openLocal(p)
+    try {
+      val seek = Zip.entriesSeekable(in, len, _ => true, needData = true).toSeq
+      assert(seek.map(e => (e.name, e.size)) == mem.map(e => (e.name, e.size)))
+      assert(seek.zip(mem).forall { case (a, b) =>
+        java.util.Arrays.equals(a.data, b.data) })
+    } finally in.close()
+    // filtered + pruned: names/sizes only
+    val (in2, _) = openLocal(p)
+    try {
+      val some = Zip.entriesSeekable(in2, len, _.endsWith("0.txt"),
+        needData = false).toSeq
+      assert(some.map(_.name) == Seq("doc10.txt", "doc20.txt", "doc30.txt",
+        "doc40.txt"))
+      assert(some.forall(_.data.length == 0))
+    } finally in2.close()
+  }
+
+  test("zip seekable walk: ZIP64 archive (JDK-written, >65535 entries) walks by seek") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zo = new java.util.zip.ZipOutputStream(bos)
+    val payload = "z64".getBytes
+    for (i <- 0 until 70000) {
+      zo.putNextEntry(new java.util.zip.ZipEntry(f"e$i%05d"))
+      zo.write(payload); zo.closeEntry()
+    }
+    zo.close()
+    val z = bos.toByteArray
+    val p = tmpFile("zip64-seek", z)
+    val (in, len) = openLocal(p)
+    try {
+      var n = 0
+      var checked = 0
+      Zip.entriesSeekable(in, len, _ => true, needData = true).foreach { e =>
+        n += 1
+        if (n % 8191 == 0) {
+          assert(java.util.Arrays.equals(e.data, payload)); checked += 1
+        }
+      }
+      assert(n == 70000 && checked > 0)
+    } finally in.close()
+  }
+
+  test(">2 GiB ZIP: the seekable walk lists and decodes past the byte[] cap (the r14 tar exhibit's mirror)") {
+    // 2200 STORED 1 MiB entries of xorshift bytes ≈ 2.2 GiB on disk —
+    // STORED because the walk seeks the REAL file: a compressible
+    // payload would deflate under the cap and prove nothing
+    val p = java.nio.file.Files.createTempFile("zip-2gib", ".zip")
+    try {
+      val out = new java.util.zip.ZipOutputStream(
+        new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(p), 1 << 20))
+      val block = new Array[Byte](1 << 20)
+      var x = 0x9E3779B97F4A7C15L
+      var i = 0
+      while (i < block.length) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        block(i) = x.toByte; i += 1
+      }
+      val crc = new java.util.zip.CRC32
+      crc.update(block)
+      for (n <- 0 until 2200) {
+        val e = new java.util.zip.ZipEntry(f"blk$n%04d.bin")
+        e.setMethod(java.util.zip.ZipEntry.STORED)
+        e.setSize(block.length); e.setCrc(crc.getValue)
+        out.putNextEntry(e); out.write(block); out.closeEntry()
+      }
+      out.close()
+      val len = java.nio.file.Files.size(p)
+      assert(len > Int.MaxValue.toLong, s"exhibit must exceed the cap: $len")
+
+      val (in, _) = openLocal(p)
+      try {
+        // a name/size listing reads ONLY the central directory
+        val names = Zip.entriesSeekable(in, len, _ => true,
+          needData = false).toSeq
+        assert(names.size == 2200 && names.forall(_.size == (1 << 20)))
+        // decode one entry from BEYOND the 2 GiB boundary, CRC-verified
+        val deep = Zip.entriesSeekable(in, len, _ == "blk2199.bin",
+          needData = true).toSeq
+        assert(deep.size == 1 &&
+          java.util.Arrays.equals(deep.head.data, block))
+      } finally in.close()
+      // the byte[] walk honestly degrades on the same file (over cap)
+      assert(Zip.entries(null).isEmpty)
+    } finally java.nio.file.Files.deleteIfExists(p)
+  }
+
+  // ---- DSv2: session conf ships to executors; close() on LIMIT ------------
+
+  test("DSv2 readers resolve the filesystem through the SHIPPED session conf and close handles on early termination") {
+    val doc = Array.fill[Byte](2048)('d')
+    val t = tar((1 to 8).map(i => tarEntry(s"doc$i.txt", doc)): _*)
+    val dir = java.nio.file.Files.createTempDirectory("graftcnt-tar")
+    java.nio.file.Files.write(dir.resolve("a.tar"), t)
+    java.nio.file.Files.write(dir.resolve("b.tar"), t)
+
+    // the scheme exists ONLY in the session conf; cache disabled so an
+    // executor-side empty Configuration could never resolve it
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.graftcnt.impl", classOf[CountingLocalFs].getName)
+    hc.set("fs.graftcnt.impl.disable.cache", "true")
+    CountingLocalFs.opened.set(0); CountingLocalFs.closed.set(0)
+
+    val df = spark.read.format("graft.sources.v2.TarTableProvider")
+      .option("path", s"graftcnt:$dir/*.tar").load()
+    assert(df.count() == 16, "zero rows = the conf did not reach the reader")
+
+    // LIMIT 1: tasks terminate early, iterators never drain — close()
+    // must still release every opened stream
+    CountingLocalFs.opened.set(0); CountingLocalFs.closed.set(0)
+    val one = df.select("entry_name").limit(1).collect()
+    assert(one.length == 1)
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (CountingLocalFs.closed.get < CountingLocalFs.opened.get &&
+      System.nanoTime() < deadline) Thread.sleep(10)
+    assert(CountingLocalFs.opened.get > 0, "the scan must open through the fs")
+    assert(CountingLocalFs.closed.get == CountingLocalFs.opened.get,
+      s"leaked handles: opened ${CountingLocalFs.opened.get}, " +
+        s"closed ${CountingLocalFs.closed.get}")
+  }
+
+  test("DSv2 zip scan walks by seek (no whole-archive byte[]) with pushdown intact") {
+    val z = zip((1 to 30).map(i => s"f$i.jsonl" -> s"""{"i":$i}""".getBytes))
+    val dir = java.nio.file.Files.createTempDirectory("zip-v2-seek")
+    java.nio.file.Files.write(dir.resolve("c.zip"), z)
+    val df = spark.read.format("graft.sources.v2.ZipTableProvider")
+      .option("path", dir.toString).load()
+    assert(df.count() == 30)
+    graft.sources.v2.ArchiveScanMetrics.reset()
+    val got = df.where(org.apache.spark.sql.functions.col("entry_name")
+        .startsWith("f1")).select("entry_name", "data").collect()
+    assert(got.length == 11) // f1, f10..f19
+    assert(graft.sources.v2.ArchiveScanMetrics.skipped.sum() > 0,
+      "pushdown must reject entries at the walk")
+  }
+}
