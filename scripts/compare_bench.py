@@ -82,12 +82,32 @@ if load:
                 ref = float(m.group(1))
     except FileNotFoundError:
         pass
+    ms = load.get("spin_mt_start_sec", 0.0)
+    me = load.get("spin_mt_end_sec", 0.0)
+    mref = None
+    try:
+        with open("BASELINE.md") as f:
+            m = re.search(r"bench parallel spin reference: ([0-9.]+) s",
+                          f.read())
+            if m:
+                mref = float(m.group(1))
+    except FileNotFoundError:
+        pass
     print(f"box fingerprint: loadavg {la:.2f}->{le:.2f} of {cpus:.0f} cpus; "
           f"spin {ss:.2f}s->{se:.2f}s"
-          + (f" (idle reference {ref:.2f}s)" if ref else ""))
+          + (f" (idle reference {ref:.2f}s)" if ref else "")
+          + (f"; parallel spin {ms:.2f}s->{me:.2f}s" if ms or me else "")
+          + (f" (idle reference {mref:.2f}s)" if mref and (ms or me) else ""))
     flags = []
     if ref and max(ss, se) > 1.3 * ref:
         flags.append(f"spin {max(ss, se):.2f}s > 1.3x idle {ref:.2f}s")
+    # the single-thread spin cannot see lost PARALLEL throughput
+    # (shared-tenant CPU quota): r15 measured every sub-second query ~2x
+    # baseline on a box with a healthy 0.77s spin — an A/B of the prior
+    # round's tree on the same box read identically (box, not tree)
+    if mref and max(ms, me) > 1.3 * mref:
+        flags.append(f"parallel spin {max(ms, me):.2f}s > 1.3x idle "
+                     f"{mref:.2f}s - MULTI-THREAD THROUGHPUT DEGRADED")
     # START loadavg only: the end reading mostly measures the bench's OWN
     # local[32] threads and varies with which protocol phase ran last
     # (a full interleaved pass ends at ~15, a fresh-fork tail near idle),

@@ -55,6 +55,33 @@ object Bench {
     math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
   }
 
+  /** Wall seconds for the SAME fixed work unit split across `n`
+    * threads (100M steps each). The single-thread spin cannot see a
+    * box whose PARALLEL throughput is degraded (shared-tenant CPU
+    * quota, SMT saturation): round 15 measured every sub-second query
+    * ~2x its baseline row on a box whose single-thread spin read a
+    * healthy 0.77 s — and an A/B of the r14 tree on the same box read
+    * identically, proving box-not-tree. This probe makes that
+    * adjudication mechanical: wall time rises with lost parallel
+    * throughput while the single-thread spin stays flat.
+    */
+  private def spinParallelSeconds(n: Int): Double = {
+    val t0 = System.nanoTime()
+    val ts = (0 until n).map { i =>
+      new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var k = 0L
+        while (k < 100000000L) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          k += 1
+        }
+        if (x == 42L) System.err.print("") // consume x: defeat DCE
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
+  }
+
   /** 1/5/15-minute load averages (zeros off-Linux — fingerprint only). */
   private def loadavg(): Seq[Double] =
     try new String(java.nio.file.Files.readAllBytes(
@@ -82,6 +109,13 @@ object Bench {
     val fullRun = !sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
     val loadStart = if (fullRun) loadavg() else Nil
     val spinStart = if (fullRun) spinSeconds() else 0.0
+    val cpusN = cpus.toInt
+    // discard one MT probe first: the start sample otherwise runs the
+    // thread body interpreted (JVM-cold) and reads ~2x the warm figure,
+    // which would false-flag every run's max(start, end)
+    val spinMtStart =
+      if (fullRun) { spinParallelSeconds(cpusN); spinParallelSeconds(cpusN) }
+      else 0.0
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -192,10 +226,12 @@ object Bench {
         if (fresh.isEmpty) "" else s""","fresh":${jsonOf(fresh)}"""
       val loadNow = if (fullRun) loadavg() else Nil
       val spinNow = if (fullRun) spinSeconds() else 0.0
+      val spinMtNow = if (fullRun) spinParallelSeconds(cpusN) else 0.0
       val loadJson =
         s""","load":{"loadavg_start":[${loadStart.mkString(",")}],""" +
         s""""loadavg_end":[${loadNow.mkString(",")}],""" +
         s""""spin_start_sec":$spinStart,"spin_end_sec":$spinNow,""" +
+        s""""spin_mt_start_sec":$spinMtStart,"spin_mt_end_sec":$spinMtNow,""" +
         s""""elapsed_sec":${r3(elapsedS)},"cpus":$cpus}"""
       // file-only protocol detail: the cold front-build map and the raw
       // per-pass sample arrays (min-of-passes hides which pass carried
@@ -444,6 +480,8 @@ object Bench {
           s""""loadavg_end":[${(if (fullRun) loadavg() else Nil).mkString(",")}],""" +
           s""""spin_start_sec":$spinStart,""" +
           s""""spin_end_sec":${if (fullRun) spinSeconds() else 0.0},""" +
+          s""""spin_mt_start_sec":$spinMtStart,""" +
+          s""""spin_mt_end_sec":${if (fullRun) spinParallelSeconds(cpusN) else 0.0},""" +
           s""""elapsed_sec":${r3(elapsedS)},"cpus":$cpus}""") + "\n")
           .getBytes("UTF-8"))
     val shown =

@@ -394,6 +394,57 @@ object Zip {
       .toDF("path", "entry_name", "n_bytes", "data")
   }
 
+  /** [[files]] over file PATHS — the >2 GiB route, mirroring
+    * [[Tar.filesFromPaths]]: each task opens its archive through the
+    * Hadoop filesystem (session conf broadcast) and walks entries via
+    * [[entriesSeekable]] — directory by positioned read, one entry in
+    * heap at a time. Damaged entries surface as null-data marker rows
+    * (the projection-independence contract); unreadable paths degrade
+    * to zero rows. Same row schema, one task per archive, no shuffle.
+    */
+  def filesFromPaths(spark: SparkSession, paths: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val hadoopConfSer = spark.sparkContext.broadcast(
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toMap)
+    paths.select(col("path").cast("string")).as[String]
+      .mapPartitions { it =>
+        lazy val conf = {
+          val c = new org.apache.hadoop.conf.Configuration(false)
+          hadoopConfSer.value.foreach { case (k, v) => c.set(k, v) }
+          c
+        }
+        it.flatMap { p =>
+          val opened =
+            try {
+              val hp = new org.apache.hadoop.fs.Path(p)
+              val fs = hp.getFileSystem(conf)
+              Some((fs.open(hp), fs.getFileStatus(hp).getLen))
+            } catch { case _: Exception => None }
+          opened match {
+            case None => Iterator.empty
+            case Some((in, len)) =>
+              val base = entriesSeekable(in, len, _ => true, needData = true)
+                .map(e => (p, e.name, e.size, e.data))
+              new Iterator[(String, String, Long, Array[Byte])] {
+                private var closed = false
+                def hasNext: Boolean = {
+                  val h = base.hasNext
+                  if (!h && !closed) {
+                    closed = true
+                    try in.close() catch { case _: Exception => () }
+                  }
+                  h
+                }
+                def next() = base.next()
+              }
+          }
+        }
+      }
+      .toDF("path", "entry_name", "n_bytes", "data")
+  }
+
   /** Text entries by extension, UTF-8 with replacement — same contract
     * as [[Tar.textFiles]].
     */

@@ -291,6 +291,27 @@ class ArchiveHardeningSpec extends AnyFunSuite {
         s"closed ${CountingLocalFs.closed.get}")
   }
 
+  test("Zip.filesFromPaths: per-path seek-walk rows match files(); bad paths degrade to zero rows") {
+    import org.apache.spark.sql.functions.col
+    val z = zip((1 to 12).map(i => s"d$i.txt" -> s"zip row $i".getBytes))
+    val dir = java.nio.file.Files.createTempDirectory("zip-frompaths")
+    java.nio.file.Files.write(dir.resolve("a.zip"), z)
+    java.nio.file.Files.write(dir.resolve("b.zip"), z)
+    import spark.implicits._
+    val paths = Seq(s"$dir/a.zip", s"$dir/b.zip", s"$dir/missing.zip")
+      .toDF("path")
+    val rows = Zip.filesFromPaths(spark, paths)
+      .orderBy(col("path"), col("entry_name")).collect()
+    assert(rows.length == 24, "12 entries per readable archive, 0 for the bad path")
+    val byFiles = Zip.files(spark,
+      Seq((s"$dir/a.zip", z), (s"$dir/b.zip", z)).toDF("path", "content"))
+      .orderBy(col("path"), col("entry_name")).collect()
+    assert(rows.map(_.toSeq.take(3)).toSeq == byFiles.map(_.toSeq.take(3)).toSeq)
+    assert(rows.zip(byFiles).forall { case (a, b) =>
+      java.util.Arrays.equals(a.getAs[Array[Byte]]("data"),
+        b.getAs[Array[Byte]]("data")) })
+  }
+
   test("DSv2 zip scan walks by seek (no whole-archive byte[]) with pushdown intact") {
     val z = zip((1 to 30).map(i => s"f$i.jsonl" -> s"""{"i":$i}""".getBytes))
     val dir = java.nio.file.Files.createTempDirectory("zip-v2-seek")
