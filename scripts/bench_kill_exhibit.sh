@@ -61,9 +61,12 @@ rm -f bench_full.json "$OUT2"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.001 SPARK_GRAFT_BENCH_RUNS=2 \
   SPARK_GRAFT_BENCH_BUDGET_S=1 SPARK_GRAFT_BENCH_FRESH=0 \
   java $OPENS -Xmx8g -cp "$CP" graft.Bench > "$OUT2" 2>/dev/null
-CMP=$(python3 scripts/compare_bench.py bench_full.json 2>&1)
-python3 - "$OUT2" <<PY
-import json, sys
+# the compare output travels via the environment, NOT spliced into the
+# Python source — a query name or flag line containing quotes/backslashes
+# would break a string-interpolated assertion script
+CMP_OUT=$(python3 scripts/compare_bench.py bench_full.json 2>&1) \
+  python3 - "$OUT2" <<'PY'
+import json, os, sys
 lines = [l for l in open(sys.argv[1]) if l.startswith('{')]
 stages = [json.loads(l)['stage'] for l in lines]
 assert 'pass1-only' in stages, f"no pass1-only emit in {stages}"
@@ -72,7 +75,7 @@ assert 'interleaved' not in stages, \
 art = json.loads(open('bench_full.json').read())
 assert art['passes_run'] == 1 and art['runs_intended'] == 2, \
     f"artifact passes accounting wrong: {art['passes_run']}/{art['runs_intended']}"
-cmp_out = '''$CMP'''
+cmp_out = os.environ['CMP_OUT']
 assert 'REFUSED' in cmp_out, f"compare_bench graded a truncated run:\n{cmp_out}"
 print(f"PASS: truncated run labeled {stages}; artifact passes_run="
       f"{art['passes_run']}/{art['runs_intended']}; compare_bench refused "

@@ -67,6 +67,18 @@ else:
 # r12 driver run read ~1.9x the recorded fresh floors across the board
 # purely from box load; this makes that adjudication mechanical — a
 # flagged run's ratios are upper bounds, not plan regressions.
+def _spin_ref(pattern):
+    try:
+        with open("BASELINE.md") as f:
+            m = re.search(pattern, f.read())
+            return float(m.group(1)) if m else None
+    except FileNotFoundError:
+        return None
+
+
+ref = _spin_ref(r"bench spin reference: ([0-9.]+) s")
+mref = _spin_ref(r"bench parallel spin reference: ([0-9.]+) s")
+
 load = _doc.get("load")
 if load:
     la = (load.get("loadavg_start") or [0.0])[0]
@@ -74,25 +86,8 @@ if load:
     ss = load.get("spin_start_sec", 0.0)
     se = load.get("spin_end_sec", 0.0)
     cpus = float(load.get("cpus", 1))
-    ref = None
-    try:
-        with open("BASELINE.md") as f:
-            m = re.search(r"bench spin reference: ([0-9.]+) s", f.read())
-            if m:
-                ref = float(m.group(1))
-    except FileNotFoundError:
-        pass
     ms = load.get("spin_mt_start_sec", 0.0)
     me = load.get("spin_mt_end_sec", 0.0)
-    mref = None
-    try:
-        with open("BASELINE.md") as f:
-            m = re.search(r"bench parallel spin reference: ([0-9.]+) s",
-                          f.read())
-            if m:
-                mref = float(m.group(1))
-    except FileNotFoundError:
-        pass
     print(f"box fingerprint: loadavg {la:.2f}->{le:.2f} of {cpus:.0f} cpus; "
           f"spin {ss:.2f}s->{se:.2f}s"
           + (f" (idle reference {ref:.2f}s)" if ref else "")
@@ -131,19 +126,47 @@ if fronts:
         print(f"front builds (cold): {tot:.2f} s over {len(fronts)} fronts "
               f"(no baseline rows yet)")
 
+def report_isolated():
+    """Isolated re-run entries, each tagged with its baseline ratio — and
+    REFUSED (tagged untrustworthy) when the iso_load spin probe shows the
+    box was degraded WHILE the adjudication batch ran: the r15 driver
+    artifact's isolated block read 7.6-8.8x under a 6 s spin and nothing
+    in the artifact said so, so it masqueraded as trustworthy
+    adjudication.
+    """
+    iso = _doc.get("isolated", {})
+    if not iso:
+        return
+    il = _doc.get("iso_load", {})
+    iso_spin = max(il.get("spin_before_sec", 0.0), il.get("spin_after_sec", 0.0))
+    iso_mt = max(il.get("spin_mt_before_sec", 0.0),
+                 il.get("spin_mt_after_sec", 0.0))
+    degraded = []
+    if ref and iso_spin > 1.3 * ref:
+        degraded.append(f"spin {iso_spin:.2f}s > 1.3x idle {ref:.2f}s")
+    if mref and iso_mt > 1.3 * mref:
+        degraded.append(f"parallel spin {iso_mt:.2f}s > 1.3x idle {mref:.2f}s")
+    armed = il.get("armed")
+    cover = (f" ({il['run']}/{armed} armed candidates)"
+             if armed is not None else "")
+    print(f"  isolated re-runs recorded for {len(iso)} readings{cover}:")
+    if degraded:
+        print("    HIGH-LOAD ADJUDICATION - the isolated figures below were "
+              "taken under a degraded box and are REFUSED as adjudication "
+              "evidence (upper bounds only): " + "; ".join(degraded))
+    for q, t in sorted(iso.items()):
+        ba = baseline.get(q)
+        tag = f" ({t / ba:.2f}x baseline {ba:.2f})" if ba else ""
+        print(f"    {q}: {t:.2f}s{tag}")
+
+
 if truncated:
     print(f"per-query regression grading REFUSED: this artifact is a "
           f"single-pass (budget-truncated) run — every figure is an upper "
           f"bound carrying cold JIT; re-run with enough budget (or consult "
           f"its 'isolated' entries) before reading any >{thr}x flag as a "
           f"plan regression")
-    iso = _doc.get("isolated", {})
-    if iso:
-        print(f"  isolated re-runs recorded for {len(iso)} worst readings:")
-        for q, t in sorted(iso.items()):
-            ba = baseline.get(q)
-            tag = f" ({t / ba:.2f}x baseline {ba:.2f})" if ba else ""
-            print(f"    {q}: {t:.2f}s{tag}")
+    report_isolated()
 else:
     over = [(q, bench[q], baseline[q],
              bench[q] / baseline[q] if baseline[q] > 0 else float("inf"))
@@ -152,6 +175,7 @@ else:
     print(f"queries over {thr}x baseline: {len(over)}")
     for q, b, ba, r in over:
         print(f"  {q}: {b:.2f} vs {ba:.2f} ({r:.2f}x)")
+    report_isolated()
 new = sorted(set(bench) - set(baseline))
 print(f"beyond-baseline queries timed: {len(new)}")
 

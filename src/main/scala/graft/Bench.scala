@@ -218,7 +218,7 @@ object Bench {
     // the driver recorded "parsed": null) — the fresh-JVM map and the
     // load fingerprint live ONLY in the file for the same reason.
     def emit(stage: String, isolated: Seq[(String, Double)],
-             fresh: Seq[(String, Double)]): Unit = {
+             fresh: Seq[(String, Double)], extraJson: String = ""): Unit = {
       val (n, results, errors, total) = summarize()
       val isoJson =
         if (isolated.isEmpty) "" else s""","isolated":${jsonOf(isolated)}"""
@@ -246,7 +246,8 @@ object Bench {
         java.nio.file.Files.write(
           java.nio.file.Paths.get("bench_full.json"),
           (line(n, results.size, total, errors, results, results.size, stage,
-            isoJson, freshJson + frontJson + passesJson + loadJson) + "\n")
+            isoJson, freshJson + frontJson + passesJson + extraJson +
+              loadJson) + "\n")
             .getBytes("UTF-8"))
       val shown =
         if (only.nonEmpty) results else results.filter(r => headline(r._1))
@@ -340,14 +341,33 @@ object Bench {
         f.build(spark, sfDir)
       case None => run(qmap(name))
     }
+    // Candidates sorted WORST-RATIO-FIRST in both branches: if the slice
+    // runs out mid-list, the readings most in need of adjudication are
+    // the ones that got it (the r15 clean run armed 16 candidates and
+    // isolated only the alphabetically-first one — the full-run branch
+    // reserved no slice and took candidates in name order).
     val candidates: Seq[(String, Double, Double)] = results.flatMap {
       case (name, t) => baseline.get(name).collect {
         case b if b >= 1.0 && t > 1.5 * b => (name, t, t / b)
       }
-    }
-    val adjPicked =
-      if (!truncated) candidates else candidates.sortBy(-_._3).take(5)
-    val adjDeadline = if (!truncated) budgetS else elapsedS + 150.0
+    }.sortBy(-_._3)
+    val adjPicked = if (!truncated) candidates else candidates.take(5)
+    // Full runs get a RESERVED slice past whatever the passes consumed
+    // (the truncated branch's elapsedS+150 pattern): a clean 2/2-pass run
+    // that lands near the budget must still isolate every armed
+    // candidate, not just the first. The deadline is checked before each
+    // candidate, so the overshoot is bounded by one re-run.
+    val adjDeadline =
+      if (!truncated) math.max(budgetS, elapsedS) + 240.0 else elapsedS + 150.0
+    // Load probe AROUND the adjudication batch (round-15 ask #3): the
+    // isolated figures are only trustworthy if the box was healthy WHILE
+    // they ran — the r15 driver artifact's isolated block read 7.6-8.8x
+    // under a 6 s spin and nothing in the artifact said so.
+    val isoSpinBefore =
+      if (fullRun && adjPicked.nonEmpty && only.isEmpty) spinSeconds() else 0.0
+    val isoSpinMtBefore =
+      if (fullRun && adjPicked.nonEmpty && only.isEmpty) spinParallelSeconds(cpusN)
+      else 0.0
     val isolated: Seq[(String, Double)] =
       if (only.nonEmpty) Seq.empty // dev-filtered runs are already isolated
       else adjPicked.collect {
@@ -359,10 +379,21 @@ object Bench {
           }
           name -> ts.minOption.getOrElse(t)
       }
+    val isoSpinAfter =
+      if (fullRun && isolated.nonEmpty) spinSeconds() else 0.0
+    val isoSpinMtAfter =
+      if (fullRun && isolated.nonEmpty) spinParallelSeconds(cpusN) else 0.0
+    val isoLoadJson =
+      if (isolated.isEmpty) ""
+      else s""","iso_load":{"spin_before_sec":$isoSpinBefore,""" +
+        s""""spin_after_sec":$isoSpinAfter,""" +
+        s""""spin_mt_before_sec":$isoSpinMtBefore,""" +
+        s""""spin_mt_after_sec":$isoSpinMtAfter,""" +
+        s""""armed":${adjPicked.size},"run":${isolated.size}}"""
 
     // PHASE 2 artifact (only if the adjudicator actually ran on anything —
     // an identical rewrite would just churn the file's mtime).
-    if (isolated.nonEmpty) emit("adjudicated", isolated, Seq.empty)
+    if (isolated.nonEmpty) emit("adjudicated", isolated, Seq.empty, isoLoadJson)
 
     // --- dual protocol: the FRESH-JVM isolated floor per headline query.
     // The interleaved min depends on what ran before it in this JVM (JIT
@@ -475,7 +506,7 @@ object Bench {
            else s""","front_build":${jsonOf(frontSamples)}""") +
           (if (passSamples.isEmpty) ""
            else passSamples.map(jsonOf)
-             .mkString(""","passes":[""", ",", "]")) +
+             .mkString(""","passes":[""", ",", "]")) + isoLoadJson +
           s""","load":{"loadavg_start":[${loadStart.mkString(",")}],""" +
           s""""loadavg_end":[${(if (fullRun) loadavg() else Nil).mkString(",")}],""" +
           s""""spin_start_sec":$spinStart,""" +

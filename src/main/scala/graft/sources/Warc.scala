@@ -553,6 +553,17 @@ object Warc {
           hadoopConfSer.value.foreach { case (k, v) => c.set(k, v) }
           c
         }
+        // close-at-exhaustion alone leaks the CURRENT crawl file's stream
+        // when the task terminates early (LIMIT/take never drains the
+        // iterator) — the task-completion listener closes whatever is
+        // still open, one registration per partition
+        var open: java.io.InputStream = null
+        def closeOpen(): Unit = {
+          val s = open; open = null
+          if (s != null) { try s.close() catch { case _: Exception => () } }
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOpen()))
         it.flatMap { p =>
           val opened =
             try {
@@ -562,6 +573,7 @@ object Warc {
           opened match {
             case None => Iterator.empty
             case Some(in) =>
+              open = in
               val base = parseStream(in).map { r =>
                 (p, r.warcType, r.recordId, r.date, r.targetUri,
                   r.contentType, r.contentLength, r.httpStatus,
@@ -571,13 +583,9 @@ object Warc {
               // close exactly once, when the walk ends
               new Iterator[(String, String, String, String, String, String,
                   Long, Int, String, String, String, Array[Byte])] {
-                private var closed = false
                 def hasNext: Boolean = {
                   val h = base.hasNext
-                  if (!h && !closed) {
-                    closed = true
-                    try in.close() catch { case _: Exception => () }
-                  }
+                  if (!h && (open eq in)) closeOpen()
                   h
                 }
                 def next() = base.next()

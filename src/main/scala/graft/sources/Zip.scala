@@ -415,6 +415,17 @@ object Zip {
           hadoopConfSer.value.foreach { case (k, v) => c.set(k, v) }
           c
         }
+        // close-at-exhaustion alone leaks the CURRENT archive's stream
+        // when the task terminates early (LIMIT/take never drains the
+        // iterator) — the task-completion listener closes whatever is
+        // still open, one registration per partition
+        var open: java.io.InputStream = null
+        def closeOpen(): Unit = {
+          val s = open; open = null
+          if (s != null) { try s.close() catch { case _: Exception => () } }
+        }
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOpen()))
         it.flatMap { p =>
           val opened =
             try {
@@ -425,16 +436,13 @@ object Zip {
           opened match {
             case None => Iterator.empty
             case Some((in, len)) =>
+              open = in
               val base = entriesSeekable(in, len, _ => true, needData = true)
                 .map(e => (p, e.name, e.size, e.data))
               new Iterator[(String, String, Long, Array[Byte])] {
-                private var closed = false
                 def hasNext: Boolean = {
                   val h = base.hasNext
-                  if (!h && !closed) {
-                    closed = true
-                    try in.close() catch { case _: Exception => () }
-                  }
+                  if (!h && (open eq in)) closeOpen()
                   h
                 }
                 def next() = base.next()

@@ -75,9 +75,9 @@ object ArchiveTables {
     * (children, optionally matched against `pathGlobFilter`), or a
     * single file — through the Hadoop filesystem, like every other scan.
     */
-  def listFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+  def listFiles(confEntries: Map[String, String], path: String,
                 globFilter: String): Seq[String] = {
-    val conf = spark.sparkContext.hadoopConfiguration
+    val conf = rebuildConf(confEntries)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val roots = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
@@ -179,11 +179,19 @@ class WarcTable(props: Map[String, String]) extends Table with SupportsRead {
   override def schema(): StructType = ArchiveTables.WarcSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+  // Hadoop conf captured HERE — newScanBuilder runs during planning on
+  // the owning session's thread. Deferring the capture to
+  // createReaderFactory (execution time) read SparkSession.active, which
+  // in a multi-session setup can be a DIFFERENT session than the one
+  // that planned the scan, shipping the wrong session's fs credentials
+  // and custom-scheme registrations to the partition readers.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WarcScanBuilder(props ++ options.asScala)
+    new WarcScanBuilder(props ++ options.asScala,
+      ArchiveTables.sessionConfEntries(org.apache.spark.sql.SparkSession.active))
 }
 
-class WarcScanBuilder(props: Map[String, String]) extends ScanBuilder
+class WarcScanBuilder(props: Map[String, String],
+                      confEntries: Map[String, String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = ArchiveTables.WarcSchema
   private var pushed: Array[sources.Filter] = Array.empty
@@ -198,11 +206,12 @@ class WarcScanBuilder(props: Map[String, String]) extends ScanBuilder
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
 
-  override def build(): Scan = new WarcScan(required, pushed, props)
+  override def build(): Scan = new WarcScan(required, pushed, props, confEntries)
 }
 
 class WarcScan(required: StructType, pushed: Array[sources.Filter],
-               props: Map[String, String]) extends Scan with Batch {
+               props: Map[String, String],
+               confEntries: Map[String, String]) extends Scan with Batch {
   private val needBlock =
     required.fieldNames.exists(ArchiveTables.WarcBlockCols)
   override def readSchema(): StructType = required
@@ -212,15 +221,14 @@ class WarcScan(required: StructType, pushed: Array[sources.Filter],
       s"pushed=${pushed.mkString("[", ",", "]")}, needBlock=$needBlock)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    ArchiveTables.listFiles(org.apache.spark.sql.SparkSession.active,
+    ArchiveTables.listFiles(confEntries,
         props.getOrElse("path",
           throw new IllegalArgumentException("warc scan needs a path")),
         props.getOrElse("pathGlobFilter", ""))
       .map(f => ArchiveFilePartition(f).asInstanceOf[InputPartition]).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new WarcReaderFactory(required, pushed.toSeq, needBlock,
-      ArchiveTables.sessionConfEntries(org.apache.spark.sql.SparkSession.active))
+    new WarcReaderFactory(required, pushed.toSeq, needBlock, confEntries)
 }
 
 case class ArchiveFilePartition(path: String) extends InputPartition
@@ -315,11 +323,16 @@ class EntryArchiveTable(format: String, props: Map[String, String])
   override def schema(): StructType = ArchiveTables.EntrySchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
+  // conf captured at planning time on the owning session's thread — see
+  // the WarcTable note (execution-time SparkSession.active can be a
+  // different session in multi-session setups)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new EntryArchiveScanBuilder(format, props ++ options.asScala)
+    new EntryArchiveScanBuilder(format, props ++ options.asScala,
+      ArchiveTables.sessionConfEntries(org.apache.spark.sql.SparkSession.active))
 }
 
-class EntryArchiveScanBuilder(format: String, props: Map[String, String])
+class EntryArchiveScanBuilder(format: String, props: Map[String, String],
+                              confEntries: Map[String, String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters {
   private var required: StructType = ArchiveTables.EntrySchema
@@ -332,12 +345,14 @@ class EntryArchiveScanBuilder(format: String, props: Map[String, String])
     filters
   }
   override def pushedFilters(): Array[sources.Filter] = pushed
-  override def build(): Scan = new EntryArchiveScan(format, required, pushed, props)
+  override def build(): Scan =
+    new EntryArchiveScan(format, required, pushed, props, confEntries)
 }
 
 class EntryArchiveScan(format: String, required: StructType,
                        pushed: Array[sources.Filter],
-                       props: Map[String, String]) extends Scan with Batch {
+                       props: Map[String, String],
+                       confEntries: Map[String, String]) extends Scan with Batch {
   private val needData = required.fieldNames.contains("data")
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -346,7 +361,7 @@ class EntryArchiveScan(format: String, required: StructType,
       s"pushed=${pushed.mkString("[", ",", "]")}, needData=$needData)"
 
   override def planInputPartitions(): Array[InputPartition] =
-    ArchiveTables.listFiles(org.apache.spark.sql.SparkSession.active,
+    ArchiveTables.listFiles(confEntries,
         props.getOrElse("path",
           throw new IllegalArgumentException(s"$format scan needs a path")),
         props.getOrElse("pathGlobFilter", ""))
@@ -354,7 +369,7 @@ class EntryArchiveScan(format: String, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EntryArchiveReaderFactory(format, required, pushed.toSeq, needData,
-      ArchiveTables.sessionConfEntries(org.apache.spark.sql.SparkSession.active))
+      confEntries)
 }
 
 class EntryArchiveReaderFactory(format: String, required: StructType,
