@@ -1,44 +1,72 @@
 package graft.operators
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
-
 import scala.collection.concurrent.TrieMap
-import scala.jdk.CollectionConverters._
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The PERSISTENT form of [[FrontCache]] — the 100 TB shape its doc
   * promises: per-corpus fronts (the prefix-doubling suffix span frame,
   * graph edge sets, the BM25 sparse leg, trained ANN indexes) as
-  * `Warehouse` snapshot tables keyed on (front key, corpus fingerprint),
-  * so a SECOND SESSION — tomorrow's run of the same daily pipeline —
-  * reuses the artifact instead of rebuilding the most expensive
-  * computations in the suite from scratch.
+  * fingerprint-keyed parquet snapshots, so a SECOND SESSION — tomorrow's
+  * run of the same daily pipeline — reuses the artifact instead of
+  * rebuilding the most expensive computations in the suite from scratch.
   *
   * Activation: set `spark.graft.fronts.path` to a directory. Unset (the
   * default), every front routes through the in-memory session-scoped
   * [[FrontCache]] exactly as before — benches and oracle runs are
   * unchanged unless a store is asked for.
   *
+  * ALL IO — corpus fingerprinting, meta/schema/listing files, value
+  * blobs, snapshot layout — goes through the Hadoop [[FileSystem]]
+  * resolved from the owning session's hadoopConfiguration (round-15
+  * ask #4): the store root AND the corpus dir may be any Hadoop-visible
+  * path (hdfs://, s3a://, a conf-registered custom scheme). The
+  * previous java.nio implementation silently returned a constant
+  * fingerprint for non-local corpora, serving a persisted front forever
+  * stale after the corpus changed.
+  *
   * Staleness: each persisted front records a CORPUS FINGERPRINT — the
-  * sorted (name, length, mtime) listing of the corpus directory, hashed —
-  * beside the snapshot. A get under a changed corpus (new files, a
-  * re-generated table, a different directory) misses and rebuilds into a
-  * new snapshot; the stale snapshot stays readable until the swap (the
-  * Warehouse pointer flip is atomic), so concurrent readers never see a
-  * half-written front.
+  * sorted RECURSIVE (path, length, mtime) listing of the corpus
+  * directory, hashed — beside the snapshot, plus the listing itself. A
+  * get under a changed corpus (new files, a re-generated table, a
+  * different directory) misses and rebuilds into a new
+  * fingerprint-keyed snapshot; the previous snapshot stays readable
+  * until the meta swap (commit point), so concurrent readers never see
+  * a half-written front.
+  *
+  * INCREMENTAL MAINTENANCE (round-15 ask #5): for a front whose rows
+  * decompose per corpus file — every row derives from ONE file's
+  * content (per-document postings, per-vector assignments) — an
+  * additions-only corpus change (every previously-listed file unchanged
+  * in length+mtime, new files appended) is served by
+  * [[frameIncremental]] as `stored-rows ∪ deltaBuild(new files)`
+  * instead of a full rebuild: at 100 TB the daily delta is hours of
+  * data, not the corpus. The merged snapshot's ROWS are identical to
+  * the full rebuild's by the decomposition contract, so every oracle
+  * gate holds bit-for-bit whichever path produced the snapshot. Any
+  * non-additive change (removal, rewrite, length/mtime drift) falls
+  * back to the full build.
+  *
+  * GC (round-15 ask #6): a successful meta swap evicts every snapshot
+  * dir and `value-*.bin` that is neither the NEW fingerprint's nor the
+  * immediately-previous one (kept one version back so readers that
+  * resolved the old snapshot just before the swap finish safely — the
+  * Warehouse retention contract). The per-table lock map is a fixed
+  * 64-stripe array, never growing with key count.
   *
   * Determinism note: a front build may be deterministic only WITHIN one
   * materialization (dense-label assignment). The store materializes the
   * build exactly once — into parquet — and every consumer (this session
   * and later ones) reads those stored rows, which is the same pinning
-  * contract `localCheckpoint` gives the in-memory registry, made durable.
+  * contract `localCheckpoint` gives the in-memory registry, made
+  * durable.
   *
-  * 100 TB: the store root is any Hadoop-visible path in production (the
-  * Warehouse layout is a pointer file + snapshot dirs, object-store
-  * safe); fronts are orders of magnitude smaller than the corpus, and
-  * re-reading them as parquet scans is exactly how a long-lived cluster
-  * would serve them.
+  * Concurrency: one JVM's threads are serialized per (store, table) by
+  * the stripe lock; cross-process coordination is the lake-format
+  * layer's job (as with [[Warehouse]] writes) — a cross-process race
+  * costs a redundant rebuild, never a torn read (the meta swap is the
+  * single commit point).
   */
 object FrontStore {
 
@@ -48,128 +76,277 @@ object FrontStore {
   private def root(spark: SparkSession): Option[String] =
     spark.conf.getOption(PathConf).filter(_.nonEmpty)
 
-  /** One lock per (store, table): two threads of one process must not
-    * race the build+swap of the same front (cross-process coordination
-    * is the lake-format layer's job, as with [[Warehouse]] writes).
+  /** Fixed-size lock striping: bounded memory however many distinct
+    * fronts a long-lived process touches (the previous per-key TrieMap
+    * grew forever); a stripe collision costs serialization, never
+    * correctness.
     */
-  private val locks = TrieMap.empty[String, Object]
+  private val locks = Array.fill(64)(new Object)
+  private def lockFor(storeRoot: String, table: String): Object =
+    locks(math.floorMod((storeRoot + "/" + table).hashCode, locks.length))
 
-  /** Warehouse-safe table name for a front key: readable prefix plus an
-    * 8-hex hash of the full key (keys carry paths and '=' parameters).
+  private def sha256Hex(s: String, bytes: Int): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(s.getBytes("UTF-8")).take(bytes).map(b => f"$b%02x").mkString
+  }
+
+  /** Store-safe table name for a front key: readable sanitized prefix
+    * plus a 16-hex SHA-256 of the FULL key. (The previous 32-bit
+    * `String.hashCode` suffix let two distinct long keys share one
+    * table and one fingerprint meta — one front's rows served for the
+    * other's key with no staleness signal.)
     */
   private[graft] def tableName(key: String): String = {
     val safe = key.map(c =>
       if (c.isLetterOrDigit || c == '-' || c == '_' || c == '.') c else '_')
       .take(80)
-    f"front_${safe}_${key.hashCode & 0xFFFFFFFFL}%08x"
+    s"front_${safe}_${sha256Hex(key, 8)}"
   }
 
-  /** Corpus fingerprint: sorted (name, length, mtime) of the corpus
-    * directory's files, hashed. Any regenerated/added/removed file —
-    * or a different directory — changes it.
+  // ---- Hadoop-native corpus listing / fingerprint ------------------------
+
+  private def fsFor(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** One listing entry per corpus DATA file, recursive:
+    * `path\tlen\tmtime`, sorted (iteration-order independent). Hidden
+    * and metadata files (`_SUCCESS`, `.crc` siblings — basenames
+    * starting with `_` or `.`) are excluded, matching Spark's own scan
+    * filter: they carry no data, and Spark REWRITES `_SUCCESS` on every
+    * append — including it would make every additions-only batch read
+    * as a mutation and defeat the incremental path. Recursion is manual
+    * `listStatus` (not `listFiles`): RawLocalFileSystem's located
+    * statuses eagerly load permissions and crash on conf-registered
+    * custom schemes.
     */
-  private[graft] def corpusFingerprint(corpusDir: String): String = {
-    val dir = Paths.get(corpusDir)
-    val listing =
-      if (!Files.isDirectory(dir)) s"missing:$corpusDir"
-      else {
-        val s = Files.list(dir)
-        try s.iterator().asScala
-          .map(p => s"${p.getFileName}:${fileLen(p)}:${fileMtime(p)}")
-          .toSeq.sorted.mkString(s"$corpusDir|", ",", "")
-        finally s.close()
+  private[graft] def corpusListing(spark: SparkSession,
+                                   corpusDir: String): Seq[String] = {
+    val fs = fsFor(spark, corpusDir)
+    val out = Seq.newBuilder[String]
+    def walk(p: Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) {
+          if (st.isDirectory) walk(st.getPath)
+          else out +=
+            s"${st.getPath.toString}\t${st.getLen}\t${st.getModificationTime}"
+        }
       }
-    val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(listing.getBytes("UTF-8")).take(8)
-      .map(b => f"$b%02x").mkString
+    val p = new Path(corpusDir)
+    val exists = try fs.exists(p) catch { case _: Exception => false }
+    if (exists) walk(p)
+    out.result().sorted
   }
-  private def fileLen(p: java.nio.file.Path): Long =
-    try Files.size(p) catch { case _: Exception => -1L }
-  private def fileMtime(p: java.nio.file.Path): Long =
-    try Files.getLastModifiedTime(p).toMillis catch { case _: Exception => -1L }
 
-  private def metaPath(storeRoot: String, table: String) =
-    Paths.get(storeRoot, table, "_front_meta.json")
-
-  /** The front's schema is pinned BESIDE the snapshot so a later
-    * session's read needs no parquet schema inference (inference runs a
-    * footer-reading job over the snapshot files — the "zero recompute
-    * jobs on a store hit" contract would quietly leak jobs).
+  /** Corpus fingerprint: SHA-256 of the recursive sorted listing (or a
+    * `missing:` sentinel when the directory does not exist — the build
+    * itself will surface the real error).
     */
-  private def schemaPath(storeRoot: String, table: String) =
-    Paths.get(storeRoot, table, "_front_schema.json")
+  private[graft] def corpusFingerprint(spark: SparkSession,
+                                       corpusDir: String): String = {
+    val listing = corpusListing(spark, corpusDir)
+    val body =
+      if (listing.isEmpty) s"missing:$corpusDir"
+      else listing.mkString(s"$corpusDir|", "\n", "")
+    sha256Hex(body, 8)
+  }
 
-  private def readSchema(storeRoot: String,
-                         table: String): Option[org.apache.spark.sql.types.StructType] =
+  // ---- store file layout --------------------------------------------------
+
+  private def tableDir(storeRoot: String, table: String) =
+    new Path(storeRoot, table)
+  private def metaPath(storeRoot: String, table: String) =
+    new Path(tableDir(storeRoot, table), "_front_meta.json")
+  private def schemaPath(storeRoot: String, table: String) =
+    new Path(tableDir(storeRoot, table), "_front_schema.json")
+  private def listingPath(storeRoot: String, table: String) =
+    new Path(tableDir(storeRoot, table), "_front_listing.txt")
+  private def snapPath(storeRoot: String, table: String, fp: String) =
+    new Path(tableDir(storeRoot, table), s"snap-$fp")
+  private def valuePath(storeRoot: String, table: String, fp: String) =
+    new Path(tableDir(storeRoot, table), s"value-$fp.bin")
+
+  private def readString(fs: FileSystem, p: Path): Option[String] =
     try {
-      val p = schemaPath(storeRoot, table)
-      if (!Files.exists(p)) None
-      else org.apache.spark.sql.types.DataType.fromJson(Files.readString(p)) match {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(), "UTF-8")) finally in.close()
+      }
+    } catch { case _: Exception => None }
+
+  /** tmp-write + delete + rename: rename-over-existing is not portable
+    * across Hadoop filesystems, so the destination is deleted first —
+    * the brief missing-file window reads as a store MISS (a redundant
+    * rebuild at worst, never a torn read).
+    */
+  private def writeStringAtomic(fs: FileSystem, p: Path, body: String): Unit = {
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"front store: cannot commit $p")
+  }
+
+  private def readSchema(fs: FileSystem, storeRoot: String,
+                         table: String): Option[org.apache.spark.sql.types.StructType] =
+    readString(fs, schemaPath(storeRoot, table)).flatMap { txt =>
+      try org.apache.spark.sql.types.DataType.fromJson(txt) match {
         case st: org.apache.spark.sql.types.StructType => Some(st)
         case _ => None
-      }
-    } catch { case _: Exception => None }
+      } catch { case _: Exception => None }
+    }
 
-  private def readMeta(storeRoot: String, table: String): Option[String] =
-    try {
-      val p = metaPath(storeRoot, table)
-      if (!Files.exists(p)) None
-      else {
-        val txt = Files.readString(p)
-        val m = """"fingerprint"\s*:\s*"([0-9a-f]+)"""".r
-        m.findFirstMatchIn(txt).map(_.group(1))
-      }
-    } catch { case _: Exception => None }
+  private def readMetaFingerprint(fs: FileSystem, storeRoot: String,
+                                  table: String): Option[String] =
+    readString(fs, metaPath(storeRoot, table)).flatMap { txt =>
+      """"fingerprint"\s*:\s*"([0-9a-f]+)"""".r
+        .findFirstMatchIn(txt).map(_.group(1))
+    }
 
-  private def writeMeta(storeRoot: String, table: String, key: String,
-                        fp: String): Unit = {
-    val p = metaPath(storeRoot, table)
-    Files.createDirectories(p.getParent)
-    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
-    val esc = key.replace("\\", "\\\\").replace("\"", "\\\"")
-    Files.writeString(tmp,
-      s"""{"key":"$esc","fingerprint":"$fp"}""")
-    Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  /** Commit point: schema + listing land first, the meta rename flips
+    * the current fingerprint, then superseded artifacts are GC'd.
+    */
+  private def commit(fs: FileSystem, storeRoot: String, table: String,
+                     key: String, fp: String, listing: Seq[String],
+                     schemaJson: Option[String], mode: String): Unit = {
+    val prev = readMetaFingerprint(fs, storeRoot, table)
+    schemaJson.foreach(js =>
+      writeStringAtomic(fs, schemaPath(storeRoot, table), js))
+    writeStringAtomic(fs, listingPath(storeRoot, table),
+      listing.mkString("\n"))
+    writeStringAtomic(fs, metaPath(storeRoot, table),
+      s"""{"key":"${jsonEsc(key)}","fingerprint":"$fp",""" +
+        s""""previous":"${prev.getOrElse("")}","mode":"$mode"}""")
+    gc(fs, storeRoot, table, keep = Set(fp) ++ prev)
   }
+
+  /** Evict every snapshot dir / value bin whose fingerprint is not in
+    * `keep` (the new current + the immediately-previous version — kept
+    * one back so a reader that resolved the old snapshot just before
+    * the swap finishes safely).
+    */
+  private def gc(fs: FileSystem, storeRoot: String, table: String,
+                 keep: Set[String]): Unit =
+    try {
+      fs.listStatus(tableDir(storeRoot, table)).foreach { st =>
+        val n = st.getPath.getName
+        val fp =
+          if (st.isDirectory && n.startsWith("snap-")) Some(n.stripPrefix("snap-"))
+          else if (st.isFile && n.startsWith("value-") && n.endsWith(".bin"))
+            Some(n.stripPrefix("value-").stripSuffix(".bin"))
+          else None
+        fp.filterNot(keep).foreach(_ =>
+          try fs.delete(st.getPath, true) catch { case _: Exception => () })
+      }
+    } catch { case _: Exception => () } // GC must never fail a build
+
+  // ---- public API ----------------------------------------------------------
 
   /** The front FRAME for `key` over the corpus at `corpusDir`: from the
     * persistent store when one is configured and fresh (a lazy parquet
-    * read — ZERO build jobs), rebuilding + persisting on miss/staleness;
-    * from the in-memory [[FrontCache]] when no store is configured.
+    * read — ZERO build jobs), rebuilding + persisting on
+    * miss/staleness; from the in-memory [[FrontCache]] when no store is
+    * configured.
     */
   def frame(spark: SparkSession, key: String, corpusDir: String)
            (build: => DataFrame): DataFrame =
+    frameImpl(spark, key, corpusDir, build, None)
+
+  /** [[frame]] for a PER-FILE-DECOMPOSABLE front: when the persisted
+    * snapshot's corpus listing is a strict subset of the current one
+    * (additions only — every old file unchanged in length+mtime),
+    * `deltaBuild(newFiles)` runs over JUST the added files and the
+    * union with the stored rows is committed as the new snapshot. The
+    * decomposition contract (a row derives from one file's content
+    * alone) makes that union row-identical to the full `build`; any
+    * other corpus change falls back to `build`.
+    */
+  def frameIncremental(spark: SparkSession, key: String, corpusDir: String)
+                      (build: => DataFrame)
+                      (deltaBuild: Seq[String] => DataFrame): DataFrame =
+    frameImpl(spark, key, corpusDir, build, Some(deltaBuild))
+
+  /** Mode of the CURRENT persisted snapshot for `key` ("full",
+    * "incremental", or None when absent/in-memory) — exhibit and spec
+    * observability, never consulted by the serving path.
+    */
+  def currentMode(spark: SparkSession, key: String): Option[String] =
+    root(spark).flatMap { storeRoot =>
+      val fs = fsFor(spark, storeRoot)
+      readString(fs, metaPath(storeRoot, tableName(key))).flatMap { txt =>
+        """"mode"\s*:\s*"([a-z]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+      }
+    }
+
+  private def frameImpl(spark: SparkSession, key: String, corpusDir: String,
+                        build: => DataFrame,
+                        deltaBuild: Option[Seq[String] => DataFrame]): DataFrame =
     root(spark) match {
       case None => FrontCache.getOrCompute(spark, key)(build)
       case Some(storeRoot) =>
         val table = tableName(key)
-        val lock = locks.getOrElseUpdate(s"$storeRoot/$table", new Object)
-        lock.synchronized {
-          val wh = new Warehouse(spark, storeRoot)
-          val fp = corpusFingerprint(corpusDir)
-          if (!readMeta(storeRoot, table).contains(fp) || !wh.exists(table)) {
-            val frame = build
-            wh.overwrite(table, frame)
-            val tmp = schemaPath(storeRoot, table)
-              .resolveSibling("_front_schema.json.tmp")
-            Files.writeString(tmp, frame.schema.json)
-            Files.move(tmp, schemaPath(storeRoot, table),
-              StandardCopyOption.REPLACE_EXISTING,
-              StandardCopyOption.ATOMIC_MOVE)
-            writeMeta(storeRoot, table, key, fp)
+        lockFor(storeRoot, table).synchronized {
+          val fs = fsFor(spark, storeRoot)
+          val listing = corpusListing(spark, corpusDir)
+          val fp = corpusFingerprint(spark, corpusDir)
+          val snap = snapPath(storeRoot, table, fp)
+          val fresh = readMetaFingerprint(fs, storeRoot, table).contains(fp) &&
+            fs.exists(snap)
+          if (!fresh) {
+            val (frame, mode) = incrementalMerge(spark, fs, storeRoot, table,
+              listing, deltaBuild) match {
+              case Some(merged) => (merged, "incremental")
+              case None => (build, "full")
+            }
+            frame.write.mode("overwrite").parquet(snap.toString)
+            commit(fs, storeRoot, table, key, fp, listing,
+              Some(frame.schema.json), mode)
           }
-          readSchema(storeRoot, table) match {
-            case Some(st) => spark.read.schema(st).parquet(wh.currentPath(table))
-            case None => wh.read(table) // legacy snapshot: infer
+          readSchema(fs, storeRoot, table) match {
+            case Some(st) => spark.read.schema(st).parquet(snap.toString)
+            case None => spark.read.parquet(snap.toString) // legacy: infer
           }
         }
     }
 
+  /** The delta-merged frame when the stored listing is a strict subset
+    * of the current one; None forces the full build. The old snapshot
+    * is read with its pinned schema (no inference job) and unioned BY
+    * NAME with the delta rows.
+    */
+  private def incrementalMerge(spark: SparkSession, fs: FileSystem,
+                               storeRoot: String, table: String,
+                               newListing: Seq[String],
+                               deltaBuild: Option[Seq[String] => DataFrame])
+      : Option[DataFrame] =
+    for {
+      delta <- deltaBuild
+      oldFp <- readMetaFingerprint(fs, storeRoot, table)
+      if fs.exists(snapPath(storeRoot, table, oldFp))
+      oldListingTxt <- readString(fs, listingPath(storeRoot, table))
+      oldListing = oldListingTxt.linesIterator.filter(_.nonEmpty).toSeq
+      newSet = newListing.toSet
+      if oldListing.nonEmpty && oldListing.forall(newSet)
+      added = newListing.filterNot(oldListing.toSet)
+      if added.nonEmpty
+      oldSchema <- readSchema(fs, storeRoot, table)
+    } yield {
+      val oldRows = spark.read.schema(oldSchema)
+        .parquet(snapPath(storeRoot, table, oldFp).toString)
+      val deltaRows = delta(added.map(_.takeWhile(_ != '\t')))
+      oldRows.unionByName(deltaRows)
+    }
+
   /** Driver-side front VALUE (a trained index) — persisted via Java
-    * serialization beside the frame tables, same fingerprint contract.
-    * The build must be deterministic for the key (every trainer here
-    * is); the store only makes the determinism durable.
+    * serialization beside the frame tables, same fingerprint contract,
+    * through the store's Hadoop filesystem. The build must be
+    * deterministic for the key (every trainer here is); the store only
+    * makes the determinism durable.
     */
   def value[T <: java.io.Serializable](spark: SparkSession, key: String,
                                        corpusDir: String)(build: => T): T =
@@ -177,31 +354,32 @@ object FrontStore {
       case None => FrontCache.getOrComputeValue(spark, key)(build)
       case Some(storeRoot) =>
         val table = tableName(key)
-        val lock = locks.getOrElseUpdate(s"$storeRoot/$table", new Object)
-        lock.synchronized {
-          val fp = corpusFingerprint(corpusDir)
-          val bin = Paths.get(storeRoot, table, s"value-$fp.bin")
-          if (Files.exists(bin)) {
+        lockFor(storeRoot, table).synchronized {
+          val fs = fsFor(spark, storeRoot)
+          val fp = corpusFingerprint(spark, corpusDir)
+          val bin = valuePath(storeRoot, table, fp)
+          val stored: Option[T] =
+            if (!(try fs.exists(bin) catch { case _: Exception => false })) None
+            else
+              try {
+                val in = new java.io.ObjectInputStream(fs.open(bin))
+                try Some(in.readObject().asInstanceOf[T]) finally in.close()
+              } catch { case _: Exception => None }
+          stored.getOrElse {
+            val v = build
             try {
-              val in = new java.io.ObjectInputStream(
-                Files.newInputStream(bin))
-              try in.readObject().asInstanceOf[T] finally in.close()
-            } catch { case _: Exception => buildAndStore(bin, build) }
-          } else buildAndStore(bin, build)
+              val tmp = new Path(bin.getParent, bin.getName + ".tmp")
+              val out = new java.io.ObjectOutputStream(fs.create(tmp, true))
+              try out.writeObject(v) finally out.close()
+              fs.delete(bin, false)
+              fs.rename(tmp, bin)
+              // value-only fronts swap + GC through the same commit path
+              // (no schema) so superseded bins are evicted too
+              commit(fs, storeRoot, table, key, fp,
+                corpusListing(spark, corpusDir), None, "full")
+            } catch { case _: Exception => () } // unwritable → still served
+            v
+          }
         }
     }
-
-  private def buildAndStore[T <: java.io.Serializable](
-      bin: java.nio.file.Path, build: => T): T = {
-    val v = build
-    try {
-      Files.createDirectories(bin.getParent)
-      val tmp = bin.resolveSibling(bin.getFileName.toString + ".tmp")
-      val out = new java.io.ObjectOutputStream(Files.newOutputStream(tmp))
-      try out.writeObject(v) finally out.close()
-      Files.move(tmp, bin, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-    } catch { case _: Exception => () } // store unwritable → value still served
-    v
-  }
 }

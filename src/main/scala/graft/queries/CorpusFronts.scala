@@ -103,7 +103,7 @@ object CorpusFronts {
       (s, d) => { partCoPurchase(s, d); () }),
     FrontBuild("front_cs_pairs", "copurchase-cs:",
       (s, d) => { custSuppPairs(s, d); () }),
-    FrontBuild("front_bm25", "bm25-sc2:",
+    FrontBuild("front_bm25", "bm25-post:",
       (s, d) => { RetrievalQueries.bm25ScoresCached(s, d); () }),
     FrontBuild("front_ivf", "ivf-index:",
       (s, d) => { ivfIndex(s, d, nlist = 8); () }),

@@ -73,34 +73,39 @@ object CurationWave2Queries {
     // bucket is over-represented in the target slice). A doc's score is
     // the token-multiplicity sum of its bucket weights.
     //
-    // Scale shape: the exploded token stream is aggregated map-side to
-    // <= 4096 bucket rows twice (raw + target), the weight table is
-    // broadcast back onto the stream, and the only wide shuffle keys on
-    // doc_id. Nothing driver-side, nothing all-pairs.
+    // Scale shape: the exploded token stream is aggregated ONCE, map-side,
+    // to per-(doc, bucket) multiplicity rows; the bucket count table
+    // (raw and target in one conditional aggregation) and the per-doc
+    // score both derive from that frame — its shuffle exchange is
+    // byte-identical in the two branches, so Spark's ReuseExchange runs
+    // the tokenize+hash scan a single time (the previous raw/target/score
+    // three-branch form re-tokenized the corpus three times). The weight
+    // table is broadcast back, and the only wide shuffle keys on
+    // (doc_id, bucket). Nothing driver-side, nothing all-pairs.
     QueryDef("dsir_importance", (s, dir) => {
       val docs = t("documents")(s, dir)
         .select(col("doc_id"), col("lang"),
           TextAnalysisFns.tokens(col("text")).as("toks"))
-      val tokRows = docs
+      val db = docs
         .select(col("doc_id"), col("lang"), explode(col("toks")).as("tok"))
         .select(col("doc_id"), col("lang"),
           (conv(substring(md5(concat(lit("f:"), col("tok"))), 1, 8), 16, 10)
             .cast("long") % 4096).as("bucket"))
-      val raw = tokRows.groupBy(col("bucket")).agg(count(lit(1)).as("raw_cnt"))
-      val tgt = tokRows.where(col("lang") === "en")
-        .groupBy(col("bucket")).agg(count(lit(1)).as("tgt_cnt"))
-      val cnts = raw.join(tgt, Seq("bucket"), "left")
-        .select(col("bucket"), col("raw_cnt"),
-          coalesce(col("tgt_cnt"), lit(0L)).as("tgt_cnt"))
+        .groupBy(col("doc_id"), col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val cnts = db.groupBy(col("bucket")).agg(
+        sum(col("c")).as("raw_cnt"),
+        coalesce(sum(when(col("lang") === "en", col("c"))), lit(0L))
+          .as("tgt_cnt"))
       val tots = cnts.agg(sum(col("raw_cnt")).as("raw_tot"),
         sum(col("tgt_cnt")).as("tgt_tot"))
       val w = cnts.crossJoin(broadcast(tots))
         .select(col("bucket"),
           (col("tgt_cnt") * col("raw_tot") - col("raw_cnt") * col("tgt_tot"))
             .as("w"))
-      val sc = tokRows.join(broadcast(w), Seq("bucket"))
+      val sc = db.join(broadcast(w), Seq("bucket"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("score"))
+        .agg(sum(col("c")).as("n_toks"), sum(col("c") * col("w")).as("score"))
       docs.select(col("doc_id"), col("lang")).join(sc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           coalesce(col("n_toks"), lit(0L)).as("n_toks"),

@@ -33,47 +33,90 @@ object RetrievalQueries {
     * order, so doubles are bit-identical to [[bm25Sc2Ctes]]. Returns
     * (doc_id, score) with doc_id in its source type.
     */
-  /** [[bm25TwoTermScores]] over the corpus at `dir`, computed once per
-    * (session, corpus) and pinned through
-    * [[graft.operators.FrontCache]] — the sparse leg is a per-corpus
-    * index artifact shared by `text_bm25`, `retrieval_prf_expansion`,
-    * and `retrieval_rrf_fusion` (a real retrieval stack scores against
-    * ONE posting index, not three rebuilds). The pinned frame is tiny:
-    * (doc_id, score) for term-matching docs only.
+  /** The PERSISTED sparse leg is the PER-DOCUMENT POSTING frame
+    * `(doc_id, dl, tf_table, tf_spark)` — one row per tokenized doc,
+    * every value a function of THAT doc's text alone. That per-file
+    * decomposition is what makes the front incrementally maintainable
+    * ([[graft.operators.FrontStore.frameIncremental]], round-15 ask
+    * #5): an additions-only corpus change tokenizes only the NEW
+    * document files and unions their rows with the stored postings —
+    * at 100 TB the daily delta, not the corpus. The corpus-global
+    * score layer (idf from df counts, avgdl from total length) is NOT
+    * persisted: it recomputes from the posting rows on read — an
+    * aggregation over the tiny front, exact integer counts either way,
+    * so the scores are bit-identical whichever path built the
+    * snapshot.
     */
-  private[queries] def bm25ScoresCached(s: org.apache.spark.sql.SparkSession,
+  private[graft] def bm25ScoresCached(s: org.apache.spark.sql.SparkSession,
                                         dir: String): org.apache.spark.sql.DataFrame =
-    graft.operators.FrontStore.frame(s,
-      s"bm25-sc2:$dir:terms=table,spark", dir)(
-      bm25TwoTermScores(Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("text"))))
+    bm25ScoresFromPostings(
+      graft.operators.FrontStore.frameIncremental(s,
+        s"bm25-post:$dir:terms=table,spark", dir)(
+        bm25DocPostings(Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text")))) { added =>
+        val docFiles = added.filter(_.contains("/documents"))
+        if (docFiles.isEmpty)
+          bm25DocPostings(s.range(0)
+            .select(col("id").as("doc_id"), lit("").as("text")))
+        else
+          bm25DocPostings(s.read.parquet(docFiles: _*)
+            .select(col("doc_id"), col("text")))
+      })
 
-  private[graft] def bm25TwoTermScores(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = docs.select(col("doc_id"),
-      explode(TextAnalysisFns.tokens(col("text"))).as("term"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-    val tf = toks.where(col("term").isin("table", "spark"))
-      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+  /** Per-document posting rows: `dl` = token count, `tf_*` = the fixed
+    * query terms' frequencies; docs with zero tokens yield no row (the
+    * `toks`-derived `dl` of [[bm25Sc2Ctes]] has the same convention).
+    * One aggregation over one scan — and each row depends on one
+    * document only (the incremental-merge contract).
+    */
+  private[graft] def bm25DocPostings(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+        explode(TextAnalysisFns.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id")).agg(
+        count(lit(1)).as("dl"),
+        count(when(col("term") === "table", lit(1))).as("tf_table"),
+        count(when(col("term") === "spark", lit(1))).as("tf_spark"))
+
+  /** The corpus-global BM25 (k1=1.2, b=0.75) score layer over the
+    * posting frame — the exact operation tree of [[bm25Sc2Ctes]]'s `s`
+    * CTE, applied per fixed term column (a per-(doc,term) `sc` row
+    * with `max(CASE term)` pivot and this per-doc two-column form
+    * compute the SAME double for each (doc, term), and the final sum
+    * runs in the same fixed order). Returns (doc_id, score) for
+    * term-matching docs only, like the original.
+    */
+  private[graft] def bm25ScoresFromPostings(
+      post: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stats = post.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"),
+      count(when(col("tf_table") > 0, lit(1))).as("df_table"),
+      count(when(col("tf_spark") > 0, lit(1))).as("df_spark"))
     val avgdl = col("total_len").cast("double") / col("n_docs").cast("double")
-    val idf = (col("n_docs").cast("double") - col("df").cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5))
-    val tfpart = (col("tf").cast("double") * lit(2.2)) /
-      (col("tf").cast("double") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
-    val scored = tf.join(broadcast(dfreq), Seq("term"))
-      .join(dl, Seq("doc_id"))
+    def idf(dfc: org.apache.spark.sql.Column) =
+      (col("n_docs").cast("double") - dfc.cast("double") + lit(0.5)) /
+        (dfc.cast("double") + lit(0.5))
+    def tfpart(tf: org.apache.spark.sql.Column) =
+      (tf.cast("double") * lit(2.2)) /
+        (tf.cast("double") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)))
+    post.where(col("tf_table") > 0 || col("tf_spark") > 0)
       .crossJoin(broadcast(stats))
-      .withColumn("sc", idf * tfpart)
-    scored.groupBy(col("doc_id")).agg(
-        max(when(col("term") === "table", col("sc"))).as("s_table"),
-        max(when(col("term") === "spark", col("sc"))).as("s_spark"))
+      .withColumn("s_table",
+        when(col("tf_table") > 0, idf(col("df_table")) * tfpart(col("tf_table"))))
+      .withColumn("s_spark",
+        when(col("tf_spark") > 0, idf(col("df_spark")) * tfpart(col("tf_spark"))))
       .withColumn("score",
         coalesce(col("s_table"), lit(0.0)) + coalesce(col("s_spark"), lit(0.0)))
       .select(col("doc_id"), col("score"))
   }
+
+  /** The one-shot (unfronted) score build — plan-audit surface and the
+    * reference implementation the posting/score split must reproduce.
+    */
+  private[graft] def bm25TwoTermScores(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bm25ScoresFromPostings(bm25DocPostings(docs))
 
   /** The DuckDB CTE chain mirroring [[bm25TwoTermScores]]: `toks` … `sc2`
     * with `sc2(doc_id BIGINT, score DOUBLE)`. Compose as
