@@ -198,37 +198,62 @@ object FrontStore {
       } catch { case _: Exception => None }
     }
 
-  private def readMetaFingerprint(fs: FileSystem, storeRoot: String,
-                                  table: String): Option[String] =
+  /** A committed front version: its corpus fingerprint, the SEGMENT
+    * fingerprints whose snapshot dirs together hold its rows (one for a
+    * full build; a chain for incremental appends), the fingerprints of
+    * the PREVIOUS version's segments (retention), and the build mode.
+    */
+  private final case class Meta(fingerprint: String, segments: Seq[String],
+                                prevSegments: Seq[String], mode: String)
+
+  private def readMeta(fs: FileSystem, storeRoot: String,
+                       table: String): Option[Meta] =
     readString(fs, metaPath(storeRoot, table)).flatMap { txt =>
-      """"fingerprint"\s*:\s*"([0-9a-f]+)"""".r
-        .findFirstMatchIn(txt).map(_.group(1))
+      def field(name: String): Option[String] =
+        (s""""$name"\\s*:\\s*"([0-9a-f;]*)"""").r
+          .findFirstMatchIn(txt).map(_.group(1))
+      field("fingerprint").map { fp =>
+        val segs = field("segments").map(_.split(";").filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq(fp))
+        val prev = field("prev_segments")
+          .map(_.split(";").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+        Meta(fp, segs, prev,
+          """"mode"\s*:\s*"([a-z]+)"""".r.findFirstMatchIn(txt)
+            .map(_.group(1)).getOrElse("full"))
+      }
     }
 
   private def jsonEsc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
 
   /** Commit point: schema + listing land first, the meta rename flips
-    * the current fingerprint, then superseded artifacts are GC'd.
+    * the current version (fingerprint + segment list), then artifacts
+    * referenced by neither the new nor the previous version are GC'd.
     */
   private def commit(fs: FileSystem, storeRoot: String, table: String,
-                     key: String, fp: String, listing: Seq[String],
-                     schemaJson: Option[String], mode: String): Unit = {
-    val prev = readMetaFingerprint(fs, storeRoot, table)
+                     key: String, fp: String, segments: Seq[String],
+                     listing: Seq[String], schemaJson: Option[String],
+                     mode: String): Unit = {
+    val prev = readMeta(fs, storeRoot, table)
     schemaJson.foreach(js =>
       writeStringAtomic(fs, schemaPath(storeRoot, table), js))
     writeStringAtomic(fs, listingPath(storeRoot, table),
       listing.mkString("\n"))
+    val prevSegs = prev.map(_.segments).getOrElse(Seq.empty)
     writeStringAtomic(fs, metaPath(storeRoot, table),
       s"""{"key":"${jsonEsc(key)}","fingerprint":"$fp",""" +
-        s""""previous":"${prev.getOrElse("")}","mode":"$mode"}""")
-    gc(fs, storeRoot, table, keep = Set(fp) ++ prev)
+        s""""segments":"${segments.mkString(";")}",""" +
+        s""""prev_segments":"${prevSegs.mkString(";")}",""" +
+        s""""previous":"${prev.map(_.fingerprint).getOrElse("")}",""" +
+        s""""mode":"$mode"}""")
+    gc(fs, storeRoot, table,
+      keep = segments.toSet ++ prevSegs ++ Set(fp) ++ prev.map(_.fingerprint))
   }
 
   /** Evict every snapshot dir / value bin whose fingerprint is not in
-    * `keep` (the new current + the immediately-previous version — kept
-    * one back so a reader that resolved the old snapshot just before
-    * the swap finishes safely).
+    * `keep` (the new version's segments + the immediately-previous
+    * version's — kept one back so a reader that resolved the old
+    * segment list just before the swap finishes safely).
     */
   private def gc(fs: FileSystem, storeRoot: String, table: String,
                  keep: Set[String]): Unit =
@@ -294,40 +319,58 @@ object FrontStore {
           val fs = fsFor(spark, storeRoot)
           val listing = corpusListing(spark, corpusDir)
           val fp = corpusFingerprint(spark, corpusDir)
-          val snap = snapPath(storeRoot, table, fp)
-          val fresh = readMetaFingerprint(fs, storeRoot, table).contains(fp) &&
-            fs.exists(snap)
-          if (!fresh) {
-            val (frame, mode) = incrementalMerge(spark, fs, storeRoot, table,
-              listing, deltaBuild) match {
-              case Some(merged) => (merged, "incremental")
-              case None => (build, "full")
-            }
-            frame.write.mode("overwrite").parquet(snap.toString)
-            commit(fs, storeRoot, table, key, fp, listing,
-              Some(frame.schema.json), mode)
+          def segsExist(m: Meta): Boolean = m.segments.forall(s =>
+            try fs.exists(snapPath(storeRoot, table, s))
+            catch { case _: Exception => false })
+          val meta = readMeta(fs, storeRoot, table)
+          val current = meta.filter(m => m.fingerprint == fp && segsExist(m))
+          val segments: Seq[String] = current match {
+            case Some(m) => m.segments
+            case None =>
+              deltaRows(spark, fs, storeRoot, table, listing, deltaBuild,
+                meta.filter(segsExist)) match {
+                // incremental: write ONLY the delta rows as a NEW segment
+                // appended to the old chain — an O(delta) commit; the
+                // stored rows are never read or rewritten (the manifest
+                // append of the table formats). Serving unions segments.
+                case Some((delta, oldSegs)) =>
+                  delta.write.mode("overwrite")
+                    .parquet(snapPath(storeRoot, table, fp).toString)
+                  val segs = oldSegs :+ fp
+                  commit(fs, storeRoot, table, key, fp, segs, listing,
+                    Some(delta.schema.json), "incremental")
+                  segs
+                case None =>
+                  val frame = build
+                  frame.write.mode("overwrite")
+                    .parquet(snapPath(storeRoot, table, fp).toString)
+                  commit(fs, storeRoot, table, key, fp, Seq(fp), listing,
+                    Some(frame.schema.json), "full")
+                  Seq(fp)
+              }
           }
+          val paths = segments.map(s => snapPath(storeRoot, table, s).toString)
           readSchema(fs, storeRoot, table) match {
-            case Some(st) => spark.read.schema(st).parquet(snap.toString)
-            case None => spark.read.parquet(snap.toString) // legacy: infer
+            case Some(st) => spark.read.schema(st).parquet(paths: _*)
+            case None => spark.read.parquet(paths: _*) // legacy: infer
           }
         }
     }
 
-  /** The delta-merged frame when the stored listing is a strict subset
-    * of the current one; None forces the full build. The old snapshot
-    * is read with its pinned schema (no inference job) and unioned BY
-    * NAME with the delta rows.
+  /** The delta segment (rows over JUST the added files) and the old
+    * segment chain, when the stored listing is a strict subset of the
+    * current one and the delta's schema matches the pinned one; None
+    * forces the full build.
     */
-  private def incrementalMerge(spark: SparkSession, fs: FileSystem,
-                               storeRoot: String, table: String,
-                               newListing: Seq[String],
-                               deltaBuild: Option[Seq[String] => DataFrame])
-      : Option[DataFrame] =
+  private def deltaRows(spark: SparkSession, fs: FileSystem,
+                        storeRoot: String, table: String,
+                        newListing: Seq[String],
+                        deltaBuild: Option[Seq[String] => DataFrame],
+                        oldMeta: Option[Meta])
+      : Option[(DataFrame, Seq[String])] =
     for {
       delta <- deltaBuild
-      oldFp <- readMetaFingerprint(fs, storeRoot, table)
-      if fs.exists(snapPath(storeRoot, table, oldFp))
+      m <- oldMeta
       oldListingTxt <- readString(fs, listingPath(storeRoot, table))
       oldListing = oldListingTxt.linesIterator.filter(_.nonEmpty).toSeq
       newSet = newListing.toSet
@@ -335,12 +378,12 @@ object FrontStore {
       added = newListing.filterNot(oldListing.toSet)
       if added.nonEmpty
       oldSchema <- readSchema(fs, storeRoot, table)
-    } yield {
-      val oldRows = spark.read.schema(oldSchema)
-        .parquet(snapPath(storeRoot, table, oldFp).toString)
-      val deltaRows = delta(added.map(_.takeWhile(_ != '\t')))
-      oldRows.unionByName(deltaRows)
-    }
+      rows = delta(added.map(_.takeWhile(_ != '\t')))
+      // the append is only sound if the delta's rows drop in beside the
+      // stored ones unchanged — a schema drift means the front's shape
+      // moved and the chain must be rebuilt from scratch
+      if rows.schema == oldSchema
+    } yield (rows, m.segments)
 
   /** Driver-side front VALUE (a trained index) — persisted via Java
     * serialization beside the frame tables, same fingerprint contract,
@@ -375,7 +418,7 @@ object FrontStore {
               fs.rename(tmp, bin)
               // value-only fronts swap + GC through the same commit path
               // (no schema) so superseded bins are evicted too
-              commit(fs, storeRoot, table, key, fp,
+              commit(fs, storeRoot, table, key, fp, Seq(fp),
                 corpusListing(spark, corpusDir), None, "full")
             } catch { case _: Exception => () } // unwritable → still served
             v
