@@ -206,6 +206,39 @@ class FrontStoreSpec extends AnyFunSuite {
       fail("must serve from store")).count() == 4)
   }
 
+  test("BM25 postings front: incremental chain serves scores identical to the full rebuild") {
+    // the REAL query-path integration of the incremental contract: the
+    // bm25 front is per-doc postings (decomposable), the corpus-global
+    // score layer recomputes from the chain — a batch-2 append must
+    // leave every downstream score bit-identical to a fresh full build
+    val corpus = tmp("front-bm25-corpus")
+    val docs = s"$corpus/documents.parquet"
+    val base = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    base.where(col("doc_id") % 5 =!= 0).coalesce(1)
+      .write.mode("append").parquet(docs)
+
+    val storeA = tmp("front-bm25-storeA")
+    def scores(store: String): Set[(Long, Double)] =
+      graft.queries.RetrievalQueries.bm25ScoresCached(
+          newStoreSession(store), corpus)
+        .select(col("doc_id").cast("long"), col("score"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    val v1 = scores(storeA)
+    assert(v1.nonEmpty)
+    base.where(col("doc_id") % 5 === 0).coalesce(1)
+      .write.mode("append").parquet(docs)
+    val v2inc = scores(storeA)
+    assert(graft.operators.FrontStore.currentMode(newStoreSession(storeA),
+      s"bm25-post:$corpus:terms=table,spark").contains("incremental"),
+      "batch 2 must take the incremental path")
+    val v2full = scores(tmp("front-bm25-storeB"))
+    assert(v2inc == v2full,
+      "incremental-chain scores must equal the full rebuild's bit-for-bit")
+    assert(v2inc != v1, "batch 2 must actually change the scores")
+  }
+
   test("no store configured falls back to the session FrontCache") {
     val s = spark.newSession() // PathConf unset
     var builds = 0
