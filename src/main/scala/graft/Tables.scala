@@ -21,16 +21,37 @@ object Tables {
 
   /** The test tables are single-row-group parquet files, which Spark
     * cannot split — every scan would run as ONE task regardless of cores,
-    * serializing all per-row expression work. One round-robin repartition
-    * restores parallelism — but ONLY when the scan actually under-
-    * parallelizes: at production scale tables arrive as many files/row
-    * groups, the scan already yields ≥ shuffle-partitions tasks, and this
-    * must not inject a full-table shuffle in front of every query. The
-    * check reads the planned partition count (no job runs).
+    * serializing all per-row expression work. One repartition restores
+    * parallelism — but ONLY when the scan actually under-parallelizes:
+    * at production scale tables arrive as many files/row groups, the
+    * scan already yields ≥ shuffle-partitions tasks, and this must not
+    * inject a full-table shuffle in front of every query. The check
+    * reads the planned partition count (no job runs).
+    *
+    * The spread key is a DETERMINISTIC row hash, not round-robin
+    * (round 16): RoundRobinPartitioning first LOCAL-SORTS every input
+    * partition on the full row bytes (`sortBeforeRepartition`, required
+    * so task retries reproduce the same placement — SPARK-23207), which
+    * for a one-partition scan is a single-task whole-table sort in
+    * front of EVERY query — pure overhead paid by every scan in the
+    * suite. Hashing the table's LEADING column — every test table leads
+    * with its near-unique id (`l_orderkey`, `doc_id`, `event_id`, …) —
+    * needs no such sort: placement is a pure row function, identical
+    * under retries, and near-unique ids hash as evenly as round-robin
+    * spreads. This is the guide's own rule: derive synthetic
+    * partitioning keys deterministically rather than from row order or
+    * rand() — and the key must be a DETERMINISTIC expression, or
+    * Catalyst refuses to push filters/pruning through the repartition
+    * (a position key like monotonically_increasing_id kills every
+    * scan's PushedFilters). Worst case is one extra id column on a
+    * scan that didn't read it — a test-env artifact only, since at
+    * production scale the spread never fires.
     */
   private def spread(spark: SparkSession, df: DataFrame): DataFrame = {
     val target = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target, org.apache.spark.sql.functions.xxhash64(
+      df.col(df.columns.head)))
   }
 
   /** The events table's `ts` physical type has varied across testdata

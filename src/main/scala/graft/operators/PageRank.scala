@@ -39,14 +39,21 @@ object PageRank {
       col(dstCol).cast("long").as("dst"))
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // The per-iteration inputs are reused `iters` times — cache them so
     // each round re-reads materialized blocks instead of re-scanning and
     // re-shuffling the edge list. The out-degree is folded INTO the
     // cached edge table once (r10 cost-floor profile: the per-iteration
     // edges⋈outdeg join was ~0.5 s/run at sf0.1 and pure overhead — deg
-    // is static), so each iteration is ONE equi-join + one hash agg.
-    val ed = e.join(outdeg, "src").cache()
+    // is static) as a COUNT OVER the src-partitioned window (round-16:
+    // the previous groupBy + self-join shuffled the edge list twice for
+    // the same integer; the window shuffles it once and leaves the
+    // cached table hash-partitioned BY src, so each iteration's
+    // rank⋈edges equi-join consumes the cached partitioning with no
+    // exchange on the edge side), so each iteration is ONE equi-join +
+    // one hash agg.
+    val ed = e.withColumn("deg", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .cache()
     val nodesC = nodes.cache()
     // node count as a driver literal (ONE bounded scalar — the profile
     // showed the per-iteration broadcast crossJoin + repeated count

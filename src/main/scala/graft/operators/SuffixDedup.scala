@@ -83,6 +83,100 @@ object SuffixDedup {
     */
   private val docW = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
 
+  /** The SHARED prefix of every suffix pipeline over one corpus: the
+    * sentinel-semantics dense-label table at a small fixed width (the
+    * first fused-quadruple round of [[suffixRanks]] — width 4 while the
+    * label universe packs, width 2 in the >2³¹-label fallback), kept for
+    * EVERY position. One tokenize + one token-id densify + one doubling
+    * densify, paid ONCE per corpus and consumed three ways:
+    *
+    *  - [[suffixRanksFromBase]] CONTINUES the doubling chain from it
+    *    (the base is bit-identical to the chain's own first round);
+    *  - [[windowKeysFromBase]] derives the exact window-content key for
+    *    ANY L ≥ width by TILING the window with width-sized blocks —
+    *    equal block-label tuples ⟺ equal L-token windows (each block is
+    *    full inside a full window, and full-block sentinel labels equal
+    *    iff contents equal), so the derived covered sets are identical
+    *    to the per-L doubling chains they replace.
+    *
+    * Before round 16 the three corpus fronts (dup spans at L = 8,
+    * decontamination spans at L = 12, suffix ranks) each rebuilt this
+    * prefix from scratch — three tokenizes, three token densifies,
+    * three first-round densifies over the same corpus.
+    *
+    * `lbl` is (doc_id, pos, lbl) over ALL positions; `n` the dense-label
+    * count of the last densify; `nTok` the token-id count (round 0) —
+    * the pair is the doubling chain's stability signal.
+    */
+  private[graft] final case class LabelBase(lbl: DataFrame, width: Int,
+                                            nTok: Long, n: Long)
+
+  /** Build the [[LabelBase]] for a (doc_id, pos, tok) table (1-based,
+    * contiguous per-doc positions — the [[windowKeys]] contract). The
+    * body is EXACTLY [[suffixRanks]]' round 0 + first loop round, so a
+    * rank chain continued from the base is bit-identical to one built
+    * from scratch (same dense ids: same key order, same universe).
+    */
+  private[graft] def labelBase(toks: DataFrame): LabelBase = {
+    val (tokIds, nTok) = GlobalRank.globalRowNumberWithCount(
+      toks.select(col("tok")).distinct(), Seq(col("tok")), "id")
+    val cur = toks.join(tokIds, Seq("tok"))
+      .select(col("doc_id"), col("pos"), col("id").as("lbl"))
+      .localCheckpoint()
+    if (nTok <= PackableLabels) {
+      val p2w = cur.withColumn("__p", packPair(col("lbl"),
+        coalesce(lead(col("lbl"), 1).over(docW), lit(-1L))))
+      val nxt = p2w.select(col("doc_id"), col("pos"),
+        col("__p").as("__k1"),
+        coalesce(lead(col("__p"), 2).over(docW), lit(-1L)).as("__k2"))
+      val (labeled, n4) = GlobalRank.withDenseRank(
+        nxt, Seq(col("__k1"), col("__k2")), "lbl")
+      LabelBase(labeled.select(col("doc_id"), col("pos"), col("lbl")),
+        4, nTok, n4)
+    } else {
+      val nxt = cur.select(col("doc_id"), col("pos"), col("lbl").as("l1"),
+        coalesce(lead(col("lbl"), 1).over(docW), lit(-1L)).as("l2"))
+      val (labeled, n2) = GlobalRank.withDenseRank(
+        nxt, Seq(col("l1"), col("l2")), "lbl")
+      LabelBase(labeled.select(col("doc_id"), col("pos"), col("lbl")),
+        2, nTok, n2)
+    }
+  }
+
+  /** (doc_id, pos, __k) for every position with a full L-token window,
+    * derived from the shared [[LabelBase]] with no further densify: the
+    * window [p, p+L−1] is tiled by width-w blocks at offsets 0, w, 2w, …
+    * plus a tail block at L−w, and `__k` is the tuple of block labels
+    * (consecutive pairs packed into longs while the universe fits). A
+    * position is kept iff position p+L−1 exists (the base holds every
+    * position, so `lead(lbl, L−1)` is the exact full-window test); every
+    * block of a kept window has ≥ w tokens remaining, so its label is a
+    * FULL-block class and tuple equality ⟺ window-content equality —
+    * the same zero-FP/FN contract as the per-L doubling chain.
+    */
+  private[graft] def windowKeysFromBase(base: LabelBase, L: Int): DataFrame = {
+    require(L >= base.width,
+      s"window length $L below the base width ${base.width}")
+    val w = base.width
+    val offs = (0 until L / w).map(_ * w) ++
+      (if (L % w != 0) Seq(L - w) else Nil)
+    val lblAt: Seq[Column] = offs.map {
+      case 0 => col("lbl")
+      case o => lead(col("lbl"), o).over(docW)
+    }
+    val keyCols: Seq[Column] =
+      if (base.n <= PackableLabels)
+        lblAt.grouped(2).map(g =>
+          if (g.size == 2) packPair(g(0), g(1)) else g(0)).toSeq
+      else lblAt
+    base.lbl
+      .withColumn("__k",
+        if (keyCols.size == 1) keyCols.head else struct(keyCols: _*))
+      .withColumn("__full", lead(col("lbl"), L - 1).over(docW).isNotNull)
+      .where(col("__full"))
+      .select(col("doc_id"), col("pos"), col("__k"))
+  }
+
   /** (doc_id, pos, __k) for every position with a full L-token window:
     * `__k` identifies the window CONTENT exactly (the dense-label
     * sparse-table key — equal keys ⟺ equal L-token windows, no hashing,
@@ -91,8 +185,17 @@ object SuffixDedup {
     * [[contaminationSpans]] (which keeps keys occurring in the eval
     * group). `toks` must be (doc_id: long, pos: long 1-based,
     * tok: string) with contiguous per-doc positions.
+    *
+    * For L ≥ 4 this routes through the shared [[LabelBase]] derivation
+    * (identical covered sets, one densify round instead of ⌈log₄ L⌉);
+    * the per-L doubling chain below remains the direct path for the
+    * tiny-L corner the base width cannot tile.
     */
-  def windowKeys(toks: DataFrame, L: Int): DataFrame = {
+  def windowKeys(toks: DataFrame, L: Int): DataFrame =
+    if (L >= 4) windowKeysFromBase(labelBase(toks), L)
+    else windowKeysDirect(toks, L)
+
+  private def windowKeysDirect(toks: DataFrame, L: Int): DataFrame = {
     require(L >= 2, s"window length must be >= 2, got $L")
 
     // a = largest power of two < L; a >= L/2 so the two a-windows at p and
@@ -167,17 +270,29 @@ object SuffixDedup {
          else struct(col("lbl"), col("__l2"))).as("__k"))
   }
 
+  /** The duplicate-occurrence filter over a keyed window table: keep the
+    * positions whose `__k` occurs ≥ 2 times corpus-wide. ONE shuffle of
+    * the keyed table (a count over the __k-partitioned window) — the
+    * previous groupBy-then-self-join shape shuffled it twice (once into
+    * the aggregate, once into the join probe) for the same row set.
+    */
+  private def keptDuplicated(keyed: DataFrame): DataFrame =
+    keyed
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__k"))))
+      .where(col("__n") >= 2)
+      .select(col("doc_id"), col("pos"))
+
   /** (doc_id, pos) of every position whose L-token window occurs ≥ 2
     * times in the corpus (within-doc AND cross-doc both count). Input
     * contract as [[windowKeys]].
     */
-  def coveredPositions(toks: DataFrame, L: Int): DataFrame = {
-    val keyed = windowKeys(toks, L)
-    val dupKeys = keyed.groupBy(col("__k"))
-      .agg(count(lit(1)).as("__n")).where(col("__n") >= 2)
-      .select(col("__k"))
-    keyed.join(dupKeys, Seq("__k")).select(col("doc_id"), col("pos"))
-  }
+  def coveredPositions(toks: DataFrame, L: Int): DataFrame =
+    keptDuplicated(windowKeys(toks, L))
+
+  /** [[coveredPositions]] over the shared [[LabelBase]]. */
+  private[graft] def coveredPositionsFromBase(base: LabelBase,
+                                              L: Int): DataFrame =
+    keptDuplicated(windowKeysFromBase(base, L))
 
   /** TRUE suffix ranks — the distributed suffix ARRAY, not just the
     * duplicate test: every (doc_id, pos) gets a label such that
@@ -199,19 +314,28 @@ object SuffixDedup {
     * suffix order of a corpus-sized token table is built in O(N log N)
     * fixed-width rows, never materializing suffix strings.
     */
-  def suffixRanks(toks: DataFrame): DataFrame = {
-    val maxLen = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).first().getLong(0)
+  def suffixRanks(toks: DataFrame): DataFrame =
+    suffixRanksFromBase(labelBase(toks))
+
+  /** [[suffixRanks]] CONTINUED from the shared [[LabelBase]]: the base
+    * IS the chain's round 0 + first round (same code path, same dense
+    * ids), so resuming at `base.width` with the base's counts yields
+    * bit-identical final labels while paying the shared prefix once per
+    * corpus. The base always runs its first round even when the longest
+    * doc is shorter than the width — harmless: beyond-end partners are
+    * sentinels, so those labels equal the shorter-width labels in both
+    * value and order (same classes, same key order, same dense rank).
+    * maxLen comes from the base frame itself (positions are contiguous
+    * 1..len per doc, so max(pos) is the longest doc) — no re-tokenize.
+    */
+  private[graft] def suffixRanksFromBase(base: LabelBase): DataFrame = {
+    val maxLen = base.lbl.agg(max(col("pos"))).first().getLong(0)
     // lead() offsets are Ints; the quadrupling loop's last width is
     // < 4·maxLen. Single documents beyond half a billion tokens need a
     // doc-splitting pre-pass, not a wider offset.
     require(maxLen < Int.MaxValue / 4, s"longest doc has $maxLen tokens")
-    val (tokIds, nTok) = GlobalRank.globalRowNumberWithCount(
-      toks.select(col("tok")).distinct(), Seq(col("tok")), "id")
-    var cur = toks.join(tokIds, Seq("tok"))
-      .select(col("doc_id"), col("pos"), col("id").as("lbl"))
-      .localCheckpoint()
-    var width = 1L
+    var cur = base.lbl
+    var width = base.width.toLong
     // classic prefix-doubling termination: label classes only ever SPLIT,
     // so if a round's distinct-label count is unchanged the partition is
     // identical and (inductively) every later round is too — iterate
@@ -223,8 +347,8 @@ object SuffixDedup {
     // passage, not the longest document. Stability implies the final
     // labels equal the would-be next round's (identical partition, same
     // order ⇒ same dense ranks), so early exit is bit-exact.
-    var n = nTok
-    var stable = false
+    var n = base.n
+    var stable = base.n == base.nTok
     // Same two structural cuts as coveredPositions — lead() pairing over
     // the per-doc window (every position stays present here: the left
     // semantics keep the row set constant, nulls become the −1 "suffix
@@ -268,8 +392,8 @@ object SuffixDedup {
   /** Tokenize docs into the (doc_id, pos, tok) contract (1-based,
     * contiguous per doc).
     */
-  private def tokenize(docs: DataFrame, idCol: String,
-                       textCol: String): DataFrame =
+  private[graft] def tokenize(docs: DataFrame, idCol: String,
+                              textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"),
         posexplode(graft.functions.TextAnalysisFns.tokens(col(textCol)))
           .as(Seq("pos0", "tok")))
@@ -306,6 +430,11 @@ object SuffixDedup {
                             L: Int): DataFrame =
     spansFromCovered(coveredPositions(tokenize(docs, idCol, textCol), L), L)
 
+  /** [[maximalDuplicateSpans]] over the shared [[LabelBase]]. */
+  private[graft] def maximalDuplicateSpansFromBase(base: LabelBase,
+                                                   L: Int): DataFrame =
+    spansFromCovered(coveredPositionsFromBase(base, L), L)
+
   /** Suffix-window benchmark DECONTAMINATION: maximal spans (≥ L tokens)
     * of non-eval documents whose token windows also occur in an
     * eval-group document. The fixed-8-gram `decontamination` and MinHash
@@ -320,13 +449,34 @@ object SuffixDedup {
     * `isEval` is a predicate over `docs` rows naming the held-out group.
     */
   def contaminationSpans(docs: DataFrame, idCol: String, textCol: String,
-                         isEval: Column, L: Int): DataFrame = {
+                         isEval: Column, L: Int): DataFrame =
+    contaminationSpansKeyed(windowKeys(tokenize(docs, idCol, textCol), L),
+      docs, idCol, isEval, L)
+
+  /** [[contaminationSpans]] over the shared [[LabelBase]] (the three
+    * suffix fronts share one tokenize + token densify + first-round
+    * densify per corpus — see [[LabelBase]]).
+    */
+  private[graft] def contaminationSpansFromBase(base: LabelBase,
+      docs: DataFrame, idCol: String, isEval: Column, L: Int): DataFrame =
+    contaminationSpansKeyed(windowKeysFromBase(base, L), docs, idCol,
+      isEval, L)
+
+  private def contaminationSpansKeyed(keyed0: DataFrame, docs: DataFrame,
+      idCol: String, isEval: Column, L: Int): DataFrame = {
     val groups = docs.select(col(idCol).as("doc_id"), isEval.as("__eval"))
-    val keyed = windowKeys(tokenize(docs, idCol, textCol), L)
-      .join(groups, Seq("doc_id"))
-    val evalKeys = keyed.where(col("__eval")).select(col("__k")).distinct()
-    val covered = keyed.where(!col("__eval"))
-      .join(evalKeys, Seq("__k")).select(col("doc_id"), col("pos"))
+    val keyed = keyed0.join(groups, Seq("doc_id"))
+    // "window occurs in SOME eval doc" as a max-flag over the
+    // __k-partitioned window: ONE shuffle of the keyed table — the
+    // previous distinct-then-semi-join shape shuffled the eval side into
+    // a distinct AND re-shuffled the whole training side into the join,
+    // for the same covered set.
+    val covered = keyed
+      .withColumn("__has_eval",
+        max(when(col("__eval"), lit(1)).otherwise(lit(0)))
+          .over(Window.partitionBy(col("__k"))))
+      .where(!col("__eval") && col("__has_eval") === 1)
+      .select(col("doc_id"), col("pos"))
     spansFromCovered(covered, L)
   }
 

@@ -27,6 +27,26 @@ object CurationWave4Queries {
     */
   private val DecontamL = 12
 
+  /** The SHARED suffix-label base for this corpus (round-16: the common
+    * prefix — one tokenize, one token-id densify, one first-round
+    * densify — that all three suffix fronts below previously rebuilt
+    * independently; see [[SuffixDedup.LabelBase]]). Session-pinned
+    * through [[graft.operators.FrontCache]] under its own key, so the
+    * FIRST front build of a session pays it and the other two derive;
+    * the bench's per-front `FrontCache.invalidate` (keyPrefix-scoped)
+    * deliberately leaves it pinned — an isolated front re-run
+    * adjudicates the front's OWN derivation, the same contract as head
+    * queries re-running over a pinned front. The key carries the sf
+    * directory; a persistent [[graft.operators.FrontStore]] never
+    * stores the base — it stores the three derived fronts, which is
+    * strictly smaller and already proven row-stable.
+    */
+  private def suffixBase(s: org.apache.spark.sql.SparkSession,
+                         dir: String): SuffixDedup.LabelBase =
+    graft.operators.FrontCache.getOrComputeValue(s, s"suffix-base:$dir")(
+      SuffixDedup.labelBase(
+        SuffixDedup.tokenize(t("documents")(s, dir), "doc_id", "text")))
+
   /** The decontamination span front, computed ONCE per (session, corpus
     * version) and pinned through [[graft.operators.FrontCache]] — the
     * round-13 VERDICT ask #3: the four decontamination queries are heads
@@ -41,25 +61,21 @@ object CurationWave4Queries {
                             dir: String) =
     graft.operators.FrontStore.frame(s,
       s"decontam-spans:$dir:L=$DecontamL", dir)(
-      SuffixDedup.contaminationSpans(t("documents")(s, dir), "doc_id",
-        "text", col("source") === "src0", DecontamL))
+      SuffixDedup.contaminationSpansFromBase(suffixBase(s, dir),
+        t("documents")(s, dir), "doc_id", col("source") === "src0",
+        DecontamL))
 
   /** The suffix-rank front of `suffix_array_topk` — the per-corpus
     * suffix array, registry-pinned like [[decontamSpans]] (and timed as
     * a first-class `front_*` bench entry through
-    * [[CorpusFronts.benchFronts]]).
+    * [[CorpusFronts.benchFronts]]). Continues the doubling chain from
+    * the shared [[suffixBase]] (bit-identical labels — the base IS the
+    * chain's first round).
     */
   private[graft] def suffixRanksFront(s: org.apache.spark.sql.SparkSession,
-                                      dir: String) = {
-    val toks = t("documents")(s, dir)
-      .select(col("doc_id"),
-        graft.functions.TextAnalysisFns.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), posexplode(col("ts")).as(Seq("pos0", "tok")))
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
-        col("tok"))
+                                      dir: String) =
     graft.operators.FrontStore.frame(s, s"suffix-ranks:$dir", dir)(
-      SuffixDedup.suffixRanks(toks))
-  }
+      SuffixDedup.suffixRanksFromBase(suffixBase(s, dir)))
 
   /** The duplicate-span front (corpus-wide maximal duplicate spans at
     * [[SpanL]]) shared by `dedup_substring_suffix` / `_removal` /
@@ -68,8 +84,7 @@ object CurationWave4Queries {
     */
   private[graft] def dupSpans(s: org.apache.spark.sql.SparkSession, dir: String) =
     graft.operators.FrontStore.frame(s, s"dup-spans:$dir:L=$SpanL", dir)(
-      SuffixDedup.maximalDuplicateSpans(t("documents")(s, dir), "doc_id",
-        "text", SpanL))
+      SuffixDedup.maximalDuplicateSpansFromBase(suffixBase(s, dir), SpanL))
 
   /** Shared oracle CTE chain for the decontamination family: materialized
     * 12-gram cross-source overlap → covered positions → gaps-and-islands

@@ -66,17 +66,22 @@ object RetrievalQueries {
   /** Per-document posting rows: `dl` = token count, `tf_*` = the fixed
     * query terms' frequencies; docs with zero tokens yield no row (the
     * `toks`-derived `dl` of [[bm25Sc2Ctes]] has the same convention).
-    * One aggregation over one scan — and each row depends on one
-    * document only (the incremental-merge contract).
+    * Every value is a per-row function of the token ARRAY (size +
+    * filtered sizes — exact integer counts, identical to counting the
+    * exploded rows), so the whole build is a narrow map over one scan:
+    * no explode, no aggregation exchange at all (round-16; previously
+    * the corpus' every token was materialized as a row and hash-
+    * aggregated back per doc). Each row still depends on one document
+    * only — the incremental-merge contract.
     */
   private[graft] def bm25DocPostings(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs.select(col("doc_id"),
-        explode(TextAnalysisFns.tokens(col("text"))).as("term"))
-      .groupBy(col("doc_id")).agg(
-        count(lit(1)).as("dl"),
-        count(when(col("term") === "table", lit(1))).as("tf_table"),
-        count(when(col("term") === "spark", lit(1))).as("tf_spark"))
+    docs.select(col("doc_id"), TextAnalysisFns.tokens(col("text")).as("__ts"))
+      .select(col("doc_id"),
+        size(col("__ts")).cast("long").as("dl"),
+        size(filter(col("__ts"), _ === "table")).cast("long").as("tf_table"),
+        size(filter(col("__ts"), _ === "spark")).cast("long").as("tf_spark"))
+      .where(col("dl") > 0)
 
   /** The corpus-global BM25 (k1=1.2, b=0.75) score layer over the
     * posting frame — the exact operation tree of [[bm25Sc2Ctes]]'s `s`
