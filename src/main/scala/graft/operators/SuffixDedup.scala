@@ -120,9 +120,16 @@ object SuffixDedup {
   private[graft] def labelBase(toks: DataFrame): LabelBase = {
     val (tokIds, nTok) = GlobalRank.globalRowNumberWithCount(
       toks.select(col("tok")).distinct(), Seq(col("tok")), "id")
+    // no checkpoint here: unlike the loop (where each round's output
+    // feeds several window reads), round 0 is consumed exactly once —
+    // by the densify below, which pins its own input; the id values are
+    // already pinned inside globalRowNumberWithCount
     val cur = toks.join(tokIds, Seq("tok"))
       .select(col("doc_id"), col("pos"), col("id").as("lbl"))
-      .localCheckpoint()
+    // the base frame is pinned: its four consumers (two window-key
+    // derivations, the rank-chain continuation, the maxLen probe) would
+    // otherwise EACH replay the densify's __pid exchange + sort + window
+    // + offsets join over the corpus-sized table
     if (nTok <= PackableLabels) {
       val p2w = cur.withColumn("__p", packPair(col("lbl"),
         coalesce(lead(col("lbl"), 1).over(docW), lit(-1L))))
@@ -131,15 +138,15 @@ object SuffixDedup {
         coalesce(lead(col("__p"), 2).over(docW), lit(-1L)).as("__k2"))
       val (labeled, n4) = GlobalRank.withDenseRank(
         nxt, Seq(col("__k1"), col("__k2")), "lbl")
-      LabelBase(labeled.select(col("doc_id"), col("pos"), col("lbl")),
-        4, nTok, n4)
+      LabelBase(labeled.select(col("doc_id"), col("pos"), col("lbl"))
+        .localCheckpoint(), 4, nTok, n4)
     } else {
       val nxt = cur.select(col("doc_id"), col("pos"), col("lbl").as("l1"),
         coalesce(lead(col("lbl"), 1).over(docW), lit(-1L)).as("l2"))
       val (labeled, n2) = GlobalRank.withDenseRank(
         nxt, Seq(col("l1"), col("l2")), "lbl")
-      LabelBase(labeled.select(col("doc_id"), col("pos"), col("lbl")),
-        2, nTok, n2)
+      LabelBase(labeled.select(col("doc_id"), col("pos"), col("lbl"))
+        .localCheckpoint(), 2, nTok, n2)
     }
   }
 

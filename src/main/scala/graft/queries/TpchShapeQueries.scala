@@ -457,11 +457,19 @@ object TpchShapeQueries {
       // inside the same aggregate — when exactly one distinct supplier
       // shipped late, max(late suppkey) IS that supplier. (The earlier
       // form joined `flagged` back to `perOrder`, shuffling the
-      // lineitem⋈orders join twice.)
-      val perOrder = flagged.groupBy(col("l_orderkey"))
-        .agg(count_distinct(col("l_suppkey")).as("__n_supp"),
-          count_distinct(when(col("__late"), col("l_suppkey"))).as("__n_late"),
-          max(when(col("__late"), col("l_suppkey"))).as("__sole"))
+      // lineitem⋈orders join twice.) TWO-LEVEL exact distinct (round 16):
+      // the two count_distincts over different exprs planned as an
+      // Expand ×3 — every post-join fact row tripled through the hash
+      // aggregate. Grouping by (order, supplier) first (map-side partial
+      // aggregation shrinks the shuffle to the distinct pairs), the
+      // distinct counts become plain integer counts over that table —
+      // identical values, no Expand, fewer shuffled bytes (§2.3).
+      val perPair = flagged.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("__late")).as("__any_late"))
+      val perOrder = perPair.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__n_supp"),
+          count(when(col("__any_late"), lit(1))).as("__n_late"),
+          max(when(col("__any_late"), col("l_suppkey"))).as("__sole"))
       val supp = t("supplier")(s, dir).select(col("s_suppkey"), col("s_name"))
       perOrder.where(col("__n_supp") > 1 && col("__n_late") === 1)
         .join(broadcast(supp), col("__sole") === col("s_suppkey"))
