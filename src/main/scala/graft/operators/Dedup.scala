@@ -191,9 +191,13 @@ object Dedup {
       p.unpersist()
       return result
     }
+    // cached hash(dst)-partitioned: each round's edges ⋈ labels join
+    // consumes the cached partitioning with no exchange on the edge side
+    // (the PageRank pattern, round 16) — labels come out of the previous
+    // round's id-keyed join, so both sides arrive co-partitioned
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
+      .distinct().repartition(col("dst")).cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("keep_id", col("id"))
     var converged = false
@@ -205,14 +209,18 @@ object Dedup {
       // localCheckpoint (eager), not cache: the join references `labels`
       // twice, so without lineage truncation the logical plan doubles per
       // round and a diameter-d chain builds an O(2^d) plan tree.
+      // __chg rides the same pass (new < old ⟺ the row changed), so the
+      // convergence probe is a scan of the pinned frame — the previous
+      // updated ⋈ labels probe re-joined two corpus-of-clusters tables
+      // every round just to detect change.
       val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("keep_id"), coalesce(col("nmin"), col("keep_id")))
-          .as("keep_id"))
+        .select(col("id"),
+          least(col("keep_id"), coalesce(col("nmin"), col("keep_id")))
+            .as("keep_id"),
+          (col("nmin") < col("keep_id")).as("__chg"))
         .localCheckpoint()
-      val changed = updated.alias("u")
-        .join(labels.alias("l"), col("u.id") === col("l.id"))
-        .where(col("u.keep_id") =!= col("l.keep_id")).limit(1).count()
-      labels = updated
+      val changed = updated.where(col("__chg")).limit(1).count()
+      labels = updated.select(col("id"), col("keep_id"))
       converged = changed == 0
       iter += 1
     }

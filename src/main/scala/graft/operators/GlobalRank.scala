@@ -85,11 +85,22 @@ object GlobalRank {
   def withDenseRank(df: DataFrame, keys: Seq[Column],
                     outCol: String): (DataFrame, Long) = {
     val spark = df.sparkSession
-    val parted = df.repartitionByRange(keys: _*)
+    // rank FIRST, pin the ranked rows, and read each partition's
+    // distinct-key count as max(dense_rank) off the pinned frame — the
+    // previous shape checkpointed before the window and ran a SEPARATE
+    // count_distinct(struct(keys)) aggregation over the full table for
+    // the offsets (a per-partition hash map of every key, rebuilt once
+    // per densify round; the max() probe is a trivial scan). Ranks and
+    // counts are unchanged: within a partition max(dense_rank) IS the
+    // distinct count, and the range partitioner still colocates equal
+    // keys.
+    val ranked = df.repartitionByRange(keys: _*)
       .withColumn("__pid", spark_partition_id())
+      .withColumn("__ldr", dense_rank().over(
+        Window.partitionBy(col("__pid")).orderBy(keys: _*)))
       .localCheckpoint()
-    val counts = parted.groupBy(col("__pid"))
-      .agg(count_distinct(struct(keys: _*)).as("__c"))
+    val counts = ranked.groupBy(col("__pid"))
+      .agg(max(col("__ldr")).cast("long").as("__c"))
       .collect().map(r => (r.getInt(0), r.getLong(1)))
       .sortBy(_._1)
     val offsets = {
@@ -98,9 +109,7 @@ object GlobalRank {
     }
     import spark.implicits._
     val offDf = offsets.toSeq.toDF("__pid", "__off")
-    val labeled = parted
-      .withColumn("__ldr", dense_rank().over(
-        Window.partitionBy(col("__pid")).orderBy(keys: _*)))
+    val labeled = ranked
       .join(broadcast(offDf), Seq("__pid"))
       .withColumn(outCol, col("__off") + col("__ldr"))
       .drop("__pid", "__ldr", "__off")
